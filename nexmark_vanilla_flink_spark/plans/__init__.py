@@ -1,0 +1,6 @@
+from .registry import REGISTRY, Query, register, all_queries, all_oracles  # noqa: F401
+
+# importing the plan modules populates the registry
+from . import nexmark  # noqa: F401,E402
+from . import tpch  # noqa: F401,E402
+from . import pipeline  # noqa: F401,E402

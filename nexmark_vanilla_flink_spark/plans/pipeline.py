@@ -1,0 +1,498 @@
+"""Large-scale training-data-pipeline operators (no reference counterpart —
+BASELINE.json north star): deduplication, similarity search, text analysis,
+multimodal column plumbing. All run over the driver's ``documents`` and
+``embeddings`` tables and are verified against DuckDB oracles.
+
+Determinism discipline: every hash is md5 over explicit strings (identical
+bytes in both engines), every float output is rounded after exact/stable
+arithmetic, every arg-max carries an id tie-break.
+
+Scale notes: these are the operators that actually matter at 100 TB —
+  * exact dedup = hash-partition on a digest (one shuffle, no skew: digests
+    are uniform);
+  * MinHash-LSH = bounded-width signature per doc (12 hashes → 4 bands), so
+    candidate generation is a self-join on (band, signature) — the classic
+    sub-quadratic path; only candidate pairs pay the exact-Jaccard check;
+  * brute-force cosine top-k broadcasts the (small) query set against the
+    (huge) corpus — no shuffle of the corpus at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Exact deduplication (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       count(*) OVER (PARTITION BY md5(text)) AS n_copies
+FROM documents
+""",
+    tags=("pipeline", "dedup"),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-digest grouping, smallest doc_id is canonical.
+    Returns every row with its canonical representative + duplicate count
+    (rows where doc_id != canonical_id are droppable duplicates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 12
+_BAND_ROWS = 3  # → 4 bands
+
+_MINHASH_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, ws[j + 1] || ' ' || ws[j + 2] || ' ' || ws[j + 3] AS sh
+    FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 2, 0))) AS j FROM w)
+  )
+),
+mh AS (
+  SELECT doc_id, t.seed AS seed,
+         min(md5(CAST(t.seed AS VARCHAR) || '|' || sh)) AS mh
+  FROM sh CROSS JOIN range(0, {_N_HASHES}) t(seed)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, seed // {_BAND_ROWS} AS band,
+         md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || mh)), '|')) AS sig
+  FROM mh GROUP BY doc_id, seed // {_BAND_ROWS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+com AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS c
+  FROM pairs p
+  JOIN sh s1 ON s1.doc_id = p.doc_a
+  JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.sh = s1.sh
+  GROUP BY 1, 2
+)
+SELECT com.doc_a, com.doc_b,
+       round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) AS jaccard
+FROM com
+JOIN sizes na ON na.doc_id = com.doc_a
+JOIN sizes nb ON nb.doc_id = com.doc_b
+"""
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=_MINHASH_ORACLE,
+    tags=("pipeline", "dedup", "lsh"),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: word-3-gram shingles → 12 md5-based
+    minhashes → 4 bands of 3 → band-signature self-join → exact 3-gram
+    Jaccard on the candidates only. Sub-quadratic: the corpus is never
+    self-joined, only band buckets are."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    sh = (
+        ws.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) >= 3 THEN "
+                    "transform(sequence(0, size(ws) - 3), "
+                    "j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2])) "
+                    "ELSE CAST(array() AS ARRAY<STRING>) END"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    seeds = F.explode(F.expr(f"sequence(0, {_N_HASHES - 1})")).alias("seed")
+    mh = (
+        sh.select("doc_id", "sh", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))
+            ).alias("mh")
+        )
+    )
+    bands = (
+        mh.withColumn("band", F.expr(f"seed DIV {_BAND_ROWS}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("mh"))
+                        )
+                    ),
+                    "|",
+                )
+            ).alias("sig")
+        )
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band"), F.col("sig").alias("sig")
+    )
+    pairs = (
+        bands.alias("a")
+        .join(b2.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    com = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        com.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprinting
+# ---------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  )
+),
+bits AS (
+  SELECT doc_id, t.b AS b,
+         sum(CASE WHEN strpos('89abcdef', substr(md5(tok), t.b + 1, 1)) > 0
+                  THEN 1 ELSE -1 END) AS s
+  FROM toks CROSS JOIN range(0, 16) t(b)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
+FROM bits GROUP BY 1
+"""
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=_SIMHASH_ORACLE,
+    tags=("pipeline", "dedup", "simhash"),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: each bit majority-votes the top bit of
+    one md5 nibble across distinct tokens. Near-dups share fingerprints with
+    small Hamming distance (pairing via simhash_hamming_pairs in tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    bits = (
+        toks.select("doc_id", "tok", F.explode(F.expr("sequence(0, 15)")).alias("b"))
+        .withColumn(
+            "v",
+            F.expr(
+                "CASE WHEN instr('89abcdef', substring(md5(tok), b + 1, 1)) > 0 "
+                "THEN 1 ELSE -1 END"
+            ),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("s"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(power(2, b) AS BIGINT)")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("simhash16")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language guess, quality scores, token counts, fingerprints
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       len(ws) AS n_tokens,
+       len(list_distinct(ws)) AS n_uniq_tokens,
+       round(CAST(n_chars - len(ws) + 1 AS DOUBLE) / len(ws), 4) AS avg_token_len,
+       round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS uniq_ratio,
+       round(CAST(len(list_filter(ws, t -> t IN ('the', 'a'))) AS DOUBLE) / len(ws), 4) AS stopword_ratio
+FROM w
+""",
+    tags=("pipeline", "text"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics: token count, vocabulary diversity,
+    average token length, stopword density — the standard pre-training
+    quality gates, all JVM-side column expressions (no UDFs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_tokens = F.size(ws)
+    n_uniq = F.size(F.array_distinct(ws))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        F.round(
+            (F.col("n_chars") - n_tokens + 1).cast("double") / n_tokens, 4
+        ).alias("avg_token_len"),
+        F.round(n_uniq.cast("double") / n_tokens, 4).alias("uniq_ratio"),
+        F.round(
+            F.size(F.expr("filter(split(text, ' '), t -> t IN ('the', 'a'))")).cast(
+                "double"
+            )
+            / n_tokens,
+            4,
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "lang_guess",
+    oracle="""
+SELECT doc_id, lang,
+       CASE
+         WHEN strpos(' ' || text || ' ', ' the ') > 0 THEN 'en'
+         WHEN strpos(' ' || text || ' ', ' data ') > 0 THEN 'de'
+         WHEN strpos(' ' || text || ' ', ' query ') > 0 THEN 'fr'
+         WHEN strpos(' ' || text || ' ', ' spark ') > 0 THEN 'es'
+         ELSE 'und'
+       END AS lang_guess
+FROM documents
+""",
+    tags=("pipeline", "text"),
+)
+def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (n-gram-heuristic shape: first matching
+    marker wins). Deterministic stand-in for a real char-n-gram classifier —
+    the plumbing (scan → pure column expr → label) is the scale-relevant
+    part."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(F.instr(padded, " the ") > 0, "en")
+        .when(F.instr(padded, " data ") > 0, "de")
+        .when(F.instr(padded, " query ") > 0, "fr")
+        .when(F.instr(padded, " spark ") > 0, "es")
+        .otherwise("und")
+        .alias("lang_guess"),
+    )
+
+
+@register(
+    "token_counts",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[aeiou]+')) AS n_vowel_groups,
+       len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_bpe_chunks
+FROM documents
+""",
+    tags=("pipeline", "text"),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish greedy-chunk count
+    (≤4-char lowercase runs) via regexp — the cheap proxy used to budget
+    LLM token costs at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[aeiou]+', 0)")).alias(
+            "n_vowel_groups"
+        ),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).alias(
+            "n_bpe_chunks"
+        ),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       substr(md5(text), 1, 16) AS content_fp,
+       substr(md5(array_to_string(list_sort(ws), ' ')), 1, 16) AS bag_fp,
+       len(text) AS n_chars_checked
+FROM w
+""",
+    tags=("pipeline", "text"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact content digest + word-order-insensitive
+    bag digest (sorted-token md5) for shuffle-invariant dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5("text"), 1, 16).alias("content_fp"),
+        F.substring(
+            F.md5(F.array_join(F.array_sort(F.split("text", " ")), " ")), 1, 16
+        ).alias("bag_fp"),
+        F.length("text").alias("n_chars_checked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+p AS (
+  SELECT q.vec_id AS q_id, d.vec_id AS vec_id,
+         round(
+           list_aggregate(list_transform(list_zip(q.v, d.v), s -> s[1] * s[2]), 'sum')
+           / (q.nrm * d.nrm), 6) AS cos_sim
+  FROM n q JOIN n d ON d.vec_id <> q.vec_id
+  WHERE q.vec_id % 50 = 0
+)
+SELECT q_id, vec_id, cos_sim, rn FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM p
+)
+WHERE rn <= 5
+"""
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=_COSINE_ORACLE,
+    tags=("pipeline", "similarity"),
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the query subset
+    (vec_id % 50 == 0). The query side is broadcast, the corpus streams
+    through map-side — zero corpus shuffle; dot products are JVM-side
+    zip_with/aggregate folds (no Python in the hot path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.expr("aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+        ),
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    pairs = (
+        e.join(broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+                )
+                / (F.col("qn") * F.col("nrm")),
+                6,
+            ),
+        )
+        .select("q_id", "vec_id", "cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal column plumbing (binary payloads + typed metadata)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       octet_length(encode(text)) % 640 + 1 AS frame_width,
+       octet_length(encode(text)) % 480 + 1 AS frame_height,
+       octet_length(encode(text)) % 7 + 1 AS n_frames
+FROM documents
+""",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: payloads as opaque binary columns pushed
+    through an Arrow-batched mapInPandas "decoder". Real image/audio codecs
+    aren't in this container, so the decoder is a deterministic fake
+    (dimensions derived from byte length) — the Spark-side schema, batch
+    iteration, and binary transport are the real thing. Swap `_fake_decode`
+    for PIL/ffmpeg on a real cluster."""
+    import pandas as pd  # noqa: F401 (arrow batch path)
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def _fake_decode(batches):
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            yield type(pdf)(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "frame_width": n_bytes % 640 + 1,
+                    "frame_height": n_bytes % 480 + 1,
+                    "n_frames": n_bytes % 7 + 1,
+                }
+            )
+
+    return payload.mapInPandas(
+        _fake_decode,
+        schema="doc_id long, n_bytes long, frame_width long, frame_height long, n_frames long",
+    )

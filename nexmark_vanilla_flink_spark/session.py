@@ -1,0 +1,79 @@
+"""SparkSession construction and runtime configuration.
+
+The driver-generated parquet stores TIMESTAMP(NANOS) which Spark cannot read
+natively, so every session that touches the testdata needs
+``spark.sql.legacy.parquet.nanosAsLong=true`` — a *runtime* SQL conf we set
+defensively in the loader path too (the correctness driver supplies its own
+session). All time arithmetic in query outputs is done on integer epoch
+values so Spark and the DuckDB oracle agree bit-for-bit regardless of
+timezone or timestamp-precision differences.
+
+Scale posture (tuned for a real cluster even though tests run local[N]):
+AQE on (runtime coalescing, skew-join splitting), broadcast threshold left
+to Spark's default, shuffle partitions sized from the local core budget.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and required) to set at runtime on any session.
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata parquet uses TIMESTAMP(NANOS); read them as epoch-nano longs
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic time semantics across engines
+    "spark.sql.session.timeZone": "UTC",
+    # adaptive execution: runtime partition coalescing + skew-join handling
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # arrow for any pandas-UDF path
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-owned or ours)."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # immutable in this session build; trust the session default
+            pass
+    return spark
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def get_session(
+    app_name: str = "nexmark-vanilla-flink-spark",
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local session sized from SPARK_GRAFT_CPUS.
+
+    On a real cluster the same code runs unchanged: only master/partition
+    counts change, and those come from the environment.
+    """
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cores}]"))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or max(cores, 8)),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_confs or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return configure_runtime(spark)
