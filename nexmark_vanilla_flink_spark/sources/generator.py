@@ -1,0 +1,136 @@
+"""Synthetic Nexmark event generators — the Spark-first re-expression of the
+reference's source functions:
+
+  NexmarkPersonSource   (source/NexmarkPersonSource.java:11-57)  — rate-limited
+      synthetic persons, per-subtask id stride
+  NexmarkAuctionSource  (source/NexmarkAuctionSource.java:34-72) — 15% hot
+      sellers: ``rand(100) > 85 → (personId/100)*100``, end = ts + 10 s
+  NexmarkBidSource      (source/NexmarkBidSource.java:34-70)     — hot auctions
+      (HOT_AUCTIONS_PROB=85, common/NexmarkCommon.java:24), price U[0, 1e7)
+  GeneratorPipeline     (generator/GeneratorPipeline.java:93-180) — one
+      interleaved stream, ratio 1 person : 4 auctions : 4 bids
+      (common/NexmarkCommon.java:9-12)
+
+Instead of imperative per-subtask loops, everything is a column expression
+over ``spark.range`` (batch) or the ``rate-micro-batch`` source (streaming):
+the generator scales to any parallelism because ``id`` already partitions
+evenly, and the skew/ratio logic is pure Catalyst-optimizable SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# reference constants (common/NexmarkCommon.java:9-27)
+PERSONS_PER_EPOCH = 1  # ratio 1:4:4 per 9-event epoch
+AUCTIONS_PER_EPOCH = 4
+BIDS_PER_EPOCH = 4
+EPOCH = PERSONS_PER_EPOCH + AUCTIONS_PER_EPOCH + BIDS_PER_EPOCH
+HOT_PROB_PCT = 85  # rand(100) > 85 → hot key (15%)
+HOT_RATIO = 100  # hot id = (id/100)*100
+MAX_PRICE = 10_000_000.0
+
+
+def _event_columns(df: DataFrame, events_per_sec: int, seed: int) -> DataFrame:
+    """Map a monotonically increasing ``id`` column to an interleaved,
+    skewed Nexmark event row. Deterministic given (id, seed)."""
+    slot = F.col("id") % EPOCH
+    epoch = F.expr(f"id DIV {EPOCH}")
+    # event-time advances events_per_sec per second of stream time
+    ts_ns = (F.col("id") * F.lit(1_000_000_000) / F.lit(events_per_sec)).cast(
+        "long"
+    )
+    # hot-key selection mirrors NexmarkBidSource.java:47-63
+    is_hot = (F.pmod(F.hash(F.col("id"), F.lit(seed)), 100) > HOT_PROB_PCT).cast(
+        "boolean"
+    )
+    uniform_person = F.pmod(F.hash(F.col("id"), F.lit(seed + 1)), epoch + 1)
+    hot_person = F.expr(f"(id DIV {EPOCH} DIV {HOT_RATIO}) * {HOT_RATIO}")
+    person_key = F.when(is_hot, hot_person).otherwise(uniform_person)
+    uniform_auction = F.pmod(
+        F.hash(F.col("id"), F.lit(seed + 2)), (epoch + 1) * AUCTIONS_PER_EPOCH
+    )
+    hot_auction = F.expr(
+        f"(id DIV {EPOCH} * {AUCTIONS_PER_EPOCH} DIV {HOT_RATIO}) * {HOT_RATIO}"
+    )
+    auction_key = F.when(is_hot, hot_auction).otherwise(uniform_auction)
+    price = (
+        F.pmod(F.hash(F.col("id"), F.lit(seed + 3)), 1_000_000_0).cast("double")
+        / F.lit(1_000_000_0)
+        * F.lit(MAX_PRICE)
+    )
+    return df.select(
+        F.col("id").alias("event_id"),
+        F.when(slot < PERSONS_PER_EPOCH, F.lit(2))  # person tag
+        .when(slot < PERSONS_PER_EPOCH + AUCTIONS_PER_EPOCH, F.lit(0))  # auction
+        .otherwise(F.lit(1))  # bid
+        .alias("event_type"),
+        ts_ns.alias("ts_ns"),
+        epoch.alias("person_id"),
+        person_key.alias("ref_person_id"),
+        auction_key.alias("ref_auction_id"),
+        F.abs(price).alias("price"),
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000")))
+
+
+def generate_events_batch(
+    spark: SparkSession,
+    n_events: int,
+    events_per_sec: int = 10_000,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Bounded interleaved event stream as a batch DataFrame.
+
+    Tag semantics follow NexmarkEvent.getEventType()
+    (beans/NexmarkEvent.java:41-43,88-90,131-133): 0 auction, 1 bid, 2 person.
+    """
+    rng = spark.range(0, n_events, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    return _event_columns(rng, events_per_sec, seed)
+
+
+def generate_events_stream(
+    spark: SparkSession,
+    rows_per_second: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Unbounded interleaved event stream on the rate source — the streaming
+    twin of the reference's rate-limited sources (Guava RateLimiter,
+    NexmarkPersonSource.java:34). ``rowsPerSecond`` is the backpressure
+    shaping knob (vs. reference's genSpeedMin/Max)."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .withColumnRenamed("value", "id")
+        .drop("timestamp")
+    )
+    return _event_columns(rate, rows_per_second, seed)
+
+
+def split_streams(events: DataFrame) -> dict[str, DataFrame]:
+    """Event-type dispatch of the unified stream (P2,
+    NexmarkQuery5b.java:129-136): persons / auctions / bids views."""
+    persons = events.filter(F.col("event_type") == 2).select(
+        F.col("person_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("ts_ns").alias("p_ts_ns"),
+    )
+    auctions = events.filter(F.col("event_type") == 0).select(
+        F.col("event_id").alias("auction_id"),
+        F.col("ref_person_id").alias("seller_id"),
+        F.col("ts").alias("start_ts"),
+        F.col("ts_ns").alias("start_ts_ns"),
+        F.expr("ts + INTERVAL 10 SECONDS").alias("end_ts"),
+        F.col("price").alias("initial_price"),
+    )
+    bids = events.filter(F.col("event_type") == 1).select(
+        F.col("event_id").alias("bid_id"),
+        F.col("ref_auction_id").alias("auction_id"),
+        F.col("ref_person_id").alias("bidder_id"),
+        F.col("price").alias("bid"),
+        F.col("ts").alias("b_ts"),
+        F.col("ts_ns").alias("b_ts_ns"),
+    )
+    return {"persons": persons, "auctions": auctions, "bids": bids}

@@ -1,0 +1,100 @@
+"""Streaming ingestion: file-stream replay of the testdata (the Spark twin of
+the reference's mmap'ed binary file sources, S7 —
+NexmarkQuery5/NexmarkQuery5File.java:161-223 etc.) and a gated Kafka reader
+(S5/S6 — NexmarkQuery8.java:506-539, topic constants
+common/NexmarkCommon.java:5-7).
+
+Bounded-replay semantics (the reference's ``isEndOfStream`` when the backlog
+is exhausted, source/PersonDeserializationSchema.java:102-104) map to
+``Trigger.AvailableNow`` in the runner (streaming/runner.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_runtime
+from ..sources.tables import NS_PER_SEC
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream the driver's events table with the same derived columns
+    the batch loader produces (ts from nanos, item key k from props)."""
+    configure_runtime(spark)
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    schema = spark.read.parquet(path).schema  # raw: ts is LongType (nanos)
+    # the file source wants a directory: stream the sf dir, glob to one table
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return (
+        sdf.withColumn("ts_ns", F.col("ts"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .withColumn("k", F.regexp_extract("props", r":\s*([0-9]+)", 1).cast("long"))
+    )
+
+
+def stream_nexmark(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Streaming persons/auctions/bids — same derivation as
+    sources.tables.nexmark_streams but over the file stream."""
+    ev = stream_events(spark, sf_dir)
+    persons = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("person_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("ts_ns").alias("p_ts_ns"),
+    )
+    auctions = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("auction_id"),
+        F.col("user_id").alias("seller_id"),
+        F.col("k").alias("category_id"),
+        F.col("value").alias("initial_price"),
+        F.col("ts").alias("start_ts"),
+        F.col("ts_ns").alias("start_ts_ns"),
+        F.expr("ts + INTERVAL 3 DAYS").alias("end_ts"),
+        (F.col("ts_ns") + F.lit(3 * 86400 * NS_PER_SEC)).alias("end_ts_ns"),
+    )
+    bids = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("bid_id"),
+        F.col("k").alias("item_id"),
+        F.col("user_id").alias("bidder_id"),
+        F.col("value").alias("bid"),
+        F.col("ts").alias("b_ts"),
+        F.col("ts_ns").alias("b_ts_ns"),
+    )
+    return {"events": ev, "persons": persons, "auctions": auctions, "bids": bids}
+
+
+def stream_kafka_events(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "nexmark-events",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka ingestion of the unified event topic (S6). The reference decodes
+    a 1-byte type tag + fixed-width binary layout (beans/Serializer.java:200-260);
+    we carry JSON payloads — same logical content, Spark-native decode.
+
+    Requires the spark-sql-kafka connector on the classpath; raises a clear
+    error otherwise (the test container has no Kafka, so this is exercised
+    only on real deployments).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    payload = F.col("value").cast("string")
+    return raw.select(
+        F.get_json_object(payload, "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object(payload, "$.ts_ns").cast("long").alias("ts_ns"),
+        F.get_json_object(payload, "$.user_id").cast("long").alias("user_id"),
+        F.get_json_object(payload, "$.event_type").alias("event_type"),
+        F.get_json_object(payload, "$.value").cast("double").alias("value"),
+        F.get_json_object(payload, "$.k").cast("long").alias("k"),
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000")))

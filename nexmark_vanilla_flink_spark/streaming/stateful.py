@@ -1,0 +1,258 @@
+"""Low-level stateful replicas (SURVEY.md §7 step 8) — the places where the
+reference's semantics are *timer-driven* rather than declarative, implemented
+on ``applyInPandasWithState`` (Arrow-batched keyed state, the Spark analog of
+Flink's KeyedProcessFunction + ValueState/ListState/MapState surface,
+§2.6).
+
+Default builds use the declarative plans (plans/nexmark.py, streaming/
+queries.py); these replicas exist for exact-behavior parity:
+
+  * hot_items_stateful  — Q5's Aggregator (NexmarkQuery5.java:201-251):
+    per-key accumulator {max, count, last ts} with an event-time timer that
+    fires when the watermark passes the window end, emits, and clears —
+    reference's registerEventTimeTimer(:240) + onTimer(:246-250).
+  * union_join_stateful — Q8/Q11's JoinUDF (NexmarkQuery8.java:602-662):
+    tagged-union stream keyed by personId, ValueState<person> +
+    ListState<auction> (never evicted — reference behavior, :634), emitting
+    matches incrementally from both sides (a symmetric hash join by hand).
+  * q5b_proc_time_flush — Q5b's processing-time timer flush
+    (NexmarkQuery5b.java:204, now + 10 s): ProcessingTimeTimeout variant.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+HOT_ITEMS_OUTPUT = StructType(
+    [
+        StructField("auction_id", LongType()),
+        StructField("w_start_s", LongType()),
+        StructField("max_bid", DoubleType()),
+        StructField("bid_count", LongType()),
+        StructField("last_bid_ts_s", LongType()),
+    ]
+)
+
+_HOT_ITEMS_STATE = StructType(
+    [
+        StructField("max_bid", DoubleType()),
+        StructField("bid_count", LongType()),
+        StructField("last_ts_ns", LongType()),
+        StructField("w_end_ms", LongType()),
+    ]
+)
+
+
+def hot_items_stateful(bids: DataFrame, window_s: int = 3600) -> DataFrame:
+    """Q5 exact replica: keyed accumulator + event-time timer emission.
+
+    Key = (item, window start); the state carries {max, count, last_ts}; the
+    timeout is the window end so emission happens exactly when the watermark
+    passes it (then the key's state is removed — reference :246-250).
+    """
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        auction_id, w_start_s = (int(v) for v in key)
+        if state.hasTimedOut:
+            max_bid, bid_count, last_ts_ns, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "auction_id": [auction_id],
+                    "w_start_s": [w_start_s],
+                    "max_bid": [max_bid],
+                    "bid_count": [bid_count],
+                    "last_bid_ts_s": [last_ts_ns // 1_000_000_000],
+                }
+            )
+            return
+        max_bid, bid_count, last_ts_ns = float("-inf"), 0, 0
+        if state.exists:
+            max_bid, bid_count, last_ts_ns, _ = state.get
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            max_bid = max(max_bid, float(pdf["bid"].max()))
+            bid_count += int(len(pdf))
+            last_ts_ns = max(last_ts_ns, int(pdf["b_ts_ns"].max()))
+        w_end_ms = (w_start_s + window_s) * 1000
+        state.update((max_bid, bid_count, last_ts_ns, w_end_ms))
+        # the reference's registerEventTimeTimer: fire when watermark ≥ window
+        # end (clamped above the current watermark — historical replay can
+        # have windows that already expired, like the reference's
+        # absolute-timer quirk at NexmarkQuery5.java:240)
+        state.setTimeoutTimestamp(max(w_end_ms, state.getCurrentWatermarkMs() + 1))
+        return
+        yield  # pragma: no cover — generator form
+
+    keyed = (
+        bids.withColumn("auction_id", F.col("item_id"))
+        .withColumn(
+            "w_start_s",
+            F.expr(
+                f"CAST(b_ts_ns DIV {window_s * 1_000_000_000} AS BIGINT) * {window_s}"
+            ),
+        )
+        .withWatermark("b_ts", "2 seconds")
+        .groupBy("auction_id", "w_start_s")
+    )
+    return keyed.applyInPandasWithState(
+        fn,
+        outputStructType=HOT_ITEMS_OUTPUT,
+        stateStructType=_HOT_ITEMS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+UNION_JOIN_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("person_id", LongType()),
+        StructField("auction_id", LongType()),
+    ]
+)
+
+_UNION_JOIN_STATE = StructType(
+    [
+        StructField("person_ids", ArrayType(LongType())),
+        StructField("auction_ids", ArrayType(LongType())),
+    ]
+)
+
+
+def tagged_union(persons: DataFrame, auctions: DataFrame) -> DataFrame:
+    """Input1Tagger/Input2Tagger + union (P3/J6 — JoinHelper.java:24-40):
+    one stream, ``side`` 1 = person, 2 = auction."""
+    p = persons.select(
+        F.lit(1).alias("side"),
+        F.col("user_id"),
+        F.col("person_id").alias("row_id"),
+        F.col("p_ts").alias("ts"),
+    )
+    a = auctions.select(
+        F.lit(2).alias("side"),
+        F.col("seller_id").alias("user_id"),
+        F.col("auction_id").alias("row_id"),
+        F.col("start_ts").alias("ts"),
+    )
+    return p.unionByName(a)
+
+
+def union_join_stateful(persons: DataFrame, auctions: DataFrame) -> DataFrame:
+    """Q8/Q11 JoinUDF replica: symmetric hash join by hand on the tagged
+    union. Arriving persons join all buffered auctions; arriving auctions
+    join all buffered persons. State is never evicted — faithfully mirroring
+    the reference's never-cleared ListState (NexmarkQuery8.java:634); the
+    production path (streaming/queries.py) bounds state with watermarks
+    instead."""
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = int(key[0])
+        persons_buf: list[int] = []
+        auctions_buf: list[int] = []
+        if state.exists:
+            p0, a0 = state.get
+            persons_buf = list(p0)
+            auctions_buf = list(a0)
+        out_p, out_a = [], []
+        for pdf in pdfs:
+            for side, row_id in zip(pdf["side"], pdf["row_id"]):
+                if side == 1:
+                    persons_buf.append(int(row_id))
+                    for auc in auctions_buf:
+                        out_p.append(int(row_id))
+                        out_a.append(auc)
+                else:
+                    auctions_buf.append(int(row_id))
+                    for per in persons_buf:
+                        out_p.append(per)
+                        out_a.append(int(row_id))
+        state.update((persons_buf, auctions_buf))
+        if out_p:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_p),
+                    "person_id": out_p,
+                    "auction_id": out_a,
+                }
+            )
+
+    return (
+        tagged_union(persons, auctions)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=UNION_JOIN_OUTPUT,
+            stateStructType=_UNION_JOIN_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def q5b_proc_time_flush(bids: DataFrame, flush_interval_ms: int = 10_000) -> DataFrame:
+    """Q5b replica: accumulate per item key, flush on a *processing-time*
+    timer (reference: now + 10 s, NexmarkQuery5b.java:204). Inherently
+    nondeterministic — soak-tested, never oracle-gated (SURVEY.md §7)."""
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        auction_id = int(key[0])
+        if state.hasTimedOut:
+            max_bid, bid_count, last_ts_ns, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "auction_id": [auction_id],
+                    "w_start_s": [0],
+                    "max_bid": [max_bid],
+                    "bid_count": [bid_count],
+                    "last_bid_ts_s": [last_ts_ns // 1_000_000_000],
+                }
+            )
+            return
+        max_bid, bid_count, last_ts_ns = float("-inf"), 0, 0
+        if state.exists:
+            max_bid, bid_count, last_ts_ns, _ = state.get
+        for pdf in pdfs:
+            if len(pdf):
+                max_bid = max(max_bid, float(pdf["bid"].max()))
+                bid_count += int(len(pdf))
+                last_ts_ns = max(last_ts_ns, int(pdf["b_ts_ns"].max()))
+        state.update((max_bid, bid_count, last_ts_ns, 0))
+        state.setTimeoutDuration(flush_interval_ms)
+
+    return (
+        bids.groupBy(F.col("item_id").alias("auction_id"))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=HOT_ITEMS_OUTPUT,
+            stateStructType=_HOT_ITEMS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,44 @@
+"""Synthetic generator invariants — the reference's configured shapes
+(BASELINE.md): event mix 1:4:4, 15% hot-key skew, deterministic by seed."""
+
+from pyspark.sql import functions as F
+
+from nexmark_vanilla_flink_spark.sources.generator import (
+    generate_events_batch,
+    split_streams,
+)
+
+N = 90_000
+
+
+def test_mix_ratio(spark):
+    ev = generate_events_batch(spark, N)
+    counts = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert counts[2] == N // 9  # persons
+    assert counts[0] == 4 * N // 9  # auctions
+    assert counts[1] == 4 * N // 9  # bids
+
+
+def test_hot_key_skew(spark):
+    ev = generate_events_batch(spark, N)
+    bids = split_streams(ev)["bids"]
+    hot_share = (
+        bids.filter(F.col("auction_id") % 100 == 0).count() / bids.count()
+    )
+    # ~15% of bids hit hot auctions (ids divisible by HOT_RATIO), vs ~1%
+    # if uniform; allow generous slack for the uniform paths landing there
+    assert 0.10 < hot_share < 0.25
+
+
+def test_deterministic_by_seed(spark):
+    a = generate_events_batch(spark, 1000, seed=7).collect()
+    b = generate_events_batch(spark, 1000, seed=7).collect()
+    assert a == b
+
+
+def test_event_times_monotone_per_rate(spark):
+    ev = generate_events_batch(spark, 1000, events_per_sec=100)
+    mm = ev.agg(F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi")).collect()[0]
+    assert mm["lo"] == 0
+    # 1000 events at 100/s → ~10 s of event time
+    assert abs(mm["hi"] - 9_990_000_000) < 20_000_000
