@@ -243,11 +243,28 @@ def qx_winning_bids(spark: SparkSession, sf_dir: str) -> DataFrame:
     bid_id). Implemented as hash equi-join (item key) with range residual +
     single-pass max_by aggregation — no global sort, scales linearly."""
     s = nexmark_streams(spark, sf_dir)
-    a = s["auctions"]
     b = s["bids"]
+    # Bucketed range join: the raw item key has only ~100 distinct values —
+    # a skew disaster at scale. Exploding each auction into the day buckets
+    # its [start, end) lifetime covers turns the join into an equi-join on
+    # (item, day): ~31× the key cardinality, and candidate bids are
+    # time-pruned to ±1 bucket instead of the whole month. Each (auction,
+    # bid) pair matches in exactly one bucket (the bid's own), so no dedup
+    # is needed.
+    a = s["auctions"].withColumn(
+        "day_bucket",
+        F.explode(
+            F.expr(
+                f"sequence(start_ts_ns DIV {DAY_S * NS_PER_SEC}, "
+                f"(end_ts_ns - 1) DIV {DAY_S * NS_PER_SEC})"
+            )
+        ),
+    )
+    b = b.withColumn("day_bucket", F.expr(f"b_ts_ns DIV {DAY_S * NS_PER_SEC}"))
     joined = a.join(
         b,
         (b.item_id == a.category_id)
+        & (a.day_bucket == b.day_bucket)
         & (b.b_ts_ns >= a.start_ts_ns)
         & (b.b_ts_ns < a.end_ts_ns),
         "inner",

