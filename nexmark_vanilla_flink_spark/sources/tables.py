@@ -56,6 +56,11 @@ _TS_COLUMNS = {
 NS_PER_SEC = 1_000_000_000
 
 
+# (session id, sf_dir, name) → DataFrame; DataFrames are lazy plans, so
+# caching them just skips re-reading parquet footers on every query build
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table, normalizing nano-timestamp columns.
 
@@ -64,6 +69,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``c_ns`` (the exact epoch-nanos BIGINT — what oracle-checked arithmetic
     uses).
     """
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     configure_runtime(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     for c in _TS_COLUMNS.get(name, ()):
@@ -79,6 +88,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f"{c}_ns",
                 F.unix_micros(F.col(c).cast("timestamp")) * F.lit(1000),
             )
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -1,0 +1,79 @@
+"""Physical-plan regression tests — the 100 TB posture checks:
+filters must reach the parquet scan, small dimensions must broadcast,
+pair-producing queries must not silently return nothing, and hot aggregates
+must use hash aggregation with partial (map-side) combine rather than sorts.
+"""
+
+import pytest
+
+from nexmark_vanilla_flink_spark.plans import REGISTRY
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = REGISTRY[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q1_pricing_summary")
+    assert "PushedFilters: [" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+    # plan string truncates long filter lists; presence of the discount
+    # predicate in the scan's DataFilters is the pushdown signal
+    assert "PushedFilters: [" in plan
+    assert "DataFilters: [isnotnull(l_discount" in plan
+
+
+def test_tpch_joins_broadcast_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q5_local_volume")
+    # all four dimension joins broadcast; only the fact-fact join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q3_broadcasts_filtered_customer(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cosine_topk_broadcasts_query_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cosine_topk_bruteforce")
+    assert "Broadcast" in plan  # corpus never shuffles
+
+
+def test_aggregations_are_hash_not_sort(spark, sf_dir):
+    for name in ("q5_hot_items", "cm_load_per_job", "event_type_stats"):
+        plan = _plan(spark, sf_dir, name)
+        assert "HashAggregate" in plan, name
+        # no sort-based fallback in the hot aggregation path
+        assert "SortAggregate" not in plan, name
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    # q5 touches only purchase-event fields: the events scan must not read
+    # the wide props column's sibling columns it doesn't need
+    plan = _plan(spark, sf_dir, "q5_hot_items")
+    start = plan.index("ReadSchema")
+    read_schema = plan[start : start + 300]
+    assert "user_id" not in read_schema
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "minhash_lsh_pairs",
+        "ngram_jaccard_pairs",
+        "embedding_neardup_pairs",
+        "cosine_topk_bruteforce",
+        "qx_winning_bids",
+        "q8_new_users_auctions",
+    ],
+)
+def test_pair_queries_nonempty(spark, sf_dir, name):
+    """An always-empty result would vacuously hash-match the oracle while
+    verifying nothing — every pair/join-producing query must produce rows on
+    the test fixture."""
+    assert REGISTRY[name].spark(spark, sf_dir).limit(1).count() == 1, name
