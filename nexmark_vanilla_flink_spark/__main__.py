@@ -33,7 +33,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="nexmark_vanilla_flink_spark")
     for flag in _FLAG_TO_QUERY:
         ap.add_argument(f"--{flag}", action="store_true")
-    ap.add_argument("--query", help="any registered query name (see --list)")
+    ap.add_argument("--query", action="append", default=[],
+                    help="any registered query name (see --list); repeatable")
     ap.add_argument("--list", action="store_true", help="list registered queries")
     ap.add_argument("--stream", action="store_true", help="run the streaming twin")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -49,8 +50,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     names = [q for f, q in _FLAG_TO_QUERY.items() if getattr(args, f)]
-    if args.query:
-        names.append(args.query)
+    names.extend(args.query)
     if not names:
         ap.error("pick a query flag (e.g. --q5), --query NAME, or --list")
 

@@ -4,3 +4,4 @@ from .registry import REGISTRY, Query, register, all_queries, all_oracles  # noq
 from . import nexmark  # noqa: F401,E402
 from . import tpch  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402
+from . import analytics  # noqa: F401,E402

@@ -1,0 +1,129 @@
+"""Relational surface beyond the reference: the reference has no batch
+algebra at all (SURVEY.md §2.5 — no distinct agg, rollup, ranking, top-k),
+but a Spark engine exposes them natively; these queries pin that surface
+with oracles so the capability is demonstrated AND regression-locked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, load_tables
+from .registry import register
+
+_DEC = "decimal(18,4)"
+
+
+@register(
+    "orders_rollup",
+    oracle="""
+SELECT o_orderstatus,
+       o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+    tags=("analytics", "rollup"),
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (status → priority → grand total) —
+    one pass, Spark expands the grouping sets internally."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("sum_total"),
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    oracle="""
+SELECT n_name, c_custkey, c_acctbal, rnk FROM (
+  SELECT n.n_name, c.c_custkey, c.c_acctbal,
+         row_number() OVER (
+           PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey
+         ) AS rnk
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+WHERE rnk <= 3
+""",
+    tags=("analytics", "window-function", "topk"),
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function: top-3 customers by balance per nation
+    (deterministic tie-break on key). The rank partitions by the join key, so
+    the sort is per-nation, never global."""
+    t = load_tables(spark, sf_dir, ("customer", "nation"))
+    j = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+@register(
+    "nation_distinct_segments",
+    oracle="""
+SELECT n.n_name,
+       count(DISTINCT c.c_mktsegment) AS n_segments,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+    tags=("analytics", "distinct-agg"),
+)
+def nation_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (two-phase expand+agg under the hood) mixed with
+    plain aggregates in one pass."""
+    t = load_tables(spark, sf_dir, ("customer", "nation"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "events_semi_anti_join",
+    oracle="""
+SELECT kind, n FROM (
+  SELECT 'with_purchases' AS kind, count(*) AS n FROM (
+    SELECT DISTINCT user_id FROM events e1
+    WHERE EXISTS (SELECT 1 FROM events e2
+                  WHERE e2.user_id = e1.user_id AND e2.event_type = 'purchase')
+  ) t1
+  UNION ALL
+  SELECT 'never_purchased' AS kind, count(*) AS n FROM (
+    SELECT DISTINCT user_id FROM events e1
+    WHERE NOT EXISTS (SELECT 1 FROM events e2
+                      WHERE e2.user_id = e1.user_id AND e2.event_type = 'purchase')
+  ) t2
+) u
+""",
+    tags=("analytics", "semi-join", "anti-join"),
+)
+def events_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti joins (absent from the reference's surface):
+    users who did / never did purchase."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    semi = users.join(buyers, "user_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("with_purchases").alias("kind"), "n")
+    anti = users.join(buyers, "user_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("never_purchased").alias("kind"), "n")
+    return semi.unionByName(anti)

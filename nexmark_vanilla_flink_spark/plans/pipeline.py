@@ -615,3 +615,265 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fake_decode,
         schema="doc_id long, n_bytes long, frame_width long, frame_height long, n_frames long",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style approximate nearest neighbor (the similarity-search scale path)
+# ---------------------------------------------------------------------------
+
+_IVF_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 97 = 0),
+ac AS (
+  SELECT a.vec_id, c.c_id,
+         round(list_aggregate(list_transform(list_zip(a.v, c.cv), s -> s[1] * s[2]), 'sum')
+               / (a.nrm * c.cnrm), 6) AS cs
+  FROM n a CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+    FROM ac
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, c_id FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+    FROM ac WHERE vec_id % 50 = 0
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.q_id, a.vec_id FROM probes p
+  JOIN assign a ON a.c_id = p.c_id AND a.vec_id <> p.q_id
+),
+scored AS (
+  SELECT cand.q_id, cand.vec_id,
+         round(list_aggregate(list_transform(list_zip(q.v, d.v), s -> s[1] * s[2]), 'sum')
+               / (q.nrm * d.nrm), 6) AS cos_sim
+  FROM cand
+  JOIN n q ON q.vec_id = cand.q_id
+  JOIN n d ON d.vec_id = cand.vec_id
+)
+SELECT q_id, vec_id, cos_sim, rn FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_IVF_ORACLE,
+    tags=("pipeline", "similarity", "ann"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-5: a deterministic coarse-quantizer subset
+    (vec_id % 97 == 0) plays the centroid table; every vector is assigned to
+    its nearest centroid; queries probe their 2 nearest centroids and search
+    only those inverted lists. At 100 TB the corpus is scanned once to
+    assign (centroids broadcast), and each query touches ~nprobe/nlist of the
+    data — the classic IVF trade. The oracle reproduces it exactly, so
+    recall-vs-bruteforce is measurable in tests."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    n = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            )
+        ),
+    )
+    c = n.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    dot_vc = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    ac = n.crossJoin(broadcast(c)).select(
+        "vec_id",
+        "c_id",
+        F.round(dot_vc / (F.col("nrm") * F.col("cnrm")), 6).alias("cs"),
+    )
+    w_vc = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("c_id"))
+    ranked = ac.withColumn("rn", F.row_number().over(w_vc))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "c_id")
+    probes = (
+        ranked.filter((F.col("vec_id") % 50 == 0) & (F.col("rn") <= 2))
+        .select(F.col("vec_id").alias("q_id"), "c_id")
+    )
+    cand = broadcast(probes).join(assign, "c_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    qv = n.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    dot_qd = F.expr(
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    scored = (
+        cand.join(n, "vec_id")
+        .join(broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(dot_qd / (F.col("qn") * F.col("nrm")), 6).alias("cos_sim"),
+        )
+    )
+    w_q = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w_q)).filter(F.col("rn") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# Embedding feature extraction: per-label centroids
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_centroids",
+    oracle="""
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+x AS (
+  SELECT label, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS val FROM e
+)
+SELECT label, pos,
+       round(CAST(sum(CAST(val AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS centroid,
+       count(*) AS n_vecs
+FROM x GROUP BY 1, 2
+""",
+    tags=("pipeline", "similarity", "feature"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid computation (the KMeans M-step / the thing that
+    produces real IVF centroid tables): posexplode to (label, dim) and
+    decimal-exact mean per dimension — one shuffle keyed (label, dim), no
+    driver-side vectors."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    x = emb.select(
+        "label",
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "pos", "val"
+        ),
+    )
+    return x.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_top_tokens",
+    oracle="""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT tok, count(*) AS n FROM t GROUP BY 1)
+SELECT tok, n, rnk FROM (
+  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM c
+) WHERE rnk <= 50
+""",
+    tags=("pipeline", "text", "topk"),
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50 by frequency. The global rank runs on the
+    already-aggregated vocabulary table (distinct tokens ≪ corpus), so the
+    single-partition window sort is bounded by vocabulary size, not data
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+        .select("tok", "n", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: per-frame extraction from binary payloads
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_frame_extract",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes FROM documents
+)
+SELECT doc_id,
+       CAST(t.j AS INTEGER) AS frame_idx,
+       md5(text || CAST(t.j AS VARCHAR)) AS frame_fp,
+       n_bytes
+FROM d CROSS JOIN range(0, 7) t(j)
+WHERE t.j < n_bytes % 7 + 1
+""",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling from a binary media column: mapInPandas "decodes" the
+    payload, emits one row per sampled frame with a content fingerprint —
+    the exploding-decode shape (1 input row → N output rows through Arrow)
+    a real video/audio pipeline needs. The decoder is a deterministic fake
+    (frame count from byte length, fingerprint = md5(payload || idx));
+    swap it for ffmpeg/PIL on a real cluster — the Spark-side schema,
+    batching, and fan-out stay identical."""
+    import hashlib
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    payload = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+    def _decode_frames(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_idx, out_fp, out_nb = [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(buf)
+                n_frames = len(data) % 7 + 1
+                for j in range(n_frames):
+                    out_id.append(doc_id)
+                    out_idx.append(j)
+                    out_fp.append(
+                        hashlib.md5(data + str(j).encode("utf-8")).hexdigest()
+                    )
+                    out_nb.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_id,
+                    "frame_idx": out_idx,
+                    "frame_fp": out_fp,
+                    "n_bytes": out_nb,
+                }
+            )
+
+    return payload.mapInPandas(
+        _decode_frames,
+        schema="doc_id long, frame_idx int, frame_fp string, n_bytes long",
+    )
