@@ -32,7 +32,8 @@ def main() -> None:
         if only
         else sorted(REGISTRY)
     )
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    # default 2: first run absorbs JVM/codegen warmup, min is steady state
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
 
     spark = get_session("nexmark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -41,18 +42,23 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    out_rows: dict[str, int] = {}
     for name in names:
         q = REGISTRY[name]
         best = None
-        for _ in range(repeat):
+        for i in range(repeat):
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            if i == 0:
+                out_rows[name] = df.count()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # input-side throughput: events rows / total nexmark-query time is noisy;
+    # report per-query sec plus result rows so rows/s is derivable either way
     print(
         json.dumps(
             {
@@ -60,6 +66,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "result_rows": out_rows,
                 "sf": sf,
             }
         )

@@ -1,0 +1,53 @@
+"""Generator pipeline sinks — the Spark twin of the reference's generator job
+(S4/K2: generator/GeneratorPipeline.java:93-252 — synthetic interleaved
+events produced into Kafka with a murmur3-on-key partitioner).
+
+``events_to_parquet`` is the file-backed variant used for soak tests and for
+producing replayable fixtures; ``events_to_kafka_json`` mirrors the Kafka
+producer (key-partitioned by the event's key, JSON payload) and requires the
+spark-sql-kafka connector on a real deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def events_to_parquet(
+    events: DataFrame, path: str, partition_cols: tuple[str, ...] = ("event_type",)
+) -> None:
+    """Write a (batch) generated event table as partitioned parquet — the
+    replayable-fixture path. Partitioning by event type mirrors the
+    per-stream Kafka topics (NexmarkCommon.java:5-7): downstream per-stream
+    readers prune to their partition."""
+    events.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def event_json_payload(events: DataFrame) -> DataFrame:
+    """(key, value) rows ready for a Kafka sink: key = the record's hot-key
+    (partitioning key, the producer's murmur3 input —
+    GeneratorPipeline.java:198-252), value = JSON payload."""
+    return events.select(
+        F.col("ref_person_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                "event_id", "event_type", "ts_ns", "person_id",
+                "ref_person_id", "ref_auction_id", "price",
+            )
+        ).alias("value"),
+    )
+
+
+def events_to_kafka_json(
+    events: DataFrame, bootstrap_servers: str, topic: str = "nexmark-events"
+):
+    """Streaming Kafka producer (K2). Connector-gated: needs
+    spark-sql-kafka-0-10 on the classpath (not in this container)."""
+    return (
+        event_json_payload(events)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .start()
+    )

@@ -15,17 +15,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark) -> None:
+    """Switch keyed state to the RocksDB provider (the reference's state
+    backend, NexmarkSuite.java:57) — spill-to-disk state for 100 TB streams;
+    the default in-memory provider is faster for small local replays."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+
+
 def run_available_now(
     sdf: DataFrame,
     output_mode: str = "append",
     timeout_s: int = 300,
     name: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion on the currently-available
-    data and return the result as a (batch) DataFrame from the memory sink."""
+    data and return the result as a (batch) DataFrame from the memory sink.
+
+    Pass ``checkpoint_dir`` to resume from (or establish) a durable
+    checkpoint — restarting with the same dir continues exactly-once from
+    the recorded offsets.
+    """
     spark = sdf.sparkSession
     qname = name or f"q_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
     q = (
         sdf.writeStream.format("memory")
         .queryName(qname)
