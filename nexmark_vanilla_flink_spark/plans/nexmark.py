@@ -507,3 +507,73 @@ def union_tagged_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy(
         "side", bucket_start_s("ts_ns", DAY_S).alias("w_start_s")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows
+# Reference: DynamicEventTimeSessionWindows import (NexmarkQuery8.java:65) —
+# per-event session gap. Here: cheap bids time out in 30 min, expensive ones
+# keep the session alive 90 min.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessions_dynamic_gap",
+    oracle=with_ctes(EV_CTE, BIDS_CTE)
+    + """
+, seq AS (
+  SELECT bidder_id, bid, bid_id, b_ts_ns // 1000 AS us,
+         CASE WHEN bid < 50 THEN 1800000000 ELSE 5400000000 END AS gap_us
+  FROM bids
+),
+marked AS (
+  SELECT *,
+         CASE
+           WHEN max(us + gap_us) OVER w IS NULL THEN 1
+           WHEN us >= max(us + gap_us) OVER w THEN 1
+           ELSE 0
+         END AS is_new
+  FROM seq
+  WINDOW w AS (PARTITION BY bidder_id ORDER BY us, bid_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (
+           PARTITION BY bidder_id ORDER BY us, bid_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS sess_id
+  FROM marked
+)
+SELECT bidder_id,
+       min(us) // 1000000 AS sess_start_s,
+       max(us + gap_us) // 1000000 AS sess_end_s,
+       count(*) AS n_bids,
+       max(bid) AS max_bid
+FROM sess
+GROUP BY bidder_id, sess_id
+""",
+    tags=("nexmark", "session", "window", "dynamic-gap"),
+)
+def sessions_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event dynamic session gap [§2.6 dynamic sessions]: Spark's
+    session_window accepts a gap *expression*; sessions merge while each
+    event's own window [ts, ts+gap) overlaps the running session."""
+    bids = nexmark_streams(spark, sf_dir)["bids"]
+    # session_window requires CalendarIntervalType (ANSI INTERVAL literals
+    # are DayTimeIntervalType) — make_interval produces the right type
+    gap = F.when(
+        F.col("bid") < 50, F.expr("make_interval(0, 0, 0, 0, 0, 30, 0)")
+    ).otherwise(F.expr("make_interval(0, 0, 0, 0, 0, 90, 0)"))
+    return (
+        bids.groupBy(
+            F.session_window(F.col("b_ts"), gap).alias("sw"), F.col("bidder_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bids"), F.max("bid").alias("max_bid"))
+        .select(
+            "bidder_id",
+            F.col("sw.start").cast("long").alias("sess_start_s"),
+            F.col("sw.end").cast("long").alias("sess_end_s"),
+            "n_bids",
+            "max_bid",
+        )
+    )

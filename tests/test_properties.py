@@ -1,0 +1,90 @@
+"""Property-based checks (hypothesis): operator semantics hold over random
+inputs, not just the driver fixture — session-window merge logic vs a pure
+reference model, bucket arithmetic laws, salted-join equivalence."""
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from nexmark_vanilla_flink_spark.operators.skew import salted_join
+
+MICROS = 1_000_000
+GAP_US = 3600 * MICROS
+
+
+def _sessions_model(events):
+    """Pure-python gaps-and-islands model of session_window(gap=1h)."""
+    out = []
+    for key in sorted({k for k, _ in events}):
+        ts_list = sorted(us for k, us in events if k == key)
+        cur = None
+        for us in ts_list:
+            if cur is None or us >= cur["end_us"]:
+                if cur:
+                    out.append((key, cur["start_us"], cur["end_us"], cur["n"]))
+                cur = {"start_us": us, "end_us": us + GAP_US, "n": 1}
+            else:
+                cur["end_us"] = us + GAP_US
+                cur["n"] += 1
+        if cur:
+            out.append((key, cur["start_us"], cur["end_us"], cur["n"]))
+    return sorted(out)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.integers(min_value=0, max_value=6 * 3600 * MICROS),  # ts µs
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_session_window_matches_model(spark, events):
+    df = spark.createDataFrame(
+        [(k, us) for k, us in events], "key long, us long"
+    ).withColumn("ts", F.timestamp_micros("us"))
+    got = (
+        df.groupBy(F.session_window("ts", "1 hour").alias("sw"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "key",
+            F.unix_micros("sw.start").alias("s"),
+            F.unix_micros("sw.end").alias("e"),
+            "n",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == _sessions_model(events)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10), min_size=1, max_size=50),
+    st.lists(st.integers(min_value=0, max_value=10), min_size=1, max_size=10),
+)
+def test_salted_join_equivalence_random(spark, big_keys, small_keys):
+    big = spark.createDataFrame([(k, i) for i, k in enumerate(big_keys)], "k long, v long")
+    small = spark.createDataFrame(
+        [(k,) for k in set(small_keys)], "k long"
+    )
+    plain = sorted(map(tuple, big.join(small, "k").collect()))
+    salted = sorted(map(tuple, salted_join(big, small, "k", salt=4).collect()))
+    assert plain == salted
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**62),
+    st.sampled_from([1, 2, 60, 600, 3600, 86400]),
+)
+def test_bucket_arithmetic_laws(ns, width_s):
+    """The integer bucket formula (functions/time.py + every oracle) is a
+    correct floor: bucket ≤ ts_s < bucket + width and bucket ≡ 0 (mod width)."""
+    width_ns = width_s * 1_000_000_000
+    bucket = (ns // width_ns) * width_s
+    ts_s = ns // 1_000_000_000
+    assert bucket % width_s == 0
+    assert bucket <= ts_s < bucket + width_s + 1  # +1: sub-second truncation
+    assert bucket * 1_000_000_000 <= ns < (bucket + width_s) * 1_000_000_000

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Single-node throughput soak — the apples-to-apples comparison against the
+reference's configured offered loads (BASELINE.md: Q5 1 Mi bids/s, Q8
+1 Mi persons/s + 10 Mi auctions/s, QX 10 Mi bids/s offered).
+
+Generates SOAK_EVENTS interleaved events (default 10M) with the reference's
+1:4:4 mix and hot-key skew entirely in codegen (no I/O), runs each core
+operator shape to a noop sink, and reports input events/s per operator.
+
+    python throughput.py            # one JSON line
+    SOAK_EVENTS=50000000 python throughput.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nexmark_vanilla_flink_spark.session import get_session  # noqa: E402
+from nexmark_vanilla_flink_spark.sources.generator import (  # noqa: E402
+    generate_events_batch,
+    split_streams,
+)
+
+HOUR_NS = 3600 * 1_000_000_000
+DAY_NS = 86400 * 1_000_000_000
+
+
+def main() -> None:
+    n = int(os.environ.get("SOAK_EVENTS", 10_000_000))
+    spark = get_session("nexmark-throughput")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {}
+
+    def run(name: str, df) -> None:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        results[name] = {
+            "sec": round(dt, 2),
+            "events_per_sec": int(n / dt),
+        }
+
+    def fresh():
+        ev = generate_events_batch(spark, n, events_per_sec=1_000_000)
+        return ev, split_streams(ev)
+
+    # warm up codegen on a small run
+    generate_events_batch(spark, 100_000).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    ev, s = fresh()
+    run("generate_only", ev)
+
+    ev, s = fresh()
+    run(
+        "q5_hot_items_shape",  # A1: windowed max/count per auction
+        s["bids"]
+        .groupBy(
+            F.expr(f"CAST(b_ts_ns DIV {HOUR_NS} AS BIGINT)").alias("w"),
+            "auction_id",
+        )
+        .agg(F.max("bid"), F.count(F.lit(1)), F.max("b_ts_ns")),
+    )
+
+    ev, s = fresh()
+    run(
+        "cm_windowed_sum_shape",  # A4
+        ev.groupBy(
+            F.expr(f"CAST(ts_ns DIV {HOUR_NS} AS BIGINT)").alias("w"),
+            "ref_person_id",
+        ).agg(F.sum("price"), F.count(F.lit(1))),
+    )
+
+    ev, s = fresh()
+    p = s["persons"].withColumn("w", F.expr(f"p_ts_ns DIV {DAY_NS}"))
+    a = (
+        s["auctions"]
+        .withColumn("w", F.expr(f"start_ts_ns DIV {DAY_NS}"))
+        .withColumnRenamed("seller_id", "person_id")
+    )
+    run(
+        "q8_join_shape",  # J1/J2: persons ⋈ auctions on (person, window)
+        p.join(a, ["person_id", "w"]).groupBy("person_id", "w").count(),
+    )
+
+    ev, s = fresh()
+    run(
+        "qx_winning_bid_shape",  # J4: per-auction last bid (bids carry the
+        # auction key directly in the generated stream)
+        s["bids"]
+        .groupBy("auction_id")
+        .agg(F.max_by(F.struct("bid_id", "bid"), F.struct("b_ts_ns", "bid_id"))),
+    )
+
+    ev, s = fresh()
+    run(
+        "sessions_shape",  # A5: per-bidder session windows
+        s["bids"]
+        .groupBy(F.session_window(F.col("b_ts"), "1 hour"), F.col("bidder_id"))
+        .agg(F.count(F.lit(1)), F.max("bid")),
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "events_per_sec_by_operator",
+                "n_events": n,
+                "mix": "1:4:4 person:auction:bid, 15% hot keys",
+                "operators": results,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
