@@ -34,9 +34,19 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _runtime_confs() -> dict[str, str]:
+    confs = dict(RUNTIME_CONFS)
+    # size shuffles to the local core budget (Spark's 200 default makes
+    # 200-task micro-batches on small replays); AQE still coalesces further
+    confs["spark.sql.shuffle.partitions"] = str(
+        max(int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))), 8)
+    )
+    return confs
+
+
 def configure_runtime(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (driver-owned or ours)."""
-    for key, value in RUNTIME_CONFS.items():
+    for key, value in _runtime_confs().items():
         try:
             spark.conf.set(key, value)
         except Exception:
@@ -76,4 +86,8 @@ def get_session(
     for key, value in (extra_confs or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
-    return configure_runtime(spark)
+    configure_runtime(spark)
+    if shuffle_partitions is not None:
+        # explicit caller choice wins over the runtime default
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark

@@ -247,7 +247,8 @@ def q5b_proc_time_flush(bids: DataFrame, flush_interval_ms: int = 10_000) -> Dat
         state.setTimeoutDuration(flush_interval_ms)
 
     return (
-        bids.groupBy(F.col("item_id").alias("auction_id"))
+        bids.withColumn("auction_id", F.col("item_id"))
+        .groupBy("auction_id")
         .applyInPandasWithState(
             fn,
             outputStructType=HOT_ITEMS_OUTPUT,
