@@ -127,3 +127,23 @@ def events_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     ).select(F.lit("never_purchased").alias("kind"), "n")
     return semi.unionByName(anti)
+
+
+@register(
+    "approx_user_stats",
+    oracle=None,  # approximate sketches are engine-specific — accuracy is
+    # asserted against exact values in tests/test_approx.py instead
+    tags=("analytics", "approximate", "sketch"),
+)
+def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL++ distinct counts, quantile sketches) —
+    the sketch surface a 100 TB profiler actually uses: fixed-size state per
+    group regardless of cardinality. No DuckDB oracle (sketch algorithms are
+    engine-specific); tests bound the error against exact answers."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
