@@ -62,7 +62,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 12
 _BAND_ROWS = 3  # → 4 bands
 
-_MINHASH_ORACLE = f"""
+_MINHASH_CTES = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
@@ -89,6 +89,9 @@ pairs AS (
   GROUP BY 1, 2
 ),
 sig AS (SELECT doc_id, list(mh ORDER BY seed) AS arr FROM mh GROUP BY 1)
+"""
+
+_MINHASH_ORACLE = _MINHASH_CTES + f"""
 SELECT doc_a, doc_b, n_bands,
        round(len(list_filter(list_zip(sa.arr, sb.arr), z -> z[1] = z[2])) / {_N_HASHES}.0, 4) AS jaccard_est
 FROM pairs
@@ -877,3 +880,41 @@ def multimodal_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_frames,
         schema="doc_id long, frame_idx int, frame_fp string, n_bytes long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster formation: connected components over LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_DEDUP_CLUSTERS_ORACLE = _MINHASH_CTES.replace("WITH w AS", "WITH RECURSIVE w AS") + """
+, edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+)
+SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_DEDUP_CLUSTERS_ORACLE,
+    tags=("pipeline", "dedup", "graph", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster ids via connected components over the MinHash-LSH
+    candidate graph (operators/graph.py): every document labeled with the
+    smallest doc_id it is near-duplicate-connected to (itself if unique).
+    The iterative min-label loop is the engine's iterative-algorithm surface;
+    the oracle is a recursive CTE computing the same reachability minimum."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(
+        docs, pairs, vertex_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
