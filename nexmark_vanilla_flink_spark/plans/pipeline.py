@@ -918,3 +918,68 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         docs, pairs, vertex_col="doc_id", src_col="doc_a", dst_col="doc_b"
     ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: quality gates + exact dedup + near-dup pruning
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = _MINHASH_CTES + """
+, quality AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS uniq_ratio,
+         md5(text) AS content_md5
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, n_tokens, uniq_ratio,
+         min(doc_id) OVER (PARTITION BY content_md5) AS canonical_id
+  FROM quality
+)
+SELECT c.doc_id, c.n_tokens, round(c.uniq_ratio, 4) AS uniq_ratio
+FROM canon c
+WHERE c.n_tokens >= 20
+  AND c.uniq_ratio >= 0.5
+  AND c.doc_id = c.canonical_id
+  AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_b = c.doc_id)
+"""
+
+
+@register(
+    "corpus_curation",
+    oracle=_CURATION_ORACLE,
+    tags=("pipeline", "dedup", "text", "flagship"),
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pre-training curation pass, composed from the engine's
+    own operators: quality gates (≥20 tokens, ≥0.5 vocabulary diversity) →
+    exact dedup (md5 canonical, smallest id survives) → near-dup pruning
+    (drop the larger id of every MinHash-LSH candidate pair). Returns the
+    kept corpus. Every stage is the same plan shape as its standalone query,
+    fused by Catalyst into one pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    quality = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        (F.size(F.array_distinct(ws)).cast("double") / F.size(ws)).alias(
+            "uniq_ratio"
+        ),
+        F.md5("text").alias("content_md5"),
+    )
+    w = Window.partitionBy("content_md5")
+    canon = quality.withColumn("canonical_id", F.min("doc_id").over(w))
+    dup_bs = minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    return (
+        canon.filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("uniq_ratio") >= 0.5)
+            & (F.col("doc_id") == F.col("canonical_id"))
+        )
+        .join(dup_bs, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", F.round("uniq_ratio", 4).alias("uniq_ratio"))
+    )
