@@ -32,28 +32,29 @@ def main() -> None:
         if only
         else sorted(REGISTRY)
     )
-    # default 2: first run absorbs JVM/codegen warmup, min is steady state
-    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
 
     spark = get_session("nexmark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on the smallest table so q[0] isn't penalized
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # JVM/codegen + noop-sink warmup so the first timed query isn't penalized
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     out_rows: dict[str, int] = {}
     for name in names:
         q = REGISTRY[name]
+        # warmup run (absorbs codegen/classloading) doubles as the row count
+        out_rows[name] = q.spark(spark, sf_dir).count()
         best = None
-        for i in range(repeat):
+        for _ in range(repeat):
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-            if i == 0:
-                out_rows[name] = df.count()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
