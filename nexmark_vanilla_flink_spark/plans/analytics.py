@@ -21,7 +21,7 @@ _DEC = "decimal(18,4)"
 SELECT o_orderstatus,
        o_orderpriority,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_total
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """,
@@ -33,7 +33,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("sum_total"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,4)").cast("double").alias("sum_total"),
     )
 
 
@@ -73,7 +73,7 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT n.n_name,
        count(DISTINCT c.c_mktsegment) AS n_segments,
        count(*) AS n_customers,
-       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+       CAST(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_acctbal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1
 """,
@@ -90,7 +90,7 @@ def nation_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("c_mktsegment").alias("n_segments"),
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("sum_acctbal"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("decimal(38,4)").cast("double").alias("sum_acctbal"),
         )
     )
 

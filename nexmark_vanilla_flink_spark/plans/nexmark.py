@@ -41,12 +41,12 @@ _DEC = "decimal(18,4)"
 
 def _sum_dbl(col: str, alias: str) -> F.Column:
     # exact associative sum: DOUBLE → DECIMAL(18,4) → SUM → DOUBLE
-    return F.sum(F.col(col).cast(_DEC)).cast("double").alias(alias)
+    return F.sum(F.col(col).cast(_DEC)).cast("decimal(38,4)").cast("double").alias(alias)
 
 
 def _avg_dbl(col: str, alias: str) -> F.Column:
     return (
-        F.sum(F.col(col).cast(_DEC)).cast("double") / F.count(F.lit(1))
+        F.sum(F.col(col).cast(_DEC)).cast("decimal(38,4)").cast("double") / F.count(F.lit(1))
     ).alias(alias)
 
 
@@ -360,7 +360,7 @@ def sessions_by_bidder(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
 SELECT user_id AS job_id,
        (ts_ns // {600 * NS_PER_SEC}) * 600 AS w_start_s,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_cpu,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_cpu,
        count(*) AS n_records
 FROM ev
 GROUP BY 1, 2
@@ -445,8 +445,8 @@ def highest_bid_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT event_type,
        count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
-       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_value,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value,
+       CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) / count(*) AS DOUBLE) AS avg_value,
        min(value) AS min_value,
        max(value) AS max_value
 FROM ev

@@ -25,9 +25,9 @@ _DEC = "decimal(18,4)"
     oracle="""
 SELECT l_returnflag,
        l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-30 00:00:00'
@@ -47,15 +47,15 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= cutoff)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("decimal(38,4)").cast("double").alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast(_DEC))
-            .cast("double")
+            .cast("decimal(38,4)").cast("double")
             .alias("sum_base_price"),
             F.sum(
                 F.col("l_extendedprice").cast(_DEC)
                 * (F.lit(1) - F.col("l_discount")).cast(_DEC)
             )
-            .cast("double")
+            .cast("decimal(38,4)").cast("double")
             .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -66,7 +66,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     oracle="""
 SELECT o.o_orderkey,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
        epoch_ns(o.o_orderdate) // 1000000000 AS o_orderdate_s,
        o.o_orderpriority
 FROM customer c
@@ -97,7 +97,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice").cast(_DEC)
                 * (F.lit(1) - F.col("l_discount")).cast(_DEC)
             )
-            .cast("double")
+            .cast("decimal(38,4)").cast("double")
             .alias("revenue")
         )
         .select("o_orderkey", "revenue", "o_orderdate_s", "o_orderpriority")
@@ -109,7 +109,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n.n_name,
        r.r_name,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -141,7 +141,7 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice").cast(_DEC)
                 * (F.lit(1) - F.col("l_discount")).cast(_DEC)
             )
-            .cast("double")
+            .cast("decimal(38,4)").cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -151,7 +151,7 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast_revenue",
     oracle="""
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
@@ -170,7 +170,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC))
-            .cast("double")
+            .cast("decimal(38,4)").cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -236,10 +236,10 @@ def tpch_q12_shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q14_promo_share",
     oracle="""
 SELECT round(
-         100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+         100.0 * CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
                     THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))
-                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-         / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE),
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE)
+         / CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE),
          4) AS promo_revenue_pct,
        count(*) AS n_items
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -260,8 +260,8 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(promo).cast("double")
-                / F.sum(rev).cast("double"),
+                * F.sum(promo).cast("decimal(38,4)").cast("double")
+                / F.sum(rev).cast("decimal(38,4)").cast("double"),
                 4,
             ).alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n_items"),
@@ -307,7 +307,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     oracle="""
 SELECT c.c_custkey, c.c_name, n.n_name,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -333,7 +333,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice").cast(_DEC)
                 * (F.lit(1) - F.col("l_discount")).cast(_DEC)
             )
-            .cast("double")
+            .cast("decimal(38,4)").cast("double")
             .alias("revenue")
         )
     )
