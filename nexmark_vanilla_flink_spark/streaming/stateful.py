@@ -168,6 +168,8 @@ def union_join_stateful(persons: DataFrame, auctions: DataFrame) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         user_id = int(key[0])
         persons_buf: list[int] = []
         auctions_buf: list[int] = []
@@ -175,24 +177,34 @@ def union_join_stateful(persons: DataFrame, auctions: DataFrame) -> DataFrame:
             p0, a0 = state.get
             persons_buf = list(p0)
             auctions_buf = list(a0)
-        out_p, out_a = [], []
+        chunks = []
         for pdf in pdfs:
-            for side, row_id in zip(pdf["side"], pdf["row_id"]):
-                if side == 1:
-                    persons_buf.append(int(row_id))
-                    for auc in auctions_buf:
-                        out_p.append(int(row_id))
-                        out_a.append(auc)
-                else:
-                    auctions_buf.append(int(row_id))
-                    for per in persons_buf:
-                        out_p.append(per)
-                        out_a.append(int(row_id))
+            side = pdf["side"].to_numpy()
+            rid = pdf["row_id"].to_numpy()
+            new_p, new_a = rid[side == 1], rid[side == 2]
+            old_p = np.asarray(persons_buf, dtype=np.int64)
+            old_a = np.asarray(auctions_buf, dtype=np.int64)
+            # each (p, a) pair is emitted exactly once, when its later side
+            # arrives: new persons pair with all auctions seen so far (old +
+            # this batch), old persons pair with this batch's new auctions
+            all_a = np.concatenate([old_a, new_a])
+            if len(new_p) and len(all_a):
+                chunks.append(
+                    (np.repeat(new_p, len(all_a)), np.tile(all_a, len(new_p)))
+                )
+            if len(old_p) and len(new_a):
+                chunks.append(
+                    (np.repeat(old_p, len(new_a)), np.tile(new_a, len(old_p)))
+                )
+            persons_buf.extend(int(x) for x in new_p)
+            auctions_buf.extend(int(x) for x in new_a)
         state.update((persons_buf, auctions_buf))
-        if out_p:
+        if chunks:
+            out_p = np.concatenate([c[0] for c in chunks])
+            out_a = np.concatenate([c[1] for c in chunks])
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id] * len(out_p),
+                    "user_id": np.full(len(out_p), user_id, dtype=np.int64),
                     "person_id": out_p,
                     "auction_id": out_a,
                 }
