@@ -39,7 +39,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stream", action="store_true", help="run the streaming twin")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--show", type=int, default=5, help="rows to print")
+    ap.add_argument(
+        "--soak",
+        type=int,
+        metavar="SECONDS",
+        help="run the live pipeline (rate generator → q5 window agg → "
+        "latency stats) for N seconds and print throughput/latency",
+    )
+    ap.add_argument(
+        "--rate", type=int, default=50_000, help="events/s for --soak"
+    )
     args = ap.parse_args(argv)
+
+    if args.soak:
+        return _run_soak(args.soak, args.rate)
 
     from .plans import REGISTRY
 
@@ -72,6 +85,62 @@ def main(argv: list[str] | None = None) -> int:
         print(f"== {name} ({'stream' if args.stream else 'batch'}): "
               f"{n} rows in {dt:.2f}s ==")
         df.show(args.show, truncate=False)
+    spark.stop()
+    return 0
+
+
+def _run_soak(seconds: int, rate: int) -> int:
+    """Live end-to-end soak: synthetic skewed generator (S1-S4) → event-time
+    windowed hot-items aggregation (A1) → memory sink, with listener-based
+    throughput accounting (K4) — the whole streaming engine running hot."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from .session import get_session
+    from .sources.generator import generate_events_stream, split_streams
+    from .streaming.listener import ProgressCapture
+
+    spark = get_session("nexmark-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    cap = ProgressCapture()
+    spark.streams.addListener(cap)
+    bids = split_streams(generate_events_stream(spark, rows_per_second=rate))["bids"]
+    agg = (
+        bids.withWatermark("b_ts", "2 seconds")
+        .groupBy(F.window("b_ts", "10 seconds"), F.col("auction_id"))
+        .agg(F.max("bid").alias("max_bid"), F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("soak")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_soak_"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    t0 = time.time()
+    time.sleep(seconds)
+    # stopping a hot stream aborts the in-flight micro-batch by design;
+    # silence the JVM teardown noise so the summary line is readable
+    spark.sparkContext.setLogLevel("OFF")
+    q.stop()
+    q.awaitTermination(60)
+    wall = time.time() - t0
+    rows = cap.total_input_rows()
+    done = len([p for p in cap.progress if p["numInputRows"] > 0])
+    note = (
+        ""
+        if done
+        else " [saturated: no micro-batch completed before stop — lower --rate]"
+    )
+    print(
+        f"soak: {rows} events in {wall:.1f}s "
+        f"({int(rows / wall)} ev/s sustained of {rate} offered), "
+        f"{done} completed micro-batches, "
+        f"{spark.table('soak').count()} agg rows emitted{note}"
+    )
     spark.stop()
     return 0
 
