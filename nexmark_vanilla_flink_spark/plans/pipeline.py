@@ -983,3 +983,110 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dup_bs, "doc_id", "left_anti")
         .select("doc_id", "n_tokens", F.round("uniq_ratio", 4).alias("uniq_ratio"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset splitting (reproducible sampling at corpus scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "deterministic_splits",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN strpos('0123456789ab', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) > 0 THEN 'train'
+           WHEN strpos('cd', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) > 0 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT lang, split, count(*) AS n, min(doc_id) AS first_doc_id
+FROM assigned GROUP BY 1, 2
+""",
+    tags=("pipeline", "sampling"),
+)
+def deterministic_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed train/val/test assignment (75/12.5/12.5 by the first
+    md5 nibble of the id): pure function of the key — stable across runs,
+    machines, and engines, no sampling state to coordinate at 100 TB.
+    Returns per-(lang, split) counts as the verification surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(F.instr(F.lit("0123456789ab"), nibble) > 0, "train")
+        .when(F.instr(F.lit("cd"), nibble) > 0, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization of embeddings (int8 storage compression)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_quantize_embeddings",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CAST(round(x / scale, 0) AS INTEGER)) AS qv,
+         v
+  FROM s
+)
+SELECT vec_id,
+       round(scale, 6) AS scale_r,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_checksum,
+       round(sqrt(list_aggregate(
+         list_transform(list_zip(v, qv), z -> (z[1] - z[2] * scale) * (z[1] - z[2] * scale)),
+         'sum')), 6) AS recon_err
+FROM q
+""",
+    tags=("pipeline", "similarity", "quantization"),
+)
+def scalar_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (max-abs / 127 scale) — the 4×
+    storage compression step before ANN indexing at scale. Emits the scale,
+    a checksum of the quantized codes, and the L2 reconstruction error —
+    all computed in one projection (no shuffle at all)."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    s = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn(
+        "scale",
+        F.expr("array_max(transform(v, x -> abs(x))) / 127.0"),
+    )
+    q = s.withColumn(
+        "qv", F.expr("transform(v, x -> CAST(round(x / scale, 0) AS INT))")
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.expr("CAST(aggregate(qv, 0L, (a, x) -> a + x) AS BIGINT)").alias(
+            "q_checksum"
+        ),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(v, qv, (a, b) -> (a - b * scale) * (a - b * scale)), "
+                    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+                )
+            ),
+            6,
+        ).alias("recon_err"),
+    )
