@@ -577,3 +577,92 @@ def sessions_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_bid",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8 outer variant — persons kept even with no auctions that window
+# (the co-group J1 skips them; the outer form is the other standard reading)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q8_left_outer",
+    oracle=with_ctes(EV_CTE, PERSONS_CTE, AUCTIONS_CTE)
+    + f"""
+SELECT p.person_id,
+       p.user_id,
+       (p.p_ts_ns // {DAY_S * NS_PER_SEC}) * {DAY_S} AS w_start_s,
+       CAST(count(a.auction_id) AS BIGINT) AS n_auctions
+FROM persons p
+LEFT JOIN auctions a
+  ON a.seller_id = p.user_id
+ AND a.start_ts_ns // {DAY_S * NS_PER_SEC} = p.p_ts_ns // {DAY_S * NS_PER_SEC}
+GROUP BY 1, 2, 3
+""",
+    tags=("nexmark", "join", "outer", "window"),
+)
+def q8_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer windowed join [J1 variant]: every new person appears, with
+    n_auctions = 0 when none were listed in their window (count of the
+    nullable right key)."""
+    s = nexmark_streams(spark, sf_dir)
+    p = s["persons"].withColumn("w_start_s", bucket_start_s("p_ts_ns", DAY_S))
+    a = (
+        s["auctions"]
+        .withColumn("w_start_s", bucket_start_s("start_ts_ns", DAY_S))
+        .withColumnRenamed("seller_id", "user_id")
+        .select("user_id", "w_start_s", "auction_id")
+    )
+    return (
+        p.join(a, ["user_id", "w_start_s"], "left")
+        .groupBy("person_id", "user_id", "w_start_s")
+        .agg(F.count("auction_id").cast("long").alias("n_auctions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map pandas operator — the §2.8 applyInPandas surface, batch form
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouped_median_pandas",
+    oracle=with_ctes(EV_CTE)
+    + """
+, ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+)
+SELECT event_type, value AS lower_median, n
+FROM ranked WHERE rn = (n + 1) // 2
+""",
+    tags=("nexmark", "pandas-udf", "grouped-map"),
+)
+def grouped_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the batch half of the reference's rich-
+    function surface, §2.8): per event type, the lower-median value computed
+    with numpy inside an Arrow batch. Exact order statistic → byte-identical
+    to the SQL window formulation, proving the Python boundary preserves
+    values exactly."""
+    import numpy as np
+    import pandas as pd
+
+    ev = events_with_key(spark, sf_dir)
+
+    def lower_median(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        k = (n + 1) // 2 - 1  # 0-based lower median
+        v = pdf.sort_values(["value", "event_id"])["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "lower_median": [float(v[k])],
+                "n": [n],
+            }
+        )
+
+    return ev.select("event_type", "value", "event_id").groupBy(
+        "event_type"
+    ).applyInPandas(lower_median, schema="event_type string, lower_median double, n long")
