@@ -666,3 +666,39 @@ def grouped_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_type", "value", "event_id").groupBy(
         "event_type"
     ).applyInPandas(lower_median, schema="event_type string, lower_median double, n long")
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface variant — the engine's spark.sql() front door
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q5_hot_items_sql",
+    oracle=with_ctes(EV_CTE, BIDS_CTE)
+    + f"""
+SELECT item_id AS auction_id,
+       (b_ts_ns // {HOUR_S * NS_PER_SEC}) * {HOUR_S} AS w_start_s,
+       max(bid) AS max_bid,
+       count(*) AS bid_count
+FROM bids
+GROUP BY 1, 2
+""",
+    tags=("nexmark", "agg", "window", "sql-api"),
+)
+def q5_hot_items_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 through the SQL front door: temp views + a spark.sql() text —
+    proving the full ANSI-SQL surface over the same tables (the reference
+    has no SQL layer at all, SURVEY.md intro)."""
+    s = nexmark_streams(spark, sf_dir)
+    s["bids"].createOrReplaceTempView("nx_bids")
+    return spark.sql(
+        f"""
+        SELECT item_id AS auction_id,
+               CAST(b_ts_ns DIV {HOUR_S * NS_PER_SEC} AS BIGINT) * {HOUR_S} AS w_start_s,
+               max(bid) AS max_bid,
+               count(*) AS bid_count
+        FROM nx_bids
+        GROUP BY 1, 2
+        """
+    )

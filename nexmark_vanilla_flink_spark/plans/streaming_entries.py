@@ -79,3 +79,69 @@ def q8_union_join_lowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wire the shared oracles once the batch plans are registered
 REGISTRY["q5_hot_items_stream_replay"].oracle = _batch_oracle("q5_hot_items")
 REGISTRY["sessions_stream_replay"].oracle = _batch_oracle("sessions_by_bidder")
+
+
+@register(
+    "q8_join_stream_replay",
+    oracle=with_ctes(EV_CTE, PERSONS_CTE, AUCTIONS_CTE)
+    + """
+SELECT p.person_id,
+       p.user_id,
+       (p.p_ts_ns // 86400000000000) * 86400 AS w_start_s,
+       a.auction_id,
+       a.start_ts_ns // 1000 AS start_ts_us
+FROM persons p
+JOIN auctions a
+  ON a.seller_id = p.user_id
+ AND a.start_ts_ns // 86400000000000 = p.p_ts_ns // 86400000000000
+""",
+    tags=("streaming", "nexmark", "join"),
+)
+def q8_join_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked stream-stream inner join itself (J2,
+    StreamingSymmetricHashJoinExec) under the oracle gate: bounded replay
+    emits exactly the batch join rows."""
+    from ..streaming.queries import q8_join_stream
+    from ..streaming.runner import run_available_now
+    from ..streaming.sources import stream_nexmark
+
+    from pyspark.sql import functions as F
+
+    s = stream_nexmark(spark, sf_dir)
+    out = run_available_now(
+        q8_join_stream(s["persons"], s["auctions"]), output_mode="append"
+    )
+    # raw nanos differ across engines (DuckDB reads nano-parquet at µs
+    # precision); µs is the exact shared precision
+    return out.withColumn(
+        "start_ts_us", F.expr("start_ts_ns DIV 1000")
+    ).drop("start_ts_ns")
+
+
+@register(
+    "qx_interval_join_stream_replay",
+    oracle=with_ctes(EV_CTE, AUCTIONS_CTE, BIDS_CTE)
+    + """
+SELECT a.auction_id, a.seller_id, b.bid_id, b.bid, b.b_ts_ns // 1000 AS b_ts_us
+FROM auctions a
+JOIN bids b
+  ON b.item_id = a.category_id
+ AND b.b_ts_ns >= a.start_ts_ns
+ AND b.b_ts_ns < a.end_ts_ns
+""",
+    tags=("streaming", "nexmark", "join", "interval"),
+)
+def qx_interval_join_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming interval join (J4: time-bounded stream-stream join with
+    the watermark as the auction-end timer) under the oracle gate."""
+    from ..streaming.queries import qx_winning_bids_stream
+    from ..streaming.runner import run_available_now
+    from ..streaming.sources import stream_nexmark
+
+    from pyspark.sql import functions as F
+
+    s = stream_nexmark(spark, sf_dir)
+    out = run_available_now(
+        qx_winning_bids_stream(s["auctions"], s["bids"]), output_mode="append"
+    )
+    return out.withColumn("b_ts_us", F.expr("b_ts_ns DIV 1000")).drop("b_ts_ns")
