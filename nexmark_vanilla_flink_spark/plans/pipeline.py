@@ -1090,3 +1090,138 @@ def scalar_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recon_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection LSH (the hyperplane-bucket similarity variant)
+# ---------------------------------------------------------------------------
+
+_SRP_PLANES = 8  # → 256 buckets
+
+_SRP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+-- deterministic pseudo-hyperplanes: plane p, dim d → md5 nibble − 7.5
+planes AS (
+  SELECT p.p AS p, d.d AS d,
+         CAST(strpos('0123456789abcdef',
+              substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 1)) - 8.5
+              AS DOUBLE) AS w
+  FROM range(0, {_SRP_PLANES}) p(p) CROSS JOIN range(0, 64) d(d)
+),
+dots AS (
+  SELECT e.vec_id, e.label, pl.p, sum(e.v[pl.d + 1] * pl.w) AS dot
+  FROM e CROSS JOIN planes pl
+  GROUP BY 1, 2, 3
+),
+sigs AS (
+  SELECT vec_id, label,
+         CAST(sum(CASE WHEN dot > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1, 2
+)
+SELECT bucket, count(*) AS n_vecs,
+       CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+       min(vec_id) AS first_vec_id
+FROM sigs GROUP BY 1
+"""
+
+
+@register(
+    "srp_lsh_buckets",
+    oracle=_SRP_ORACLE,
+    tags=("pipeline", "similarity", "lsh"),
+)
+def srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH: 8 deterministic pseudo-hyperplanes
+    (md5-derived weights, so the oracle reproduces the exact matrix) hash
+    each vector to a 256-bucket signature; candidate pairs only form inside
+    a bucket. This is the cosine-LSH alternative to the IVF path — no
+    training, one scan, bucket skew visible in the output histogram."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    nibble = (
+        "CAST(instr('0123456789abcdef', "
+        "substring(md5(concat(CAST(p AS STRING), ':', CAST(d AS STRING))), 1, 1)) - 8.5 "
+        "AS DOUBLE)"
+    )
+    # per-plane dot product as a fold over dims; the plane weights are
+    # recomputed per element (cheap md5 on tiny strings) keeping the whole
+    # signature one shuffle-free projection
+    plane_dot = (
+        f"aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), "
+        f"(acc, d) -> acc + v[d] * {nibble})"
+    )
+    bucket = (
+        f"CAST(aggregate(sequence(0, {_SRP_PLANES - 1}), 0L, (acc, p) -> acc + "
+        f"CASE WHEN ({plane_dot}) > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0L END) AS BIGINT)"
+    )
+    sigs = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).select("vec_id", "label", F.expr(bucket).alias("bucket"))
+    return sigs.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+        F.min("vec_id").alias("first_vec_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize stub — binary → binary transform with updated metadata
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS orig_bytes,
+       octet_length(encode(text)) // 2 AS resized_bytes,
+       md5(substr(text, 1, octet_length(encode(text)) // 2)) AS resized_fp,
+       octet_length(encode(text)) % 640 + 1 AS orig_width,
+       (octet_length(encode(text)) % 640 + 1) // 2 AS resized_width
+FROM documents
+""",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stub: binary-in → binary-out through mapInPandas (the real
+    pipeline would call PIL/ffmpeg; the fake halves the payload), returning
+    the new payload's fingerprint + updated typed metadata. Proves the
+    binary→binary Arrow round trip, not just binary→scalar."""
+    import hashlib
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    payload = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+    def _resize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "orig_bytes": [],
+                "resized_bytes": [],
+                "resized_fp": [],
+                "orig_width": [],
+                "resized_width": [],
+            }
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(buf)
+                half = data[: len(data) // 2]
+                out["doc_id"].append(doc_id)
+                out["orig_bytes"].append(len(data))
+                out["resized_bytes"].append(len(half))
+                out["resized_fp"].append(hashlib.md5(half).hexdigest())
+                out["orig_width"].append(len(data) % 640 + 1)
+                out["resized_width"].append((len(data) % 640 + 1) // 2)
+            yield pd.DataFrame(out)
+
+    return payload.mapInPandas(
+        _resize,
+        schema=(
+            "doc_id long, orig_bytes long, resized_bytes long, "
+            "resized_fp string, orig_width long, resized_width long"
+        ),
+    )
