@@ -150,3 +150,75 @@ def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10_000).alias("approx_median_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "user_event_gaps",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+         lag(epoch_ns(ts) // 1000) OVER (
+           PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+         ) AS prev_us
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_gaps,
+       CAST(min(us - prev_us) AS BIGINT) AS min_gap_us,
+       CAST(max(us - prev_us) AS BIGINT) AS max_gap_us,
+       CAST(sum(us - prev_us) AS BIGINT) AS total_gap_us
+FROM seq WHERE prev_us IS NOT NULL
+GROUP BY 1
+""",
+    tags=("analytics", "window-function", "lag"),
+)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap analysis via lag(): per user, the min/max/total time
+    between consecutive events — the sessionization primitive, partitioned
+    per user so the sort never goes global."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts_ns DIV 1000"), F.col("event_id")
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns DIV 1000").alias("us"),
+        F.lag(F.expr("ts_ns DIV 1000")).over(w).alias("prev_us"),
+    ).filter(F.col("prev_us").isNotNull())
+    gap = F.col("us") - F.col("prev_us")
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min(gap).cast("long").alias("min_gap_us"),
+        F.max(gap).cast("long").alias("max_gap_us"),
+        F.sum(gap).cast("long").alias("total_gap_us"),
+    )
+
+
+@register(
+    "user_event_pivot",
+    oracle="""
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+FROM events GROUP BY 1
+""",
+    tags=("analytics", "pivot"),
+)
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/crosstab: one row per user, one column per event type — via
+    Spark's native pivot with an explicit value list (no extra distinct-scan
+    at planning time, which matters when the fact table is 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    for k in kinds:
+        out = out.withColumn(k, F.coalesce(F.col(k), F.lit(0)).cast("long"))
+    return out

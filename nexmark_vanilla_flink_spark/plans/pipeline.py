@@ -1225,3 +1225,59 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resized_fp string, orig_width long, resized_width long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF: overlapping token chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STEP = 24  # 8-token overlap
+
+
+@register(
+    "doc_chunks_udtf",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+starts AS (
+  SELECT doc_id, ws, unnest(range(0, len(ws), {_CHUNK_STEP})) AS st FROM w
+)
+SELECT doc_id,
+       CAST(st // {_CHUNK_STEP} AS INTEGER) AS chunk_idx,
+       CAST(least(len(ws) - st, {_CHUNK_SIZE}) AS INTEGER) AS n_tokens,
+       md5(array_to_string(list_slice(ws, st + 1, least(st + {_CHUNK_SIZE}, len(ws))), ' ')) AS chunk_fp
+FROM starts
+""",
+    tags=("pipeline", "text", "udtf"),
+)
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, 8-token overlap) —
+    the context-window preparation step of an LLM data pipeline — implemented
+    as a Python UDTF consumed via LATERAL join: one input row fans out to one
+    row per chunk, with the chunk's content fingerprint. Demonstrates the
+    pluggable table-function surface the reference never had (§2.8)."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, n_tokens int, chunk_fp string")
+    class ChunkDoc:
+        def eval(self, doc_id, text):
+            toks = text.split(" ")
+            idx, i = 0, 0
+            while i < len(toks):
+                chunk = toks[i : i + _CHUNK_SIZE]
+                yield (
+                    int(doc_id),
+                    idx,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode("utf-8")).hexdigest(),
+                )
+                idx += 1
+                i += _CHUNK_STEP
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("nx_docs")
+    return spark.sql(
+        "SELECT c.* FROM nx_docs d, LATERAL chunk_doc(d.doc_id, d.text) c"
+    )
