@@ -145,3 +145,39 @@ def qx_interval_join_stream_replay(spark: SparkSession, sf_dir: str) -> DataFram
         qx_winning_bids_stream(s["auctions"], s["bids"]), output_mode="append"
     )
     return out.withColumn("b_ts_us", F.expr("b_ts_ns DIV 1000")).drop("b_ts_ns")
+
+
+@register(
+    "q5_sliding_stream_replay",
+    oracle=None,  # assigned below: shares the batch q5_sliding oracle
+    tags=("streaming", "nexmark", "agg", "sliding"),
+)
+def q5_sliding_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows through the streaming engine [§2.6 sliding]: each
+    event contributes to 4 overlapping windows; complete-mode replay must
+    equal the batch sliding aggregation."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.runner import run_available_now
+    from ..streaming.sources import stream_nexmark
+
+    s = stream_nexmark(spark, sf_dir)
+    agg = (
+        s["bids"]
+        .withWatermark("b_ts", "2 seconds")
+        .groupBy(
+            F.window("b_ts", "1 hour", "15 minutes").alias("w"),
+            F.col("item_id").alias("auction_id"),
+        )
+        .agg(F.max("bid").alias("max_bid"), F.count(F.lit(1)).alias("bid_count"))
+        .select(
+            "auction_id",
+            F.col("w.start").cast("long").alias("w_start_s"),
+            "max_bid",
+            "bid_count",
+        )
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+REGISTRY["q5_sliding_stream_replay"].oracle = _batch_oracle("q5_sliding")

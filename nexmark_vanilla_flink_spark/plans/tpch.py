@@ -337,3 +337,95 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+@register(
+    "tpch_q18_volume_customers",
+    oracle="""
+WITH big_orders AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY 1 HAVING sum(l_quantity) > 150
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN big_orders b ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3
+""",
+    tags=("tpch", "subquery", "having"),
+)
+def tpch_q18_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join input —
+    the heavy orders are found with one grouped pass over lineitem, then only
+    those rows are re-joined."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "lineitem"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        t["lineitem"]
+        .join(big.withColumnRenamed("l_orderkey", "bk"), F.col("l_orderkey") == F.col("bk"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("total_qty")
+        )
+    )
+
+
+@register(
+    "tpch_q22_global_acctbal",
+    oracle="""
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name,
+       count(*) AS n_custs,
+       CAST(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+GROUP BY 1
+""",
+    tags=("tpch", "subquery", "anti-join", "scalar-subquery"),
+)
+def tpch_q22_global_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average, computed once and
+    broadcast as a literal plan) + NOT EXISTS → left-anti join: rich
+    customers with no in-progress ('P') orders."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "nation"))
+    cust = t["customer"]
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > avg_bal)
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderstatus") == "P")
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast(_DEC))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )

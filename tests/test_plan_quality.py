@@ -70,6 +70,9 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
         "cosine_topk_bruteforce",
         "qx_winning_bids",
         "q8_new_users_auctions",
+        "tpch_q22_global_acctbal",
+        "tpch_q18_volume_customers",
+        "dedup_clusters",
     ],
 )
 def test_pair_queries_nonempty(spark, sf_dir, name):
