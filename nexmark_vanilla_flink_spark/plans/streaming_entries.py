@@ -181,3 +181,23 @@ def q5_sliding_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["q5_sliding_stream_replay"].oracle = _batch_oracle("q5_sliding")
+
+
+@register(
+    "cm_stream_replay",
+    oracle=None,  # assigned below: shares the batch cm oracle
+    tags=("streaming", "cm", "agg"),
+)
+def cm_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CM windowed sum [A4] through the streaming engine — complete-mode
+    replay equals the batch aggregation."""
+    from ..streaming.queries import cm_stream
+    from ..streaming.runner import run_available_now
+    from ..streaming.sources import stream_events
+
+    return run_available_now(
+        cm_stream(stream_events(spark, sf_dir)), output_mode="complete"
+    )
+
+
+REGISTRY["cm_stream_replay"].oracle = _batch_oracle("cm_load_per_job")

@@ -88,3 +88,56 @@ def test_bucket_arithmetic_laws(ns, width_s):
     assert bucket % width_s == 0
     assert bucket <= ts_s < bucket + width_s + 1  # +1: sub-second truncation
     assert bucket * 1_000_000_000 <= ns < (bucket + width_s) * 1_000_000_000
+
+
+def _dyn_sessions_model(events):
+    """Pure-python model of session_window with per-event gap: 30 min if
+    value < 50 else 90 min (mirrors sessions_dynamic_gap)."""
+    out = []
+    for key in sorted({k for k, _, _ in events}):
+        evs = sorted((us, val) for k, us, val in events if k == key)
+        cur = None
+        for us, val in evs:
+            gap = (1800 if val < 50 else 5400) * MICROS
+            if cur is None or us >= cur["end_us"]:
+                if cur:
+                    out.append((key, cur["start_us"], cur["end_us"], cur["n"]))
+                cur = {"start_us": us, "end_us": us + gap, "n": 1}
+            else:
+                cur["end_us"] = max(cur["end_us"], us + gap)
+                cur["n"] += 1
+        if cur:
+            out.append((key, cur["start_us"], cur["end_us"], cur["n"]))
+    return sorted(out)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # key
+            st.integers(min_value=0, max_value=6 * 3600 * MICROS),  # ts µs
+            st.integers(min_value=0, max_value=99),  # value → gap selector
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dynamic_gap_session_window_matches_model(spark, events):
+    df = spark.createDataFrame(
+        [(k, us, float(v)) for k, us, v in events], "key long, us long, val double"
+    ).withColumn("ts", F.timestamp_micros("us"))
+    gap = F.when(F.col("val") < 50, F.expr("make_interval(0,0,0,0,0,30,0)")).otherwise(
+        F.expr("make_interval(0,0,0,0,0,90,0)")
+    )
+    got = (
+        df.groupBy(F.session_window("ts", gap).alias("sw"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "key",
+            F.unix_micros("sw.start").alias("s"),
+            F.unix_micros("sw.end").alias("e"),
+            "n",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == _dyn_sessions_model(events)
