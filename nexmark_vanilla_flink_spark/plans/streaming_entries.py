@@ -201,3 +201,42 @@ def cm_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["cm_stream_replay"].oracle = _batch_oracle("cm_load_per_job")
+
+
+@register(
+    "stream_static_enrich",
+    oracle=with_ctes(EV_CTE, PERSONS_CTE, BIDS_CTE)
+    + """
+, dim AS (
+  SELECT user_id, min(person_id) AS first_signup_id, count(*) AS n_signups
+  FROM persons GROUP BY 1
+)
+SELECT b.bid_id, b.bidder_id, b.bid, d.first_signup_id, d.n_signups
+FROM bids b JOIN dim d ON d.user_id = b.bidder_id
+""",
+    tags=("streaming", "join", "stream-static"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the most common production join: the bid
+    STREAM joined against a STATIC user dimension (no watermark needed on
+    the static side; the dim broadcasts per micro-batch). Replay equals the
+    batch join."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import nexmark_streams
+    from ..streaming.runner import run_available_now
+    from ..streaming.sources import stream_nexmark
+
+    dim = (
+        nexmark_streams(spark, sf_dir)["persons"]  # static (batch) side
+        .groupBy("user_id")
+        .agg(
+            F.min("person_id").alias("first_signup_id"),
+            F.count(F.lit(1)).alias("n_signups"),
+        )
+    )
+    bids = stream_nexmark(spark, sf_dir)["bids"]  # streaming side
+    joined = bids.join(
+        F.broadcast(dim), bids.bidder_id == dim.user_id, "inner"
+    ).select("bid_id", "bidder_id", "bid", "first_signup_id", "n_signups")
+    return run_available_now(joined, output_mode="append")
