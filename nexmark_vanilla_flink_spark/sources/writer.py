@@ -51,3 +51,23 @@ def events_to_kafka_json(
         .option("topic", topic)
         .start()
     )
+
+
+def compact_parquet(
+    df, path: str, target_rows_per_file: int = 1_000_000, partition_cols: tuple = ()
+) -> None:
+    """Small-files compaction — the 100 TB hygiene pass: rewrite a dataset
+    into files of ~target_rows_per_file (AQE-coalesced partitions +
+    maxRecordsPerFile cap). A day of streaming micro-batch output produces
+    thousands of small files; scans over them pay per-file open cost and
+    planning overhead until compacted."""
+    n = df.count()
+    n_parts = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
+    writer = (
+        df.repartition(n_parts)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)

@@ -90,3 +90,20 @@ def test_rocksdb_state_provider_runs(spark, sf_dir):
         assert out.count() > 0
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_compact_parquet_bounds_file_count(spark, sf_dir):
+    from nexmark_vanilla_flink_spark.sources.writer import compact_parquet
+    import glob
+    import tempfile
+
+    ev = generate_events_batch(spark, 50_000)
+    with tempfile.TemporaryDirectory(prefix="cmp_") as d:
+        # simulate micro-batch litter: 32 small files
+        ev.repartition(32).write.parquet(f"{d}/small")
+        small = glob.glob(f"{d}/small/*.parquet")
+        assert len(small) >= 30
+        compact_parquet(spark.read.parquet(f"{d}/small"), f"{d}/big", 25_000)
+        big = glob.glob(f"{d}/big/*.parquet")
+        assert len(big) <= 3, big
+        assert spark.read.parquet(f"{d}/big").count() == 50_000
