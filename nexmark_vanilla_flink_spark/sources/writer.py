@@ -71,3 +71,34 @@ def compact_parquet(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def decode_event_json(kv) -> "DataFrame":
+    """Inverse of ``event_json_payload``: parse the (key, value) JSON rows
+    back into typed generator-event columns — the consumer half of the
+    Kafka contract (S6 decode), usable on any DataFrame with a ``value``
+    string column (Kafka source or test fixture)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", IntegerType()),
+            StructField("ts_ns", LongType()),
+            StructField("person_id", LongType()),
+            StructField("ref_person_id", LongType()),
+            StructField("ref_auction_id", LongType()),
+            StructField("price", DoubleType()),
+        ]
+    )
+    parsed = kv.select(F.from_json(F.col("value"), schema).alias("e"))
+    return parsed.select("e.*").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+    )
