@@ -429,3 +429,34 @@ def tpch_q22_global_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bal"),
         )
     )
+
+
+@register(
+    "tpch_q16_part_suppliers",
+    oracle="""
+SELECT p.p_brand, p.p_type,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+GROUP BY 1, 2
+""",
+    tags=("tpch", "subquery", "not-in", "distinct-agg"),
+)
+def tpch_q16_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery + distinct count. NOT IN has the
+    infamous null trap (any NULL in the subquery empties the result); both
+    engines implement the same three-valued logic, and the Spark plan is a
+    null-aware anti join — semantics pinned by the oracle."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = t["lineitem"].join(
+        bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        li.join(broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )

@@ -134,3 +134,26 @@ def split_streams(events: DataFrame) -> dict[str, DataFrame]:
         F.col("ts_ns").alias("b_ts_ns"),
     )
     return {"persons": persons, "auctions": auctions, "bids": bids}
+
+
+def with_zipf_keys(
+    df: DataFrame,
+    n_keys: int = 10_000,
+    exponent: float = 1.1,
+    seed: int = 42,
+    out_col: str = "zipf_key",
+) -> DataFrame:
+    """Attach a Zipf-distributed key column (inverse-CDF over ranks 1..n):
+    the realistic heavy-tail alternative to the reference's two-level
+    hot/uniform skew — rank r gets probability ∝ 1/r^s. Pure column
+    expressions (uniform hash → inverse power transform), so the skewed
+    workload generator scales like the rest of the pipeline."""
+    # u ∈ (0,1] from a hash; rank ≈ ceil(n^( ... )) via the standard
+    # approximation rank = ceil(u^(-1/(s-1))) clamped to n (s > 1)
+    u = (
+        (F.pmod(F.hash(F.col("event_id"), F.lit(seed)), 1_000_000) + 1)
+        / 1_000_000.0
+    )
+    inv = F.pow(u, F.lit(-1.0 / (exponent - 1.0)))
+    rank = F.least(F.ceil(inv).cast("long"), F.lit(n_keys))
+    return df.withColumn(out_col, rank)

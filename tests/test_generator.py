@@ -42,3 +42,22 @@ def test_event_times_monotone_per_rate(spark):
     assert mm["lo"] == 0
     # 1000 events at 100/s → ~10 s of event time
     assert abs(mm["hi"] - 9_990_000_000) < 20_000_000
+
+
+def test_zipf_keys_heavy_tail(spark):
+    from nexmark_vanilla_flink_spark.sources.generator import with_zipf_keys
+
+    ev = with_zipf_keys(generate_events_batch(spark, N), exponent=1.5)
+    counts = (
+        ev.groupBy("zipf_key").count().orderBy(F.desc("count")).limit(10).collect()
+    )
+    total = N
+    top1 = counts[0]["count"] / total
+    top10 = sum(r["count"] for r in counts) / total
+    # rank-1 dominates and the head is heavy (zipf s=1.5: rank 1 ≈ 38%)
+    assert top1 > 0.2, top1
+    assert top10 > 0.6, top10
+    # deterministic
+    a = with_zipf_keys(generate_events_batch(spark, 1000)).collect()
+    b = with_zipf_keys(generate_events_batch(spark, 1000)).collect()
+    assert a == b
