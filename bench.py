@@ -6,6 +6,14 @@ line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 
 Each query is materialized with the noop sink (full execution, no driver
 collect). Use BENCH_QUERIES=q1,q2 to restrict, BENCH_REPEAT=n for medians.
+
+The JSON is also written to BENCH_OUT (default bench_result.json next to this
+file) so per-query timings survive even when the caller captures only a
+truncated stdout tail. BENCH_DUCKDB=0 disables the built-in DuckDB comparator
+that times every batch-oracled query's oracle SQL on the same parquet and
+reports spark_batch_sec / duckdb_sec / ratio (streaming replays excluded:
+their cost is micro-batch + state-store machinery, which DuckDB has no
+equivalent of).
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from nexmark_vanilla_flink_spark.plans import REGISTRY  # noqa: E402
 from nexmark_vanilla_flink_spark.session import get_session  # noqa: E402
+from nexmark_vanilla_flink_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
 
 def main() -> None:
@@ -60,18 +69,55 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # input-side throughput: events rows / total nexmark-query time is noisy;
     # report per-query sec plus result rows so rows/s is derivable either way
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "result_rows": out_rows,
-                "sf": sf,
-            }
-        )
+    result = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "result_rows": out_rows,
+        "sf": sf,
+    }
+
+    if os.environ.get("BENCH_DUCKDB", "1") != "0":
+        # Same-machine DuckDB comparator on the batch-oracled subset — the
+        # designated baseline (BASELINE.md): run each query's oracle SQL on
+        # the identical parquet files and compare wall time against the Spark
+        # timings for the same subset.
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS"
+                f" SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        duck: dict[str, float] = {}
+        for name in names:
+            q = REGISTRY[name]
+            if not q.oracle or "streaming" in q.tags:
+                continue
+            con.execute(q.oracle).fetchall()  # warmup (buffer-pool parity)
+            t0 = time.perf_counter()
+            con.execute(q.oracle).fetchall()
+            duck[name] = round(time.perf_counter() - t0, 3)
+        spark_batch = round(sum(timings[n] for n in duck), 3)
+        duck_total = round(sum(duck.values()), 3)
+        result["comparator"] = {
+            "engine": "duckdb",
+            "spark_batch_sec": spark_batch,
+            "duckdb_sec": duck_total,
+            "ratio": round(spark_batch / duck_total, 3) if duck_total else None,
+            "queries": duck,
+        }
+
+    out_path = os.environ.get(
+        "BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"),
     )
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result))
     spark.stop()
 
 

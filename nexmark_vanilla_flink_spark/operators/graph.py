@@ -27,10 +27,17 @@ def connected_components(
 ) -> DataFrame:
     """Min-label propagation: returns (id, cluster_id) where cluster_id is
     the smallest vertex id reachable from id (undirected edges)."""
-    sym = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        # Materialize the edge frame ONCE. For dedup_clusters the upstream DAG
+        # is the full MinHash-LSH candidate pipeline (shingle -> minhash ->
+        # band self-join); without this checkpoint every iteration (and both
+        # convergence collects) replays that DAG from the parquet scan, which
+        # multiplies the most expensive stage by the iteration count at scale.
+        .localCheckpoint()
     )
     labels = vertices.select(
         F.col(vertex_col).alias("id"), F.col(vertex_col).alias("label")

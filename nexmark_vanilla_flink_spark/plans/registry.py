@@ -40,6 +40,60 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# The correctness driver evaluates only the FIRST 50 entries of queries()
+# (CORRECTNESS_r01.json covers exactly insertion-order indices 0-49), so dict
+# order decides which queries sit under the hard cross-engine gate each round.
+# DRIVER_HEAD pins the entries that most need driver verification NOW to the
+# front of the returned dicts: everything the previous round's cap skipped,
+# everything added this round, and everything whose implementation changed
+# this round. The remainder follows in module-import order. Entries that fall
+# past the cap are still oracled every CI run by tests/test_oracle_parity.py
+# and were driver-green in a prior round's CORRECTNESS_r*.json.
+DRIVER_HEAD: list[str] = [
+    # skipped by the round-1 cap (analytics)
+    "nation_distinct_segments",
+    "events_semi_anti_join",
+    "approx_user_stats",
+    "user_event_gaps",
+    "user_event_pivot",
+    # skipped by the round-1 cap (streaming replays)
+    "q5_hot_items_stream_replay",
+    "sessions_stream_replay",
+    "q8_union_join_lowlevel",
+    "q8_join_stream_replay",
+    "qx_interval_join_stream_replay",
+    "q5_sliding_stream_replay",
+    "cm_stream_replay",
+    "stream_static_enrich",
+    # changed in round 2 (CC edge checkpoint, null-aware NOT IN, decimal-exact
+    # avg threshold, ensure_parallelism probe, MinHash plan experiment)
+    "dedup_clusters",
+    "corpus_curation",
+    "minhash_lsh_pairs",
+    "tpch_q16_part_suppliers",
+    "tpch_q22_global_acctbal",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+    "cosine_topk_bruteforce",
+    "ann_ivf_topk",
+    "label_centroids",
+    "scalar_quantize_embeddings",
+    # added in round 2
+    "person_binary_decode",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_national_share",
+    "tpch_q9_product_profit",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_potential_promotion",
+]
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in DRIVER_HEAD if n in REGISTRY]
+    in_head = set(head)
+    return head + [n for n in REGISTRY if n not in in_head]
+
 
 def register(
     name: str, oracle: str | None = None, tags: tuple[str, ...] = ()
@@ -54,8 +108,12 @@ def register(
 
 
 def all_queries() -> dict[str, SparkQuery]:
-    return {name: q.spark for name, q in REGISTRY.items()}
+    return {name: REGISTRY[name].spark for name in _ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle
+    }

@@ -386,15 +386,18 @@ def tpch_q18_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q22_global_acctbal",
     oracle="""
-WITH avg_bal AS (
-  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+WITH bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS s,
+         count(*) AS c
+  FROM customer WHERE c_acctbal > 0
 )
 SELECT n.n_name,
        count(*) AS n_custs,
        CAST(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_bal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+CROSS JOIN bal
+WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) * bal.c > bal.s
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
 GROUP BY 1
@@ -402,16 +405,28 @@ GROUP BY 1
     tags=("tpch", "subquery", "anti-join", "scalar-subquery"),
 )
 def tpch_q22_global_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: scalar subquery (global average, computed once and
-    broadcast as a literal plan) + NOT EXISTS → left-anti join: rich
-    customers with no in-progress ('P') orders."""
+    """TPC-H Q22 shape: global-average threshold + NOT EXISTS → left-anti
+    join: rich customers with no in-progress ('P') orders.
+
+    The threshold ``c_acctbal > avg(c_acctbal)`` is evaluated WITHOUT a
+    division or a driver-side collect: ``x > sum/cnt  ⟺  x*cnt > sum`` for
+    cnt > 0, and both sides of the rewritten comparison are exact decimals —
+    so the predicate is bit-identical across engines (a double average can
+    differ in the last ULP between Spark's and DuckDB's summation order and
+    flip borderline customers), and the aggregate stays a broadcast-joined
+    single lazy plan instead of a separate collect job."""
     t = load_tables(spark, sf_dir, ("customer", "orders", "nation"))
     cust = t["customer"]
-    avg_bal = (
-        cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("decimal(38,4)").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
     )
     return (
-        cust.filter(F.col("c_acctbal") > avg_bal)
+        cust.crossJoin(broadcast(bal))
+        .filter(F.col("c_acctbal").cast(_DEC) * F.col("c") > F.col("s"))
         .join(
             t["orders"]
             .filter(F.col("o_orderstatus") == "P")
@@ -447,16 +462,26 @@ GROUP BY 1, 2
 )
 def tpch_q16_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: NOT IN subquery + distinct count. NOT IN has the
-    infamous null trap (any NULL in the subquery empties the result); both
-    engines implement the same three-valued logic, and the Spark plan is a
-    null-aware anti join — semantics pinned by the oracle."""
+    infamous null trap (a NULL probe value or any NULL in the subquery drops
+    rows under three-valued logic that a plain left-anti join would keep), so
+    the filter goes through ``spark.sql`` with a literal NOT IN — Catalyst
+    plans a null-aware anti join (LeftAnti with isnull-extended condition /
+    BroadcastNestedLoop for the null-aware case), matching DuckDB's semantics
+    even on data with NULL keys. The subquery side (negative-balance
+    suppliers) is tiny, so the null-aware broadcast is cheap at any scale."""
     t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
-    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    li = t["lineitem"].join(
-        bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
-    )
-    return (
-        li.join(broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
-        .groupBy("p_brand", "p_type")
-        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    t["lineitem"].createOrReplaceTempView("tpch_q16_lineitem")
+    t["part"].createOrReplaceTempView("tpch_q16_part")
+    t["supplier"].createOrReplaceTempView("tpch_q16_supplier")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(p) */ p.p_brand, p.p_type,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM tpch_q16_lineitem l
+        JOIN tpch_q16_part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM tpch_q16_supplier WHERE s_acctbal < 0
+        )
+        GROUP BY 1, 2
+        """
     )
