@@ -485,3 +485,350 @@ def tpch_q16_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name IN ('NATION_2','NATION_3','NATION_4','NATION_5'))
+   OR (n2.n_name = 'NATION_1' AND n1.n_name IN ('NATION_2','NATION_3','NATION_4','NATION_5'))
+GROUP BY 1, 2, 3
+""",
+    tags=("tpch", "join", "agg", "multi-way"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation-pair trade volume by ship year. Six-way join
+    where every dimension (customer, supplier, both nation roles) broadcasts;
+    only the lineitem⋈orders fact join shuffles, and the nation-pair
+    predicate is applied post-join on broadcast columns (both directions of
+    the pair, like Q7's or'd condition). Year comes from year() on the
+    TIMESTAMP_NTZ ship date — timezone-free on both engines."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "supplier", "nation")
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    others = ("NATION_2", "NATION_3", "NATION_4", "NATION_5")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & F.col("cust_nation").isin(*others)
+    ) | ((F.col("cust_nation") == "NATION_1") & F.col("supp_nation").isin(*others))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+            )
+            .cast("decimal(38,4)").cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q8_national_share",
+    oracle="""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) AS nation_volume,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_volume,
+       CAST(CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE)
+       / CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN region r ON nc.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+GROUP BY 1
+""",
+    tags=("tpch", "join", "agg", "multi-way", "conditional-agg"),
+)
+def tpch_q8_national_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — NATION_3's fraction of PROMO
+    part volume sold into ASIA per order year. Eight-way join, one fact-fact
+    shuffle; both revenue sums are decimal-exact so the share division is a
+    single IEEE double op on bit-identical inputs (no cross-engine ULP
+    drift). Citing the division discipline: ratio of two exactly-reproduced
+    doubles is itself exactly reproducible."""
+    t = load_tables(
+        spark,
+        sf_dir,
+        ("lineitem", "orders", "customer", "supplier", "nation", "region", "part"),
+    )
+    nc = t["nation"].select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = t["nation"].select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    )
+    nation_vol = F.when(
+        F.col("supp_nation") == "NATION_3", vol
+    ).otherwise(F.lit(0).cast(_DEC))
+    out = (
+        t["lineitem"]
+        .join(broadcast(t["part"].filter(F.col("p_type") == "PROMO")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("nc_region") == F.col("r_regionkey"))
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(nation_vol).cast("decimal(38,4)").cast("double").alias("nation_volume"),
+            F.sum(vol).cast("decimal(38,4)").cast("double").alias("total_volume"),
+        )
+    )
+    return out.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+SELECT ns.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))
+                 - CAST(p.p_retailprice AS DECIMAL(18,4)) * CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+    tags=("tpch", "join", "agg", "multi-way"),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and order year.
+    The testdata has no partsupp relation, so ps_supplycost is adapted to
+    p_retailprice × l_quantity (same expression shape: revenue minus a
+    joined-cost term, exact decimals throughout). Substring part filter
+    ('%widget%') is evaluated on the broadcast part side before the fact
+    join, so the scan-side work shrinks before any shuffle."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "supplier", "nation", "part")
+    )
+    profit = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+        - F.col("p_retailprice").cast(_DEC) * F.col("l_quantity").cast(_DEC)
+    )
+    return (
+        t["lineitem"]
+        .join(broadcast(t["part"].filter(F.col("p_name").like("%widget%"))),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("decimal(38,4)").cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM revenue r
+JOIN supplier s ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    tags=("tpch", "subquery", "view", "agg"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar-max subquery. The quarter
+    revenue per supplier stays DECIMAL(38,4) until after the max-equality
+    filter — exact associative sums make `revenue = max(revenue)` a safe
+    cross-engine equality (doubles would tie-break differently per partition
+    order). The max is broadcast back against the view (one lazy plan, no
+    driver collect); supplier is broadcast for the name join."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    li = t["lineitem"]
+    ship_type = dict(li.dtypes)["l_shipdate"]
+    lo = F.expr(f"CAST('1996-01-01 00:00:00' AS {ship_type})")
+    hi = F.expr(f"CAST('1996-04-01 00:00:00' AS {ship_type})")
+    revenue = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+            )
+            .cast("decimal(38,4)")
+            .alias("rev_dec")
+        )
+    )
+    top = revenue.agg(F.max("rev_dec").alias("max_rev"))
+    return (
+        revenue.crossJoin(broadcast(top))
+        .filter(F.col("rev_dec") == F.col("max_rev"))
+        .join(broadcast(t["supplier"]), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+WITH part_avg AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty_sum,
+         count(*) AS qty_cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) / 7.0 AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND CAST(l.l_quantity AS DECIMAL(18,4)) * 5 * a.qty_cnt < a.qty_sum
+""",
+    tags=("tpch", "subquery", "correlated-agg"),
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity order revenue — lineitems below 20%
+    of their part's average quantity. The correlated scalar subquery
+    (avg per part) becomes one grouped pass re-joined on partkey, and the
+    threshold ``q < 0.2 * sum/cnt`` is rewritten division-free as
+    ``5*q*cnt < sum`` over exact decimals, so the borderline rows agree
+    bit-for-bit across engines. avg_yearly divides the exact double by 7.0 —
+    a single IEEE op, deterministic on both sides."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"]
+    part_avg = (
+        li.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("decimal(38,4)").alias("qty_sum"),
+            F.count(F.lit(1)).alias("qty_cnt"),
+        )
+    )
+    out = (
+        li.join(broadcast(t["part"].filter(F.col("p_brand") == "Brand#1")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(part_avg, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(
+            F.col("l_quantity").cast(_DEC) * F.lit(5) * F.col("qty_cnt")
+            < F.col("qty_sum")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC))
+            .cast("decimal(38,4)").cast("double")
+            .alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return out.select(
+        "total_revenue",
+        (F.col("total_revenue") / F.lit(7.0)).alias("avg_yearly"),
+        "n_items",
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    oracle="""
+WITH shipped AS (
+  SELECT l.l_suppkey,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'red%' AND year(l.l_shipdate) = 1996
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 300)
+""",
+    tags=("tpch", "subquery", "semi-join", "nested"),
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join — suppliers who shipped more than a
+    threshold quantity of 'red' parts in 1996. The testdata has no partsupp,
+    so the inner availability predicate (ps_availqty > ½ shipped) is adapted
+    to the shipped-quantity aggregate itself; the join SHAPE is preserved:
+    inner agg over part-filtered lineitem → IN-subquery → semi join against
+    supplier → broadcast nation for the name. The semi join keys on the
+    aggregated (already-distinct) suppkey, so no distinct pass is needed."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation"))
+    hot = (
+        t["lineitem"]
+        .join(broadcast(t["part"].filter(F.col("p_name").like("red%"))),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .filter(F.year("l_shipdate") == 1996)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("decimal(38,4)").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(hot, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )

@@ -80,3 +80,53 @@ def test_pair_queries_nonempty(spark, sf_dir, name):
     verifying nothing — every pair/join-producing query must produce rows on
     the test fixture."""
     assert REGISTRY[name].spark(spark, sf_dir).limit(1).count() == 1, name
+
+
+def test_q7_q8_q9_broadcast_all_dimensions(spark, sf_dir):
+    # the only shuffle join allowed in Q7/Q8/Q9 is the lineitem⋈orders
+    # fact-fact join; every dimension (part/customer/supplier/nation/region)
+    # must broadcast or the plan dies at 100 TB
+    for name, min_bcast in (
+        ("tpch_q7_volume_shipping", 4),
+        ("tpch_q8_national_share", 6),
+        ("tpch_q9_product_profit", 3),
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("BroadcastHashJoin") >= min_bcast, name
+        assert plan.count("SortMergeJoin") <= 1, name
+
+
+def test_q16_null_aware_anti_join(spark, sf_dir):
+    # NOT IN must plan as a null-aware anti join, not a plain left anti:
+    # BroadcastHashJoinExec prints its isNullAwareAntiJoin flag as the
+    # trailing boolean — "LeftAnti, BuildRight, true"
+    plan = _plan(spark, sf_dir, "tpch_q16_part_suppliers")
+    assert "LeftAnti, BuildRight, true" in plan, plan[:2000]
+
+
+def test_q15_q17_single_lazy_plan(spark, sf_dir):
+    # scalar thresholds (max revenue, per-part avg) must live inside the
+    # plan (broadcast join), not a driver-side collect
+    for name in ("tpch_q15_top_supplier", "tpch_q17_small_qty_revenue"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Broadcast" in plan, name
+
+
+def test_q20_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q20_potential_promotion")
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q7_volume_shipping",
+        "tpch_q8_national_share",
+        "tpch_q9_product_profit",
+        "tpch_q15_top_supplier",
+        "tpch_q17_small_qty_revenue",
+        "tpch_q20_potential_promotion",
+    ],
+)
+def test_new_tpch_nonempty(spark, sf_dir, name):
+    assert REGISTRY[name].spark(spark, sf_dir).limit(1).count() == 1, name
