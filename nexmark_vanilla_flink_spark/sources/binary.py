@@ -1,0 +1,158 @@
+"""Fixed-width binary person records — the reference's wire format (S7/P5).
+
+The reference consumes frames of 8192 bytes from Kafka: a 16-byte header
+(int checksum 0x30011991, int itemsInThisBuffer, long newBacklog) followed by
+up to 39 fixed-width 206-byte person records
+(reference: src/main/java/io/ventura/nexmark/source/
+PersonDeserializationSchema.java:13,33-91 — PERSON_RECORD_SIZE=206, layout
+long id | 32B name | 32B surname | 32B emailDomain | 32B city | 32B country |
+long creditCard0 | long creditCard1 | int a | int b | int c | short sex |
+long timestamp) and computes derived fields at decode time (P5):
+email = name.surname@domain, full name = "name surname",
+province/zipcode = a-c / b-c, creditCard = creditCard0+creditCard1.
+
+Here the ENCODER is plain Python scaffolding (the reference's generator side,
+GeneratorPipeline.java:198-252, writes these frames into Kafka; we write them
+to a local file), while the DECODER — the engine capability being claimed —
+is a pure Spark column plan over ``binaryFile``: frame explode → header
+check → record explode → substring slices → conv(hex(..)) integer decodes.
+No UDFs; every expression is JVM-side and codegens, so the same plan decodes
+a 100 TB directory of frame files with ordinary scan parallelism (binaryFile
+splits per file; frames per file are exploded inside the task).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PERSON_RECORD_SIZE = 206
+FRAME_SIZE = 8192
+HEADER_SIZE = 16
+CHECKSUM = 0x30011991
+RECORDS_PER_FRAME = (FRAME_SIZE - HEADER_SIZE) // PERSON_RECORD_SIZE  # 39
+
+# deterministic derivation of person fields from a customer row (mirrored in
+# the DuckDB oracle SQL of the `person_binary_decode` registry entry)
+_SURNAME_MOD = 97
+_CITY_MOD = 50
+_A_MOD, _A_OFF = 1000, 500
+_B_MOD, _B_OFF = 2000, 300
+_C_MOD = 400
+_CC0_MUL = 7919
+_CC1_MOD = 104729
+
+
+def _pad32(s: str) -> bytes:
+    b = s.encode("utf-8")[:32]
+    return b + b" " * (32 - len(b))
+
+
+def encode_person(custkey: int, name: str, nationkey: int) -> bytes:
+    """One 206-byte record, big-endian (Java ByteBuffer default)."""
+    return struct.pack(
+        ">q32s32s32s32s32sqqiiihq",
+        custkey,
+        _pad32(name),
+        _pad32(f"S{custkey % _SURNAME_MOD}"),
+        _pad32("example.com"),
+        _pad32(f"CITY_{custkey % _CITY_MOD}"),
+        _pad32(f"NATION_{nationkey}"),
+        custkey * _CC0_MUL,
+        custkey % _CC1_MOD,
+        custkey % _A_MOD + _A_OFF,
+        custkey % _B_MOD + _B_OFF,
+        custkey % _C_MOD,
+        custkey % 2,
+        custkey * 1000 + 1,
+    )
+
+
+def write_person_frames(sf_dir: str, out_path: str) -> str:
+    """Encode every customer row of ``sf_dir`` into framed binary at
+    ``out_path`` (atomic: temp file + rename), returning the path."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir.rstrip('/')}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    rows = list(
+        zip(
+            tbl.column("c_custkey").to_pylist(),
+            tbl.column("c_name").to_pylist(),
+            tbl.column("c_nationkey").to_pylist(),
+        )
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(out_path))
+    with os.fdopen(fd, "wb") as f:
+        for i in range(0, len(rows), RECORDS_PER_FRAME):
+            chunk = rows[i : i + RECORDS_PER_FRAME]
+            backlog = len(rows) - i  # remaining, incl. this frame
+            frame = struct.pack(">iiq", CHECKSUM, len(chunk), backlog)
+            for custkey, name, nationkey in chunk:
+                frame += encode_person(custkey, name, nationkey)
+            f.write(frame + b"\x00" * (FRAME_SIZE - len(frame)))
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def person_frames_path(sf_dir: str) -> str:
+    """Deterministic per-SF cache path for the encoded frame file."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_person_bin", tag, "persons.bin"
+    )
+
+
+def _u(expr: str) -> str:
+    """Decode a big-endian unsigned byte slice to BIGINT (all generator
+    fields are non-negative, so unsigned decode matches Java's signed read)."""
+    return f"CAST(conv(hex({expr}), 16, 10) AS BIGINT)"
+
+
+def _s(pos: int) -> str:
+    """Decode a space-padded 32-byte string field starting at 1-based pos."""
+    return f"rtrim(decode(substring(rec, {pos}, 32), 'UTF-8'))"
+
+
+def decode_person_frames(spark: SparkSession, path: str) -> DataFrame:
+    """Pure-column decode of framed person binary: one ``binaryFile`` row per
+    file → explode frames → checksum filter → explode records (count from
+    each frame's own header) → slice fields → P5 derived columns."""
+    raw = spark.read.format("binaryFile").load(path).select("content")
+    frames = raw.select(
+        F.expr(
+            f"explode(transform(sequence(0, CAST(length(content)/{FRAME_SIZE} AS INT) - 1),"
+            f" i -> substring(content, i * {FRAME_SIZE} + 1, {FRAME_SIZE})))"
+        ).alias("frame")
+    ).filter(F.expr(_u("substring(frame, 1, 4)")) == CHECKSUM)
+    recs = frames.select(
+        F.expr(
+            f"explode(transform(sequence(0, CAST({_u('substring(frame, 5, 4)')} AS INT) - 1),"
+            f" i -> substring(frame, {HEADER_SIZE} + i * {PERSON_RECORD_SIZE} + 1,"
+            f" {PERSON_RECORD_SIZE})))"
+        ).alias("rec")
+    )
+    return recs.select(
+        F.expr(_u("substring(rec, 1, 8)")).alias("person_id"),
+        F.expr(f"concat({_s(9)}, ' ', {_s(41)})").alias("full_name"),
+        F.expr(f"concat({_s(9)}, '.', {_s(41)}, '@', {_s(73)})").alias("email"),
+        F.expr(_s(105)).alias("city"),
+        F.expr(_s(137)).alias("country"),
+        (F.expr(_u("substring(rec, 169, 8)")) + F.expr(_u("substring(rec, 177, 8)"))).alias(
+            "credit_card"
+        ),
+        (F.expr(_u("substring(rec, 185, 4)")) - F.expr(_u("substring(rec, 193, 4)"))).alias(
+            "province"
+        ),
+        (F.expr(_u("substring(rec, 189, 4)")) - F.expr(_u("substring(rec, 193, 4)"))).alias(
+            "zipcode"
+        ),
+        F.expr(_u("substring(rec, 199, 8)")).alias("ts_ms"),
+    )

@@ -1,0 +1,75 @@
+"""Fixed-width binary person wire format: frame layout, boundary behavior,
+and the pure-column decode plan (reference wire contract,
+PersonDeserializationSchema.java:13,33-91)."""
+
+import struct
+
+from nexmark_vanilla_flink_spark.plans import REGISTRY
+from nexmark_vanilla_flink_spark.sources.binary import (
+    CHECKSUM,
+    FRAME_SIZE,
+    HEADER_SIZE,
+    PERSON_RECORD_SIZE,
+    RECORDS_PER_FRAME,
+    decode_person_frames,
+    encode_person,
+    person_frames_path,
+    write_person_frames,
+)
+
+
+def test_record_size_matches_reference():
+    assert PERSON_RECORD_SIZE == 206  # PersonDeserializationSchema.java:13
+    assert len(encode_person(7, "Customer#000000007", 3)) == 206
+    assert RECORDS_PER_FRAME == 39  # (8192 - 16) // 206
+
+
+def test_frame_layout(sf_dir, tmp_path):
+    path = str(tmp_path / "persons.bin")
+    write_person_frames(sf_dir, path)
+    blob = open(path, "rb").read()
+    assert len(blob) % FRAME_SIZE == 0
+    n_frames = len(blob) // FRAME_SIZE
+    frames = [
+        struct.unpack_from(">iiq", blob, i * FRAME_SIZE) for i in range(n_frames)
+    ]
+    total = sum(items for _, items, _ in frames)
+    for i, (checksum, items, backlog) in enumerate(frames):
+        assert checksum == CHECKSUM
+        assert 0 < items <= RECORDS_PER_FRAME
+        # backlog = records not yet consumed, including this frame's
+        assert backlog == total - i * RECORDS_PER_FRAME
+    # every frame but the last is full
+    assert all(
+        struct.unpack_from(">i", blob, i * FRAME_SIZE + 4)[0] == RECORDS_PER_FRAME
+        for i in range(n_frames - 1)
+    )
+
+
+def test_decode_round_trips_every_record(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "persons.bin")
+    write_person_frames(sf_dir, path)
+    df = decode_person_frames(spark, path)
+    rows = {r.person_id: r for r in df.collect()}
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/customer.parquet")
+    assert len(rows) == tbl.num_rows
+    k = tbl.column("c_custkey")[0].as_py()
+    name = tbl.column("c_name")[0].as_py()
+    r = rows[k]
+    assert r.full_name == f"{name} S{k % 97}"
+    assert r.email == f"{name}.S{k % 97}@example.com"
+    assert r.province == (k % 1000 + 500) - (k % 400)
+    assert r.credit_card == k * 7919 + k % 104729
+
+
+def test_decode_plan_is_udf_free(spark, sf_dir):
+    df = REGISTRY["person_binary_decode"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # cache path exists after the registry call built it
+    import os
+
+    assert os.path.exists(person_frames_path(sf_dir))
