@@ -68,20 +68,16 @@ def stream_nexmark(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {"events": ev, "persons": persons, "auctions": auctions, "bids": bids}
 
 
-def stream_kafka_events(
+def _kafka_raw_stream(
     spark: SparkSession,
     bootstrap_servers: str,
-    topic: str = "nexmark-events",
-    starting_offsets: str = "earliest",
+    topic: str,
+    starting_offsets: str,
 ) -> DataFrame:
-    """Kafka ingestion of the unified event topic (S6). The reference decodes
-    a 1-byte type tag + fixed-width binary layout (beans/Serializer.java:200-260);
-    we carry JSON payloads — same logical content, Spark-native decode.
-
-    Requires the spark-sql-kafka connector on the classpath; raises a clear
-    error otherwise (the test container has no Kafka, so this is exercised
-    only on real deployments).
-    """
+    """readStream.format("kafka") → (key string, value string). Requires the
+    spark-sql-kafka connector on the classpath (the test container has no
+    Kafka, so brokered ingestion is exercised only on real deployments; the
+    decode plan itself is broker-independent and tested file-backed)."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -89,8 +85,67 @@ def stream_kafka_events(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    payload = F.col("value").cast("string")
     return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
+def stream_kafka_events(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "nexmark-events",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka ingestion of the unified generator topic (S6). The reference
+    decodes a 1-byte type tag + fixed-width binary layout
+    (beans/Serializer.java:200-260); we carry JSON payloads — same logical
+    content, Spark-native decode.
+
+    The decode is the SAME function the producer contract is defined by
+    (``sources.writer.decode_event_json``, the inverse of
+    ``event_json_payload`` which feeds ``events_to_kafka_json`` on this same
+    default topic) — consumer and producer cannot drift apart because they
+    share one schema definition, and the pairing is proven by the
+    file-backed round-trip test (tests/test_kafka_contract.py)."""
+    from ..sources.writer import decode_event_json
+
+    return decode_event_json(
+        _kafka_raw_stream(spark, bootstrap_servers, topic, starting_offsets)
+    )
+
+
+def stream_kafka_driver_events(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "driver-events",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka ingestion of the DRIVER-events contract — JSON rows shaped like
+    the testdata ``events`` table (user_id, event_type string, value, k).
+    Deliberately a DIFFERENT default topic from the generator contract above:
+    the two payload schemas must never share a topic (decoding one with the
+    other's schema yields all-NULL columns)."""
+    kv = _kafka_raw_stream(spark, bootstrap_servers, topic, starting_offsets)
+    return decode_driver_event_json(kv)
+
+
+def driver_event_json_payload(events: DataFrame) -> DataFrame:
+    """(key, value) rows for the driver-events topic: key = user_id (the
+    partitioning key), value = JSON of the events-table columns."""
+    return events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct("event_id", "ts_ns", "user_id", "event_type", "value", "k")
+        ).alias("value"),
+    )
+
+
+def decode_driver_event_json(kv: DataFrame) -> DataFrame:
+    """Inverse of ``driver_event_json_payload`` — shared by the Kafka
+    consumer and the file-backed contract test."""
+    payload = F.col("value")
+    return kv.select(
         F.get_json_object(payload, "$.event_id").cast("long").alias("event_id"),
         F.get_json_object(payload, "$.ts_ns").cast("long").alias("ts_ns"),
         F.get_json_object(payload, "$.user_id").cast("long").alias("user_id"),

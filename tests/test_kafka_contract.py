@@ -58,3 +58,56 @@ def test_stream_generator_prefix_equals_batch(spark):
     }
     for r in got.collect():
         assert tuple(r) == want[r["event_id"]], r["event_id"]
+
+
+def test_consumer_decodes_producer_topic_streaming(spark, tmp_path):
+    """End-to-end minus the broker: the (key, value) rows events_to_kafka_json
+    would publish on 'nexmark-events' are replayed through readStream and the
+    EXACT decode plan stream_kafka_events applies (decode_event_json) — the
+    consumer must reproduce the generator events, proving the two halves of
+    the wire contract share one schema."""
+    ev = generate_events_batch(spark, 5_000)
+    kv_dir = str(tmp_path / "kv")
+    event_json_payload(ev).write.parquet(kv_dir)
+
+    kv_stream = (
+        spark.readStream.schema("key string, value string").parquet(kv_dir)
+    )
+    decoded = decode_event_json(kv_stream)  # same call as stream_kafka_events
+    assert decoded.isStreaming
+    out = str(tmp_path / "out")
+    q = (
+        decoded.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cols = [
+        "event_id", "event_type", "ts_ns", "person_id",
+        "ref_person_id", "ref_auction_id", "price",
+    ]
+    got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    want = sorted(map(tuple, ev.select(*cols).collect()))
+    assert got == want
+
+
+def test_driver_events_contract_roundtrip(spark, sf_dir):
+    """The second (driver-events) contract round-trips too, on its own
+    distinct topic schema: events-table rows → JSON payload → the consumer
+    projection of stream_kafka_driver_events."""
+    from nexmark_vanilla_flink_spark.sources.tables import events_with_key
+    from nexmark_vanilla_flink_spark.streaming.sources import (
+        decode_driver_event_json,
+        driver_event_json_payload,
+    )
+
+    ev = events_with_key(spark, sf_dir).select(
+        "event_id", "ts_ns", "user_id", "event_type", "value", "k"
+    )
+    back = decode_driver_event_json(driver_event_json_payload(ev))
+    cols = ["event_id", "ts_ns", "user_id", "event_type", "value", "k"]
+    a = sorted(map(tuple, ev.select(*cols).collect()))
+    b = sorted(map(tuple, back.select(*cols).collect()))
+    assert a == b
