@@ -14,3 +14,43 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     # near-orthogonal synthetic vectors are ANN's worst case; still, probing
     # 2 of ~n/97 lists must beat random scanning by a wide margin
     assert recall >= 0.25, f"IVF recall too low: {recall:.2f}"
+
+
+def test_lsh_candidate_recall_vs_exact_jaccard(spark, sf_dir):
+    """MinHash-LSH must surface (nearly) all truly-similar pairs: for exact
+    shingle-Jaccard >= 0.7 the 12-hash/4-band scheme has candidate
+    probability 1-(1-j^3)^4 >= 0.81, so the measured candidate recall cannot
+    drop below 0.8 without a broken banding/signature implementation. Future
+    perf work on the minhash plan cannot silently trade away recall."""
+    docs = REGISTRY["minhash_lsh_pairs"].spark(spark, sf_dir)
+    candidates = {
+        (r["doc_a"], r["doc_b"]) for r in docs.select("doc_a", "doc_b").collect()
+    }
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    shingles = {}
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        ws = text.split(" ")
+        shingles[doc_id] = {
+            " ".join(ws[j : j + 3]) for j in range(len(ws) - 2)
+        } or set()
+    ids = sorted(shingles)
+    truth = set()
+    for i, a in enumerate(ids):
+        sa = shingles[a]
+        if not sa:
+            continue
+        for b in ids[i + 1 :]:
+            sb = shingles[b]
+            if not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= 0.7:
+                truth.add((a, b))
+    assert truth, "fixture has no high-similarity pairs; test is vacuous"
+    recall = len(truth & candidates) / len(truth)
+    assert recall >= 0.8, f"LSH candidate recall too low: {recall:.2f} of {len(truth)}"
