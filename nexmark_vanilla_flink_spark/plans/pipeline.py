@@ -1156,28 +1156,45 @@ def srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     each vector to a 256-bucket signature; candidate pairs only form inside
     a bucket. This is the cosine-LSH alternative to the IVF path — no
     training, one scan, bucket skew visible in the output histogram."""
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    nibble = (
-        "CAST(instr('0123456789abcdef', "
-        "substring(md5(concat(CAST(p AS STRING), ':', CAST(d AS STRING))), 1, 1)) - 8.5 "
-        "AS DOUBLE)"
+    # No ensure_parallelism here: the kernel is a cheap vectorized matmul, so
+    # scan-split parallelism is plenty, and repartitioning a small input to 32
+    # pandas-UDF tasks costs more in Python-worker fan-out than it saves
+    # (measured +0.33 s at sf0.1).
+    emb = load_table(spark, sf_dir, "embeddings")
+    # The plane weights depend only on (plane, dim) — 8×64 CONSTANTS,
+    # md5-nibble-derived so the oracle reproduces the exact matrix. Three
+    # measured strategies at sf0.1 (2 000 × 64-dim vectors):
+    #   1. round-1: md5 recomputed per element inside nested interpreted
+    #      aggregate() lambdas — 3.80 s (512 md5s/vector, no codegen);
+    #   2. weights inlined as 512 literal terms of a flat SQL expression —
+    #      1.10 s, but ~0.8 s of that is Catalyst re-optimizing the
+    #      4 000-node tree on EVERY execution (plan-build cost, not I/O);
+    #   3. this: one Arrow-batched pandas_udf doing a numpy (n×64)·(64×8)
+    #      matmul — 0.38 s locally, and the per-batch cost at scale is a BLAS
+    #      matmul, the genuinely right kernel for dense linear algebra
+    #      (the documented exception to "stay JVM-side").
+    import hashlib
+
+    import numpy as np
+
+    from ..operators.vectorized import make_srp_bucket
+
+    hexdigits = "0123456789abcdef"
+    w_mat = np.array(
+        [
+            [
+                hexdigits.index(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0])
+                + 1
+                - 8.5
+                for d in range(64)
+            ]
+            for p in range(_SRP_PLANES)
+        ],
+        dtype=np.float64,
     )
-    # per-plane dot product as a fold over dims; the plane weights are
-    # recomputed per element (cheap md5 on tiny strings) keeping the whole
-    # signature one shuffle-free projection
-    plane_dot = (
-        f"aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), "
-        f"(acc, d) -> acc + v[d] * {nibble})"
-    )
-    bucket = (
-        f"CAST(aggregate(sequence(0, {_SRP_PLANES - 1}), 0L, (acc, p) -> acc + "
-        f"CASE WHEN ({plane_dot}) > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0L END) AS BIGINT)"
-    )
-    sigs = emb.select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    ).select("vec_id", "label", F.expr(bucket).alias("bucket"))
+    pow2 = (1 << np.arange(_SRP_PLANES)).astype(np.int64)
+    srp_bucket = make_srp_bucket(w_mat, pow2)
+    sigs = emb.select("vec_id", "label", srp_bucket(F.col("embedding")).alias("bucket"))
     return sigs.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.countDistinct("label").cast("long").alias("n_labels"),
