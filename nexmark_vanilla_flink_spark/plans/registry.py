@@ -78,6 +78,7 @@ DRIVER_HEAD: list[str] = [
     "ann_ivf_topk",
     "label_centroids",
     "scalar_quantize_embeddings",
+    "srp_lsh_buckets",
     # added in round 2
     "person_binary_decode",
     "tpch_q7_volume_shipping",
@@ -86,6 +87,10 @@ DRIVER_HEAD: list[str] = [
     "tpch_q15_top_supplier",
     "tpch_q17_small_qty_revenue",
     "tpch_q20_potential_promotion",
+    "tpch_q11_important_parts",
+    "tpch_q13_order_distribution",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

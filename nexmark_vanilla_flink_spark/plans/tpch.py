@@ -832,3 +832,240 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+WITH natline AS (
+  SELECT l.l_partkey,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_1'
+), per_part AS (
+  SELECT l_partkey, sum(cents) AS pc FROM natline GROUP BY 1
+), tot AS (
+  SELECT sum(pc) AS tc FROM per_part
+)
+SELECT p.l_partkey, CAST(p.pc AS DOUBLE) / 100 AS part_value
+FROM per_part p CROSS JOIN tot
+WHERE p.pc * 1000 > tot.tc
+""",
+    tags=("tpch", "agg", "scalar-subquery", "having"),
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing an outsized share (>0.1%) of one
+    nation's traded value — GROUP BY + HAVING against a global-aggregate
+    scalar. The testdata has no partsupp, so "value" is the revenue routed
+    through NATION_1 suppliers (join shape preserved: fact ⋈ broadcast
+    supplier ⋈ broadcast nation → per-part agg → global threshold).
+
+    Cross-engine discipline: the share test runs entirely in BIGINT cents
+    (price has ≤2 decimals, so round(price*100) is exact) — ``pc*1000 > tc``
+    is the division-free form of ``pc > 0.001*tc``; no decimal-width
+    overflow, no double-rounding divergence. The global total rides in on a
+    broadcast cross join, keeping the whole query one lazy plan (same
+    pattern as tpch_q22). At 100 TB the per-part agg is the only shuffle."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    nat_supp = (
+        t["supplier"]
+        .join(
+            broadcast(t["nation"].filter(F.col("n_name") == "NATION_1")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        t["lineitem"]
+        .join(broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("pc")
+        )
+    )
+    tot = per_part.agg(F.sum("pc").alias("tc"))
+    return (
+        per_part.crossJoin(broadcast(tot))
+        .filter(F.col("pc") * 1000 > F.col("tc"))
+        .select(
+            "l_partkey", (F.col("pc").cast("double") / 100).alias("part_value")
+        )
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+) t
+GROUP BY 1
+""",
+    tags=("tpch", "outer-join", "agg"),
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution. Left outer join
+    with an extra non-equi predicate INSIDE the join condition (the classic
+    Q13 trap: filtering o_orderpriority in WHERE would silently drop the
+    zero-order customers that the distribution's c_count=0 bucket exists to
+    count; the testdata has no o_comment, so the priority filter stands in
+    for NOT LIKE '%special%requests%'). Two-level aggregation: per-customer
+    count, then histogram over counts. At scale the first agg shuffles on
+    c_custkey (high cardinality, well-spread); the second is a near-free
+    rollup of an already-tiny frame."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle="""
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("tpch", "join", "disjunctive-predicate"),
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a three-branch disjunctive predicate
+    that mixes part attributes (brand, size) with lineitem attributes
+    (quantity) — the canonical test of OR-predicate handling. Catalyst can't
+    push a cross-table OR below the join, so the part side is pre-filtered
+    with the hand-derived implied constraint (every branch requires one of
+    the three brands and size <= 35): the broadcast build side shrinks to
+    ~1/8th before the join, and the full disjunction is applied post-join on
+    broadcast columns. At 100 TB this is one lineitem scan, zero shuffles."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    part = t["part"].filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") <= 35)
+        & (F.col("p_size") >= 1)
+    )
+    qty = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 25) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 35) & qty.between(20, 30))
+    )
+    return (
+        t["lineitem"]
+        .join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(branch)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+            )
+            .cast("decimal(38,4)").cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE o.o_orderstatus = 'F'
+  AND epoch_ns(l1.l_shipdate) - epoch_ns(o.o_orderdate) > 5184000000000000
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY 1
+""",
+    tags=("tpch", "subquery", "exists", "window"),
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier finalized
+    orders. The testdata has no commit/receipt dates, so "late" is shipping
+    >60 days after the order date (exact BIGINT nanosecond arithmetic on both
+    engines).
+
+    The reference semantics are the oracle's correlated EXISTS / NOT EXISTS
+    pair — but a row-correlated anti join on an inequality is a nested-loop
+    disaster at scale, so the Spark plan re-expresses both subqueries as ONE
+    window pass over (order, supplier) ship maxima: for each supplier in an
+    order, ``other_max`` (the latest shipment by any OTHER supplier) is
+    derived from the order-wide max / runner-up max and the count of
+    suppliers attaining the max. EXISTS(other supplier) ⟺ n_sup > 1;
+    NOT EXISTS(later other shipment) ⟺ l1.ship >= other_max. One shuffle on
+    l_orderkey, no nested loop, identical rows."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate_ns")
+    sup_max = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate_ns").alias("sup_max")
+    )
+    w = Window.partitionBy("l_orderkey")
+    stats = sup_max.select(
+        "l_orderkey",
+        "l_suppkey",
+        "sup_max",
+        F.max("sup_max").over(w).alias("order_max"),
+        F.count(F.lit(1)).over(w).alias("n_sup"),
+    )
+    stats = stats.select(
+        "*",
+        F.sum(
+            F.when(F.col("sup_max") == F.col("order_max"), 1).otherwise(0)
+        ).over(w).alias("n_at_max"),
+        F.max(
+            F.when(F.col("sup_max") < F.col("order_max"), F.col("sup_max"))
+        ).over(w).alias("runner_up"),
+    )
+    other_max = stats.select(
+        "l_orderkey",
+        "l_suppkey",
+        "n_sup",
+        F.when(
+            (F.col("sup_max") < F.col("order_max")) | (F.col("n_at_max") > 1),
+            F.col("order_max"),
+        )
+        .otherwise(F.col("runner_up"))
+        .alias("other_max"),
+    )
+    late_ns = 60 * 86400 * 1_000_000_000
+    finalized = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate_ns"
+    )
+    return (
+        li.join(finalized, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate_ns") - F.col("o_orderdate_ns") > late_ns)
+        .join(other_max, ["l_orderkey", "l_suppkey"])
+        .filter(
+            (F.col("n_sup") > 1) & (F.col("l_shipdate_ns") >= F.col("other_max"))
+        )
+        .join(
+            broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
