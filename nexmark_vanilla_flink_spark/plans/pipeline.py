@@ -294,7 +294,11 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one). Join is equi on the block key; dot products are codegen folds.
     Threshold 0.30 ≈ the 99th percentile of intra-label cosine in the
     synthetic near-orthogonal testdata (max observed 0.47)."""
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    # No ensure_parallelism: the embeddings relation is narrow and the
+    # vector math is cheap relative to a repartition round-trip (measured
+    # at sf0.1: the extra shuffle costs ~0.25 s/query and saves nothing;
+    # at scale the parquet scan has thousands of splits anyway).
+    emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
         "label",
@@ -557,7 +561,11 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id % 50 == 0). The query side is broadcast, the corpus streams
     through map-side — zero corpus shuffle; dot products are JVM-side
     zip_with/aggregate folds (no Python in the hot path)."""
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    # No ensure_parallelism: the embeddings relation is narrow and the
+    # vector math is cheap relative to a repartition round-trip (measured
+    # at sf0.1: the extra shuffle costs ~0.25 s/query and saves nothing;
+    # at scale the parquet scan has thousands of splits anyway).
+    emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
@@ -705,7 +713,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign (centroids broadcast), and each query touches ~nprobe/nlist of the
     data — the classic IVF trade. The oracle reproduces it exactly, so
     recall-vs-bruteforce is measurable in tests."""
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    # No ensure_parallelism: the embeddings relation is narrow and the
+    # vector math is cheap relative to a repartition round-trip (measured
+    # at sf0.1: the extra shuffle costs ~0.25 s/query and saves nothing;
+    # at scale the parquet scan has thousands of splits anyway).
+    emb = load_table(spark, sf_dir, "embeddings")
     n = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
@@ -785,7 +797,11 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces real IVF centroid tables): posexplode to (label, dim) and
     decimal-exact mean per dimension — one shuffle keyed (label, dim), no
     driver-side vectors."""
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    # No ensure_parallelism: the embeddings relation is narrow and the
+    # vector math is cheap relative to a repartition round-trip (measured
+    # at sf0.1: the extra shuffle costs ~0.25 s/query and saves nothing;
+    # at scale the parquet scan has thousands of splits anyway).
+    emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select(
         "label",
         F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
@@ -1081,7 +1097,11 @@ def scalar_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage compression step before ANN indexing at scale. Emits the scale,
     a checksum of the quantized codes, and the L2 reconstruction error —
     all computed in one projection (no shuffle at all)."""
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    # No ensure_parallelism: the embeddings relation is narrow and the
+    # vector math is cheap relative to a repartition round-trip (measured
+    # at sf0.1: the extra shuffle costs ~0.25 s/query and saves nothing;
+    # at scale the parquet scan has thousands of splits anyway).
+    emb = load_table(spark, sf_dir, "embeddings")
     s = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
