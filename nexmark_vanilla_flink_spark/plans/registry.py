@@ -91,6 +91,7 @@ DRIVER_HEAD: list[str] = [
     "tpch_q13_order_distribution",
     "tpch_q19_discounted_revenue",
     "tpch_q21_waiting_suppliers",
+    "bids_asof_profile",
 ]
 
 
