@@ -1336,3 +1336,158 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT c.* FROM nx_docs d, LATERAL chunk_doc(d.doc_id, d.text) c"
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling, distinctive terms, sequence packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang,
+         strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS hi,
+         strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS lo
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, hi * 16 + lo AS bucket FROM b
+)
+SELECT doc_id, lang, bucket
+FROM s
+WHERE bucket < CASE WHEN lang = 'en' THEN 64 ELSE 192 END
+""",
+    tags=("pipeline", "sampling"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling — the language-rebalancing step of
+    a training-data mix (downsample the dominant language to 25%, keep 75%
+    of the rest). The keep decision is a pure function of the key (two md5
+    nibbles → a 0..255 bucket compared to the stratum's rate), so the sample
+    is reproducible on any engine and any cluster size with zero coordination
+    — no sampling state, no shuffle, filter evaluated in the scan stage.
+    At 100 TB this composes with deterministic_splits: same key-hash idiom,
+    different nibble positions, so the two decisions stay independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    nib = "0123456789abcdef"
+    hi = F.instr(F.lit(nib), F.substring(h, 1, 1)) - 1
+    lo = F.instr(F.lit(nib), F.substring(h, 2, 1)) - 1
+    bucket = (hi * 16 + lo).alias("bucket")
+    rate = F.when(F.col("lang") == "en", 64).otherwise(192)
+    return (
+        docs.select("doc_id", "lang", bucket)
+        .filter(F.col("bucket") < rate)
+    )
+
+
+@register(
+    "doc_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+)
+SELECT doc_id, tok, tf, df, rn FROM (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.tok) AS rn
+  FROM tf JOIN df USING (tok)
+) WHERE rn <= 3
+""",
+    tags=("pipeline", "text", "tfidf"),
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive terms — TF-IDF keyword extraction with the
+    ranking done on the exact integer pair (tf DESC, df ASC) instead of
+    tf*log(N/df): same ordering for any monotone idf, and integer-exact
+    across engines (float log() is libm-dependent and can flip borderline
+    ranks). Plan: one explode → two hash aggregations; the document-
+    frequency side is vocabulary-sized, so it broadcasts to the tf side —
+    at 100 TB the only big shuffle is the (doc, tok) tf aggregation, which
+    partial-aggregates map-side before exchanging."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("tok")
+    )
+    return (
+        tf.join(broadcast(df), "tok")
+        .select("doc_id", "tok", "tf", "df", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "token_budget_packing",
+    oracle="""
+WITH sized AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS pack_bucket
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, n_tokens, pack_bucket,
+         CAST(sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) // 512 AS bin_id
+  FROM sized
+)
+SELECT pack_bucket, bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS packed_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM placed
+GROUP BY 1, 2
+""",
+    tags=("pipeline", "packing", "window"),
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents are hash-scattered
+    into 16 independent pack streams (md5 nibble of the id), and within each
+    stream a running token total assigns docs to consecutive 512-token bins
+    (bin = floor(pre-sum/512) — the streaming analogue of next-fit bin
+    packing, deterministic given the doc order). Exactly-sequential packing
+    is inherently serial; bucketing first is what makes it scale — each of
+    the 16 (thousands, at 100 TB) streams sorts and cumsums independently
+    after ONE hash exchange, and waste stays bounded because bins close only
+    at the budget boundary. Output is the per-bin packing manifest."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    nib = "0123456789abcdef"
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (
+            F.instr(
+                F.lit(nib),
+                F.substring(F.md5(F.col("doc_id").cast("string")), 3, 1),
+            )
+            - 1
+        ).alias("pack_bucket"),
+    )
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.withColumn(
+        "bin_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long") / F.lit(512))
+        .cast("long"),
+    )
+    return placed.groupBy("pack_bucket", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("packed_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -92,6 +92,9 @@ DRIVER_HEAD: list[str] = [
     "tpch_q19_discounted_revenue",
     "tpch_q21_waiting_suppliers",
     "bids_asof_profile",
+    "stratified_sample",
+    "doc_top_terms",
+    "token_budget_packing",
 ]
 
 
