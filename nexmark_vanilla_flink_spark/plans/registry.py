@@ -95,6 +95,12 @@ DRIVER_HEAD: list[str] = [
     "stratified_sample",
     "doc_top_terms",
     "token_budget_packing",
+    # added in round 2, continued session (canonical public Nexmark queries)
+    "nexmark_q1_currency",
+    "nexmark_q2_selection",
+    "nexmark_q3_local_suggest",
+    "nexmark_q4_category_avg",
+    "nexmark_q6_seller_avg",
 ]
 
 
