@@ -88,10 +88,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 c, F.timestamp_micros(F.expr(f"{c} DIV 1000"))
             )
         else:
-            # parquet TIMESTAMP(MICROS) → TIMESTAMP_NTZ / TIMESTAMP
-            df = df.withColumn(
-                f"{c}_ns",
-                F.unix_micros(F.col(c).cast("timestamp")) * F.lit(1000),
+            # parquet TIMESTAMP(MICROS) → arrives as TIMESTAMP_NTZ; normalize
+            # to TimestampType (session tz pinned to UTC in session.py, so the
+            # cast is a pure relabel) — NTZ cannot cast to numeric types and
+            # would break every plan that buckets on epoch seconds
+            df = df.withColumn(c, F.col(c).cast("timestamp")).withColumn(
+                f"{c}_ns", F.unix_micros(F.col(c)) * F.lit(1000)
             )
     if mem_cache:
         # Opt-in in-memory columnar cache (SPARK_GRAFT_CACHE_TABLES=1, set by

@@ -23,17 +23,26 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch loader produces (ts from nanos, item key k from props)."""
     configure_runtime(spark)
     path = f"{sf_dir.rstrip('/')}/events.parquet"
-    schema = spark.read.parquet(path).schema  # raw: ts is LongType (nanos)
+    schema = spark.read.parquet(path).schema
     # the file source wants a directory: stream the sf dir, glob to one table
     sdf = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    return (
-        sdf.withColumn("ts_ns", F.col("ts"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        .withColumn("k", F.regexp_extract("props", r":\s*([0-9]+)", 1).cast("long"))
+    # same schema-adaptive normalization as the batch loader
+    # (sources.tables.load_table): driver testdata has shipped ts both as
+    # TIMESTAMP(NANOS)-as-long and as TIMESTAMP(MICROS)
+    if dict(sdf.dtypes)["ts"] == "bigint":
+        sdf = sdf.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+        )
+    else:
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+        )
+    return sdf.withColumn(
+        "k", F.regexp_extract("props", r":\s*([0-9]+)", 1).cast("long")
     )
 
 
