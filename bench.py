@@ -116,7 +116,10 @@ def main() -> None:
         duck: dict[str, float] = {}
         for name in names:
             q = REGISTRY[name]
-            if not q.oracle or "streaming" in q.tags:
+            # "sink" queries do a real partitioned file write + read-back on
+            # the Spark side; the oracle SQL is only the read-back audit, so
+            # the wall-time comparison would be sink-vs-aggregate
+            if not q.oracle or "streaming" in q.tags or "sink" in q.tags:
                 continue
             con.execute(q.oracle).fetchall()  # warmup (buffer-pool parity)
             t0 = time.perf_counter()

@@ -65,20 +65,15 @@ DRIVER_HEAD: list[str] = [
     "q5_sliding_stream_replay",
     "cm_stream_replay",
     "stream_static_enrich",
-    # changed in round 2 (CC edge checkpoint, null-aware NOT IN, decimal-exact
-    # avg threshold, ensure_parallelism probe, MinHash plan experiment)
+    # riskiest round-2 changes (CC edge checkpoint, null-aware NOT IN,
+    # MinHash plan experiment); the other r2-touched entries that were
+    # driver-green in r1 (corpus_curation, tpch_q22, the embedding ops) are
+    # demoted past the cap — their changes are regression-locked by
+    # tests/test_oracle_parity.py and the head budget goes to never-checked
+    # and brand-new entries first
     "dedup_clusters",
-    "corpus_curation",
     "minhash_lsh_pairs",
     "tpch_q16_part_suppliers",
-    "tpch_q22_global_acctbal",
-    "ngram_jaccard_pairs",
-    "embedding_neardup_pairs",
-    "cosine_topk_bruteforce",
-    "ann_ivf_topk",
-    "label_centroids",
-    "scalar_quantize_embeddings",
-    "srp_lsh_buckets",
     # added in round 2
     "person_binary_decode",
     "tpch_q7_volume_shipping",
@@ -95,12 +90,27 @@ DRIVER_HEAD: list[str] = [
     "stratified_sample",
     "doc_top_terms",
     "token_budget_packing",
-    # added in round 2, continued session (canonical public Nexmark queries)
+    # added in round 2, continued session (canonical public Nexmark queries
+    # — with nexmark_suite2 this completes the public q0-q22 catalog)
     "nexmark_q1_currency",
     "nexmark_q2_selection",
     "nexmark_q3_local_suggest",
     "nexmark_q4_category_avg",
     "nexmark_q6_seller_avg",
+    "nexmark_q0_passthrough",
+    "nexmark_q7_highest_bid",
+    "nexmark_q9_winning_bid_rows",
+    "nexmark_q10_log_partitioned",
+    "nexmark_q13_side_input_join",
+    "nexmark_q14_calculation",
+    "nexmark_q15_bidding_stats",
+    "nexmark_q16_channel_stats",
+    "nexmark_q17_auction_stats",
+    "nexmark_q18_last_bid",
+    "nexmark_q19_auction_top10",
+    "nexmark_q20_bid_auction",
+    "nexmark_q21_channel_id",
+    "nexmark_q22_url_dirs",
 ]
 
 
