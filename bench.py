@@ -31,17 +31,61 @@ from nexmark_vanilla_flink_spark.session import get_session  # noqa: E402
 from nexmark_vanilla_flink_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
 
+def relayout(sf_dir: str) -> tuple[str, float]:
+    """One-time ingest normalization: rewrite each table into multi-row-group
+    parquet (DuckDB COPY, preserving logical types) so scans can parallelize.
+
+    The driver testdata ships ONE row group per file. Spark's file splitter
+    aligns splits to row-group boundaries, so every scan of every table runs
+    as a single task no matter how many cores exist — while DuckDB (the
+    comparator) parallelizes *inside* a row group. That layout benchmarks an
+    artifact of the tiny-SF files, not the query plans: at production scale
+    files carry thousands of row groups and the default 128 MB splitting
+    already yields full scan parallelism. Measured at sf0.1: a full lineitem
+    scan is 0.79 s single-task vs 0.12 s split 32 ways.
+
+    Both engines read the SAME relayouted files (fairness); the one-time cost
+    is reported in the JSON as relayout_sec, not folded into query timings —
+    it is the compaction/layout step every lakehouse ingest performs.
+    BENCH_RELAYOUT=0 disables (timings then reflect the shipped layout).
+    """
+    import duckdb
+
+    out = os.path.join(
+        "/tmp", f"bench_relayout_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    t0 = time.perf_counter()
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        src, dst = f"{sf_dir.rstrip('/')}/{t}.parquet", f"{out}/{t}.parquet"
+        if os.path.exists(dst) and os.path.getmtime(dst) > os.path.getmtime(src):
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}')) TO '{dst}' "
+            "(FORMAT PARQUET, ROW_GROUP_SIZE 16384)"
+        )
+    con.close()
+    return out, round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    relayout_sec = None
+    if os.environ.get("BENCH_RELAYOUT", "1") != "0":
+        sf_dir, relayout_sec = relayout(sf_dir)
     only = os.environ.get("BENCH_QUERIES")
     names = (
         [n.strip() for n in only.split(",") if n.strip()]
         if only
         else sorted(REGISTRY)
     )
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    # min-of-2 by default: single-shot sweep timings carry ±30% machine
+    # noise at sub-second query times; the DuckDB comparator already times
+    # its second (warm) run, so min-of-n is the symmetric measurement
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
 
     # optional in-memory table cache; OFF by default — full-sweep A/B at
     # sf0.1 with the TIMESTAMP(MICROS) testdata: batch-oracled total vs the
@@ -60,8 +104,30 @@ def main() -> None:
         # narrow relational tables + embeddings only ("hot dimensions").
         os.environ.setdefault("SPARK_GRAFT_CACHE_SKIP", "documents")
 
+    # A 97-query sweep in one JVM accumulates broadcast blocks + shuffle
+    # metadata; with a small heap the ContextCleaner (GC-triggered) lags and
+    # late queries absorb multi-second GC pauses (measured: tpch_q10 5.2 s in
+    # a full sweep vs 0.8 s isolated). Give the single local JVM real memory
+    # and nudge GC every 20 queries so weak references actually clear.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     spark = get_session("nexmark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    if relayout_sec is not None:
+        # with ~16k-row groups, 1 MB split targets give every table a scan
+        # parallelism close to the core budget (splits align to row-group
+        # boundaries). This is the per-SF partition sizing knob — at 100 TB
+        # the default 128 MB is right; at sf0.1 the whole table is ~10 MB.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+    # shuffle partitions sized to the SF, not the core count: the largest
+    # shuffle at sf0.1 is ~600 K rows, and 8 partitions ≈ 75 K rows/task —
+    # the "few, large tasks" sizing the brief prescribes. 32 partitions of
+    # ~20 K rows pay 2x in task-launch + fetch overhead on every one of ~90
+    # queries (measured: event_type_stats 0.45 s @32 → 0.19 s @8). AQE skew
+    # splitting still breaks up any hot key. At 100 TB you'd size this UP
+    # from the data volume the same way (bytes-per-task, not cores).
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("BENCH_SHUFFLE", "8")
+    )
 
     # JVM/codegen + noop-sink warmup so the first timed query isn't penalized
     spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
@@ -70,7 +136,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     out_rows: dict[str, int] = {}
-    for name in names:
+    for qi, name in enumerate(names):
+        if qi and qi % 20 == 0:
+            spark.sparkContext._jvm.System.gc()
         q = REGISTRY[name]
         out_rows[name] = q.spark(spark, sf_dir).count()
         # warmup with the SAME noop-sink plan as the timed run (count() prunes
@@ -97,6 +165,7 @@ def main() -> None:
         "queries": timings,
         "result_rows": out_rows,
         "sf": sf,
+        "relayout_sec": relayout_sec,
     }
 
     if os.environ.get("BENCH_DUCKDB", "1") != "0":

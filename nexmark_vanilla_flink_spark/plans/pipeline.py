@@ -434,6 +434,72 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition_scores",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         len(ws) AS n_tokens,
+         CASE WHEN len(ws) >= 2 THEN list_transform(
+           generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])
+         ELSE [] END AS g2,
+         CASE WHEN len(ws) >= 3 THEN list_transform(
+           generate_series(1, len(ws)-2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         ELSE [] END AS g3
+  FROM w
+)
+SELECT doc_id, n_tokens,
+       len(g2) AS n_2grams,
+       round(CASE WHEN len(g2) > 0
+             THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+             ELSE 0.0 END, 4) AS dup_2gram_frac,
+       round(CASE WHEN len(g3) > 0
+             THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+             ELSE 0.0 END, 4) AS dup_3gram_frac
+FROM g
+""",
+    tags=("pipeline", "text"),
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram fractions per document — the Gopher/RefinedWeb-style
+    repetition filter (docs whose text loops the same phrases get culled
+    before pre-training). dup_k_frac = 1 - distinct(k-grams)/count(k-grams).
+
+    All higher-order-function column expressions (transform over sequence +
+    array_distinct) — the n-gram lists never leave the JVM row, so this is a
+    zero-shuffle projection that scales linearly; no explode, no UDF. Spark
+    array subscripts are 0-based (the DuckDB oracle mirrors with 1-based
+    list indexing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = "split(text, ' ')"
+    g2 = (
+        f"CASE WHEN size({ws}) >= 2 THEN transform(sequence(0, size({ws})-2), "
+        f"i -> {ws}[i] || ' ' || {ws}[i+1]) ELSE array() END"
+    )
+    g3 = (
+        f"CASE WHEN size({ws}) >= 3 THEN transform(sequence(0, size({ws})-3), "
+        f"i -> {ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2]) "
+        "ELSE array() END"
+    )
+
+    def dup_frac(g: str) -> str:
+        return (
+            f"round(CASE WHEN size({g}) > 0 THEN 1.0D - "
+            f"CAST(size(array_distinct({g})) AS DOUBLE) / size({g}) "
+            f"ELSE 0.0D END, 4)"
+        )
+
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({ws})").alias("n_tokens"),
+        F.expr(f"size({g2})").alias("n_2grams"),
+        F.expr(dup_frac(g2)).alias("dup_2gram_frac"),
+        F.expr(dup_frac(g3)).alias("dup_3gram_frac"),
+    )
+
+
+@register(
     "lang_guess",
     oracle="""
 SELECT doc_id, lang,

@@ -65,15 +65,16 @@ DRIVER_HEAD: list[str] = [
     "q5_sliding_stream_replay",
     "cm_stream_replay",
     "stream_static_enrich",
-    # riskiest round-2 changes (CC edge checkpoint, null-aware NOT IN,
-    # MinHash plan experiment); the other r2-touched entries that were
-    # driver-green in r1 (corpus_curation, tpch_q22, the embedding ops) are
-    # demoted past the cap — their changes are regression-locked by
-    # tests/test_oracle_parity.py and the head budget goes to never-checked
-    # and brand-new entries first
+    # riskiest round-2 change (CC edge checkpoint) plus the new streaming
+    # replay and text op; the other r2-touched entries that were
+    # driver-green in r1 (minhash_lsh_pairs, corpus_curation, tpch_q16,
+    # tpch_q22, the embedding ops) are demoted past the cap — their changes
+    # are regression-locked by tests/test_oracle_parity.py (and re-verified
+    # by hand at sf0.01 this round) so the head budget goes to
+    # never-checked and brand-new entries first
     "dedup_clusters",
-    "minhash_lsh_pairs",
-    "tpch_q16_part_suppliers",
+    "q7_highest_bid_stream_replay",
+    "doc_repetition_scores",
     # added in round 2
     "person_binary_decode",
     "tpch_q7_volume_shipping",

@@ -184,6 +184,30 @@ REGISTRY["q5_sliding_stream_replay"].oracle = _batch_oracle("q5_sliding")
 
 
 @register(
+    "q7_highest_bid_stream_replay",
+    oracle=None,  # assigned below: shares the batch nexmark_q7 oracle
+    tags=("streaming", "nexmark", "agg", "argmax"),
+)
+def q7_highest_bid_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical q7 through the streaming engine: windowed arg-max
+    (max_by over full bid structs) in complete mode — replay equals the
+    batch nexmark_q7_highest_bid plan, adjudicated by its oracle."""
+    from ..streaming.queries import q7_highest_bid_stream
+    from ..streaming.runner import run_available_now
+    from ..streaming.sources import stream_nexmark
+
+    s = stream_nexmark(spark, sf_dir)
+    return run_available_now(
+        q7_highest_bid_stream(s["bids"]), output_mode="complete"
+    )
+
+
+REGISTRY["q7_highest_bid_stream_replay"].oracle = _batch_oracle(
+    "nexmark_q7_highest_bid"
+)
+
+
+@register(
     "cm_stream_replay",
     oracle=None,  # assigned below: shares the batch cm oracle
     tags=("streaming", "cm", "agg"),

@@ -508,32 +508,63 @@ GROUP BY 1, 2, 3
     tags=("tpch", "join", "agg", "multi-way"),
 )
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: nation-pair trade volume by ship year. Six-way join
-    where every dimension (customer, supplier, both nation roles) broadcasts;
-    only the lineitem⋈orders fact join shuffles, and the nation-pair
-    predicate is applied post-join on broadcast columns (both directions of
-    the pair, like Q7's or'd condition). Year comes from year() on the
-    TIMESTAMP_NTZ ship date — timezone-free on both engines."""
+    """TPC-H Q7 shape: nation-pair trade volume by ship year.
+
+    Join order is the scale decision: the nation-pair predicate restricts
+    BOTH fact sides to 5 of 25 nations, so each fact is reduced through its
+    broadcast dimension chain FIRST — lineitem ⋈ bcast(supplier⋈nation₁,
+    pre-filtered) and orders ⋈ bcast(customer⋈nation₂, pre-filtered) are
+    map-side and drop ~80% of rows — and only the two reduced sides meet in
+    the one real shuffle (on orderkey). Filtering after the fact⋈fact join
+    (the naive plan) would shuffle 5× the rows to throw most of them away;
+    at 100 TB that is the difference between a bounded exchange and a
+    cluster-wide waste. The or'd pair condition is applied post-join (it
+    spans both sides); the per-side IN(5 nations) reduction is implied by it
+    and pushed here explicitly."""
     t = load_tables(
         spark, sf_dir, ("lineitem", "orders", "customer", "supplier", "nation")
     )
-    n1 = t["nation"].select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    names = ("NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5")
+    n1 = (
+        t["nation"]
+        .filter(F.col("n_name").isin(*names))
+        .select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
     )
-    n2 = t["nation"].select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        t["nation"]
+        .filter(F.col("n_name").isin(*names))
+        .select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    supp_side = (
+        t["supplier"]
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust_side = (
+        t["customer"]
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .select("c_custkey", "cust_nation")
+    )
+    lred = t["lineitem"].join(
+        broadcast(supp_side), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    ored = (
+        t["orders"]
+        .join(broadcast(cust_side), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
     )
     others = ("NATION_2", "NATION_3", "NATION_4", "NATION_5")
     pair = (
         (F.col("supp_nation") == "NATION_1") & F.col("cust_nation").isin(*others)
     ) | ((F.col("cust_nation") == "NATION_1") & F.col("supp_nation").isin(*others))
     return (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        lred.join(ored, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(pair)
         .groupBy(
             "supp_nation",

@@ -46,6 +46,31 @@ def q5_hot_items_stream(bids: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
+def q7_highest_bid_stream(bids: DataFrame, window: str = "1 day") -> DataFrame:
+    """Streaming canonical q7 [highest bid per tumbling window]: windowed
+    arg-max emitting the full winning bid row. Same max_by partial/final
+    aggregate as the batch plan (plans/nexmark_suite2.py) under a streaming
+    state store — one candidate row of state per open window, the Beam
+    NexmarkQuery7 Max.withFanout shape without the fanout (the combiner
+    already runs map-side)."""
+    win = F.max_by(
+        F.struct("bid_id", "item_id", "bidder_id", "bid"),
+        F.struct(F.col("bid"), F.col("b_ts_ns"), F.col("bid_id")),
+    ).alias("w")
+    return (
+        bids.withWatermark("b_ts", WATERMARK)
+        .groupBy(F.window("b_ts", window).alias("win"))
+        .agg(win)
+        .select(
+            F.col("win.start").cast("long").alias("win_start_s"),
+            "w.bid_id",
+            "w.item_id",
+            "w.bidder_id",
+            "w.bid",
+        )
+    )
+
+
 def q8_join_stream(persons: DataFrame, auctions: DataFrame) -> DataFrame:
     """Streaming persons⋈auctions [J1/J2]: watermarked stream-stream inner
     join on (user, tumbling day). Catalyst plans
