@@ -341,7 +341,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash fingerprinting
 # ---------------------------------------------------------------------------
 
-_SIMHASH_ORACLE = """
+_SIMHASH_CTES = """
 WITH toks AS (
   SELECT DISTINCT doc_id, tok FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -353,22 +353,20 @@ bits AS (
                   THEN 1 ELSE -1 END) AS s
   FROM toks CROSS JOIN range(0, 16) t(b)
   GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS simhash16
+  FROM bits GROUP BY 1
 )
-SELECT doc_id,
-       CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
-FROM bits GROUP BY 1
-"""
+""".strip()
+
+_SIMHASH_ORACLE = _SIMHASH_CTES + "\nSELECT doc_id, simhash16 FROM fp"
 
 
-@register(
-    "simhash_fingerprints",
-    oracle=_SIMHASH_ORACLE,
-    tags=("pipeline", "dedup", "simhash"),
-)
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document: each bit majority-votes the top bit of
-    one md5 nibble across distinct tokens. Near-dups share fingerprints with
-    small Hamming distance (pairing via simhash_hamming_pairs in tests)."""
+def _simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash16) — shared by the fingerprint and pairing entries."""
     docs = load_table(spark, sf_dir, "documents")
     # zero-shuffle: token hashes and all 16 bit-majorities fold inside one
     # projection (aggregate() over the distinct-token array per bit)
@@ -385,6 +383,106 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "  ) > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0L END"
             ") AS BIGINT)"
         ).alias("simhash16"),
+    )
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=_SIMHASH_ORACLE,
+    tags=("pipeline", "dedup", "simhash"),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: each bit majority-votes the top bit of
+    one md5 nibble across distinct tokens. Near-dups share fingerprints with
+    small Hamming distance (paired by simhash_neardup_pairs)."""
+    return _simhash16(spark, sf_dir)
+
+
+@register(
+    "simhash_neardup_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+bits AS (
+  SELECT doc_id, t.b AS b,
+         sum(CASE WHEN strpos('89abcdef', substr(md5(tok), t.b + 1, 1)) > 0
+                  THEN 1 ELSE -1 END) AS s
+  FROM toks CROSS JOIN range(0, 32) t(b)
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS simhash32
+  FROM bits GROUP BY 1
+),
+banded AS (
+  SELECT doc_id, simhash32, t.band AS band,
+         (simhash32 >> (8 * t.band)) & 255 AS band_val
+  FROM fp CROSS JOIN range(0, 4) t(band)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash32, b.simhash32)) AS hamming
+FROM banded a
+JOIN banded b
+  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 2
+""",
+    tags=("pipeline", "dedup", "simhash"),
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate pairing — the dedup step the fingerprints feed:
+    documents whose 32-bit TF-weighted SimHashes differ in ≤2 bits, found WITHOUT an
+    all-pairs comparison. The 32 bits split into 4 bands of 8; by
+    pigeonhole, any pair within Hamming distance ≤3 (so certainly ≤2) agrees on at
+    least one band, so every true pair comes out of an equi-join on (band,
+    band_value) — the same banding argument as MinHash-LSH
+    (minhash_lsh_pairs), applied to bit fingerprints. (The registered
+    fingerprint column stays 16-bit for compactness; pairing needs the
+    wider, term-frequency-weighted hash: every occurrence votes, so two
+    docs differ when their token *distributions* differ — unweighted
+    distinct-token voting collapses on a small shared vocabulary.)
+
+    Scale: one explode (4 rows/doc), one hash shuffle on the band key,
+    per-bucket pairing bounded by bucket size, popcount verification inline
+    (bit_count(simhash XOR simhash)) — sub-quadratic end to end, no UDF.
+    At 64-bit production width the same plan reads 4 bands of 16 bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = ensure_parallelism(docs).select(
+        "doc_id",
+        F.expr("transform(split(text, ' '), t -> md5(t))").alias("hs"),
+    )
+    fp = hashed.select(
+        "doc_id",
+        F.expr(
+            "CAST(aggregate(sequence(0, 31), 0L, (acc, b) -> acc + "
+            "  CASE WHEN aggregate(hs, 0, (s, h) -> s + "
+            "    CASE WHEN instr('89abcdef', substring(h, b + 1, 1)) > 0 THEN 1 ELSE -1 END"
+            "  ) > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0L END"
+            ") AS BIGINT)"
+        ).alias("simhash32"),
+    )
+    banded = fp.select(
+        "doc_id",
+        "simhash32",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn("band_val", F.expr("(simhash32 >> (8 * band)) & 255"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash32 ^ b.simhash32)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+        .distinct()
     )
 
 
