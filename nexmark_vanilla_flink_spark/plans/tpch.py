@@ -748,6 +748,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_dec")
         )
     )
+    # materialize once — broadcast max and main branch share the frame
+    # (see tpch_q11 note)
+    revenue = revenue.localCheckpoint(eager=False)
     top = revenue.agg(F.max("rev_dec").alias("max_rev"))
     return (
         revenue.crossJoin(broadcast(top))
@@ -916,6 +919,11 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("pc")
         )
     )
+    # materialize the per-part aggregate once: both the broadcast total and
+    # the main branch consume it, and without a lineage cut Spark re-executes
+    # the lineitem join+agg for each (same trap as the SimHash self-join —
+    # SCALE_NOTES.md §4). ~|parts| rows, trivially small at any SF.
+    per_part = per_part.localCheckpoint(eager=False)
     tot = per_part.agg(F.sum("pc").alias("tc"))
     return (
         per_part.crossJoin(broadcast(tot))
