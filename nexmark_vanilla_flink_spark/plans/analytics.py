@@ -38,6 +38,39 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cube",
+    oracle="""
+SELECT event_type,
+       (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+       count(*) AS n_events,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
+         AS sum_value
+FROM events
+GROUP BY CUBE(event_type, dow)
+""",
+    tags=("analytics", "cube"),
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, day-of-week): all four grouping sets in
+    one pass — completes the grouping-sets surface next to orders_rollup.
+    Spark expands the sets map-side and the partial hash aggregate collapses
+    them before the single shuffle, the same plan a 100 TB OLAP rollup
+    wants. dow is pure integer arithmetic (epoch day 0 = Thursday → +4)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("dow", F.expr("(ts_ns DIV 86400000000000 + 4) % 7"))
+        .cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
     "top_customers_per_nation",
     oracle="""
 SELECT n_name, c_custkey, c_acctbal, rnk FROM (
