@@ -91,11 +91,15 @@ def main() -> None:
         if only
         else sorted(REGISTRY)
     )
-    # min-of-3 by default: single-shot sweep timings carry ±30% machine
-    # noise at sub-second query times (measured: consecutive identical full
-    # sweeps differ 38.5 s vs 44.2 s on the batch subset); the DuckDB
-    # comparator takes min-of-2 warm runs for the same reason
+    # min-of-N by default, time-boxed: single-shot sweep timings carry ±30%
+    # machine noise at sub-second query times (measured: consecutive
+    # identical full sweeps differ 38.5 s vs 44.2 s on the batch subset).
+    # Pass 1 times every query once — a COMPLETE result exists whatever the
+    # caller's time budget; passes 2..N then re-time and take the min only
+    # while elapsed < BENCH_BUDGET_S, so a driver timeout can never produce
+    # an empty result. The DuckDB comparator takes min-of-2 warm runs.
     repeat = int(os.environ.get("BENCH_REPEAT", "3"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
 
     # optional in-memory table cache; OFF by default — full-sweep A/B at
     # sf0.1 with the TIMESTAMP(MICROS) testdata: batch-oracled total vs the
@@ -148,6 +152,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     out_rows: dict[str, int] = {}
+    sweep_t0 = time.perf_counter()
     for qi, name in enumerate(names):
         if qi and qi % 20 == 0:
             spark.sparkContext._jvm.System.gc()
@@ -158,14 +163,19 @@ def main() -> None:
         # measures steady-state execution, not one-time codegen/classloading —
         # symmetric with the DuckDB comparator, which also times its second run
         q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = None
-        for _ in range(repeat):
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    passes = 1
+    while passes < repeat and time.perf_counter() - sweep_t0 < budget_s:
+        for name in names:
+            if time.perf_counter() - sweep_t0 >= budget_s:
+                break
+            q = REGISTRY[name]
             t0 = time.perf_counter()
-            df = q.spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = min(timings[name], round(time.perf_counter() - t0, 3))
+        passes += 1
 
     total = round(sum(timings.values()), 3)
     # input-side throughput: events rows / total nexmark-query time is noisy;
@@ -178,6 +188,7 @@ def main() -> None:
         "result_rows": out_rows,
         "sf": sf,
         "relayout_sec": relayout_sec,
+        "timing_passes": passes,
     }
 
     if os.environ.get("BENCH_DUCKDB", "1") != "0":
