@@ -130,3 +130,75 @@ def test_q20_semi_join(spark, sf_dir):
 )
 def test_new_tpch_nonempty(spark, sf_dir, name):
     assert REGISTRY[name].spark(spark, sf_dir).limit(1).count() == 1, name
+
+
+def test_canonical_q7_is_aggregate_not_window_sort(spark, sf_dir):
+    # windowed arg-max must compile to a partial/final max_by aggregate,
+    # never a rank-over-sorted-window (which would sort every bid by price).
+    # Note: max_by over a struct ordering key uses SortAggregate (struct
+    # buffers are not hash-agg-compatible) — still map-side partial combine
+    # + ONE exchange on the group key, which is the scale property.
+    plan = _plan(spark, sf_dir, "nexmark_q7_highest_bid")
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_canonical_q18_is_aggregate_not_window_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "nexmark_q18_last_bid")
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_canonical_q19_topk_pushdown(spark, sf_dir):
+    # rank-filter top-K must get Spark's WindowGroupLimit so each map task
+    # forwards only its local top 10 per item
+    plan = _plan(spark, sf_dir, "nexmark_q19_auction_top10")
+    assert "WindowGroupLimit" in plan
+
+
+def test_canonical_q13_broadcasts_side_input(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "nexmark_q13_side_input_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_canonical_q14_q21_q22_no_shuffle(spark, sf_dir):
+    # stateless row transforms: no exchange anywhere in the plan
+    for name in (
+        "nexmark_q14_calculation",
+        "nexmark_q21_channel_id",
+        "nexmark_q22_url_dirs",
+        "nexmark_q0_passthrough",
+        "doc_repetition_scores",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        # the parallelism guard's round-robin repartition (a no-op on real
+        # multi-split inputs) is allowed; no hash/range shuffle may appear
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Exchange rangepartitioning" not in plan, name
+
+
+def test_q15_q16_single_shuffle_distinct(spark, sf_dir):
+    # the multi-distinct report queries ride one expand + two-phase agg:
+    # exactly the group-key exchange plus AQE reads, no per-distinct jobs
+    for name in ("nexmark_q15_bidding_stats", "nexmark_q16_channel_stats"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Expand" in plan, name
+        assert "HashAggregate" in plan, name
+
+
+def test_q20_asof_single_window_pass(spark, sf_dir):
+    # the as-of enrichment must be the union+window plan (each row moves
+    # once), never a theta join
+    plan = _plan(spark, sf_dir, "nexmark_q20_bid_auction")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "simhash_neardup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
