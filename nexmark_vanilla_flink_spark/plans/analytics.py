@@ -38,6 +38,61 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hot_items_salted_join",
+    oracle="""
+WITH ev AS (
+  SELECT TRY_CAST(regexp_extract(props, ':\\s*([0-9]+)', 1) AS BIGINT) AS item_id,
+         user_id AS bidder_id, value AS bid
+  FROM events WHERE event_type = 'purchase'
+),
+dim AS (
+  SELECT i AS item_id, 'tier_' || CAST(i % 5 AS VARCHAR) AS item_tier
+  FROM range(0, 100) t(i)
+)
+SELECT e.item_id, d.item_tier,
+       count(*) AS n_bids,
+       CAST(CAST(sum(CAST(e.bid AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
+         AS sum_bid
+FROM ev e JOIN dim d ON e.item_id = d.item_id
+GROUP BY 1, 2
+""",
+    tags=("analytics", "skew", "join"),
+)
+def hot_items_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit skew-handling join under the correctness gate: bids (the
+    Nexmark hot-key side — 15% of traffic on 1% of keys) joined to an item
+    dimension through operators/skew.py::salted_join, then aggregated per
+    (item, tier). Salting scatters each hot key over 16 sub-keys and
+    replicates the 100-row dimension 16× — equivalent rows to the plain
+    join (the oracle IS the plain join), ~16× better balance on the hot
+    partitions when AQE's runtime skew split isn't enough. The aggregate
+    collapses the salt, so the output is bit-identical however rows were
+    routed."""
+    from pyspark.sql import functions as FF
+
+    from ..operators.skew import salted_join
+    from ..sources.tables import nexmark_streams
+
+    bids = nexmark_streams(spark, sf_dir)["bids"].select(
+        "item_id", "bidder_id", "bid"
+    )
+    dim = spark.range(0, 100).select(
+        FF.col("id").alias("item_id"),
+        FF.concat(FF.lit("tier_"), (FF.col("id") % 5).cast("string")).alias(
+            "item_tier"
+        ),
+    )
+    joined = salted_join(bids, dim, on="item_id", salt=16)
+    return joined.groupBy("item_id", "item_tier").agg(
+        FF.count(FF.lit(1)).alias("n_bids"),
+        FF.sum(FF.col("bid").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("sum_bid"),
+    )
+
+
+@register(
     "events_cube",
     oracle="""
 SELECT event_type,
