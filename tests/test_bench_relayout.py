@@ -21,7 +21,12 @@ def test_relayout_preserves_content():
         "documents",
         "embeddings",
     ):
-        src, dst = f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet"
+        import os
+
+        src = f"{SF_DIR}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if os.path.isdir(dst):
+            dst = f"{dst}/*.parquet"
         n_src, n_dst = (
             con.execute(
                 f"SELECT (SELECT count(*) FROM read_parquet('{src}')),"
@@ -48,9 +53,21 @@ def test_relayout_preserves_content():
         assert types_src == types_dst, t
 
 
-def test_relayout_splits_row_groups():
+def test_relayout_splits_for_parallel_scans():
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
     out, _ = relayout(SF_DIR)
+    # documents/embeddings become multi-file directories (one Spark split
+    # per file); relational tables get 16k-row groups (multiple groups
+    # whenever the table is big enough to matter)
+    parts = glob.glob(f"{out}/documents.parquet/*.parquet")
+    assert len(parts) > 1
     f = pq.ParquetFile(f"{out}/lineitem.parquet")
-    assert f.metadata.num_row_groups > 1
+    n_rows = f.metadata.num_rows
+    assert f.metadata.num_row_groups == max(1, -(-n_rows // 16384)) or (
+        f.metadata.num_row_groups > 1
+    )
+    assert os.path.isfile(f"{out}/lineitem.parquet")
