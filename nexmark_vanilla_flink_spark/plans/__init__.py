@@ -9,3 +9,4 @@ from . import pipeline  # noqa: F401,E402
 from . import analytics  # noqa: F401,E402
 from . import streaming_entries  # noqa: F401,E402
 from . import binary  # noqa: F401,E402
+from . import curation  # noqa: F401,E402

@@ -1,0 +1,324 @@
+"""Corpus-curation operators, second tranche (no reference counterpart —
+BASELINE.json north star): eval-set decontamination, sub-document (chunk)
+dedup, domain mixing weights, and corpus-frequency rarity scoring. All run
+over the driver's ``documents`` table and are DuckDB-oracled.
+
+Determinism discipline matches `plans/pipeline.py`: md5 digests over explicit
+strings, DECIMAL-exact ratios rounded at the end, integer counts everywhere
+else.
+
+Scale notes (the 100 TB postures):
+  * decontamination broadcasts the EVAL side (eval sets are MBs even when the
+    corpus is 100 TB), so the training corpus is scanned once and only
+    matching n-gram rows ever shuffle;
+  * chunk dedup shuffles md5 digests — uniform keys, no skew — twice (digest
+    agg + join back), both map-side combinable;
+  * mixing weights aggregate to one row per (lang, source) before any
+    global window step, so the share computation touches only the tiny
+    aggregated frame;
+  * bigram rarity joins the exploded corpus against the bigram-df vocabulary
+    on the bigram digest — AQE broadcasts the df side when it is small and
+    falls back to a uniform hash join when the vocabulary is huge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..operators.parallelism import ensure_parallelism
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination (n-gram overlap against a held-out benchmark set)
+# ---------------------------------------------------------------------------
+
+# mod 17 / 4-gram chosen by measurement: non-empty, selective hit sets at
+# every driver SF (35 / 38 / 2629 contaminated docs at sf0.001/0.01/0.1);
+# 5-grams matched zero docs at sf0.01 (hollow gate) and 3-grams matched
+# ~80% of the corpus (no selectivity)
+_EVAL_MOD = 17  # doc_id % 17 == 0 → the deterministic "benchmark" subset
+_DECON_N = 4  # 4-word shingles — see measurement note above
+
+
+_DECON_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         md5(ws[j + 1] || ' ' || ws[j + 2] || ' ' || ws[j + 3] || ' ' ||
+             ws[j + 4]) AS h
+  FROM (SELECT doc_id, ws,
+               unnest(range(0, greatest(len(ws) - {_DECON_N - 1}, 0))) AS j
+        FROM w)
+),
+eval_g AS (SELECT DISTINCT h FROM g WHERE doc_id % {_EVAL_MOD} = 0),
+train_g AS (SELECT DISTINCT doc_id, h FROM g WHERE doc_id % {_EVAL_MOD} <> 0)
+SELECT t.doc_id, count(*) AS n_shared_ngrams
+FROM train_g t JOIN eval_g e ON t.h = e.h
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "eval_decontamination",
+    oracle=_DECON_ORACLE,
+    tags=("pipeline", "dedup", "text"),
+)
+def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: flag training documents sharing any
+    4-word shingle with the (deterministic) benchmark subset
+    ``doc_id % 17 == 0``. Returns contaminated doc_ids with the count of
+    distinct shared shingles — the rows a curation pipeline drops before
+    training so eval numbers stay honest.
+
+    Scale: the eval side is tiny relative to the corpus (benchmarks are MBs
+    at 100 TB corpus scale) → its distinct shingle digests are BROADCAST;
+    the corpus is scanned once, the join filters non-matching shingles
+    map-side, and only hit rows reach the per-doc count shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = ensure_parallelism(docs).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    # per-doc shingle dedup happens INSIDE the array (array_distinct) before
+    # the explode — the alternative .distinct() on exploded rows is a full
+    # shuffle of every shingle in the corpus
+    g = ws.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN size(ws) >= {_DECON_N} THEN "
+                    f"transform(sequence(0, size(ws) - {_DECON_N}), "
+                    "j -> md5(concat_ws(' ', ws[j], ws[j+1], ws[j+2], ws[j+3]))) "
+                    "ELSE CAST(array() AS ARRAY<STRING>) END"
+                )
+            )
+        ).alias("h"),
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    # cross-doc distinct on the (small) eval side only — it's broadcast anyway
+    eval_g = g.filter(is_eval).select("h").distinct()
+    train_g = g.filter(~is_eval)
+    return (
+        train_g.join(broadcast(eval_g), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document (chunk-level) exact dedup
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 20  # tokens per chunk
+
+
+_CHUNK_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+c AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(ws, j * {_CHUNK_W} + 1,
+                                        (j + 1) * {_CHUNK_W}), ' ')) AS h
+  FROM (SELECT doc_id, ws,
+               unnest(range(0, CAST(ceil(len(ws) / {_CHUNK_W}.0) AS BIGINT))) AS j
+        FROM w)
+),
+df AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM c GROUP BY h)
+SELECT c.doc_id,
+       count(*) AS n_chunks,
+       sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared_chunks,
+       round(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS shared_fraction
+FROM c JOIN df ON c.h = df.h
+GROUP BY c.doc_id
+"""
+
+
+@register(
+    "chunk_dedup_stats",
+    oracle=_CHUNK_ORACLE,
+    tags=("pipeline", "dedup", "text"),
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: split each document into consecutive 20-token
+    chunks, find chunks that appear (byte-identical) in MORE THAN ONE
+    document, and report per document how much of it is corpus-shared
+    boilerplate — the paragraph-level dedup signal (headers, license
+    blocks, navigation chrome) that document-level dedup misses.
+
+    Scale: two shuffles on uniform md5 digests — the chunk-frequency
+    aggregate (map-side combinable) and the digest join back; per-doc stats
+    then reduce on doc_id. No skew (digests are uniform), no broadcast
+    needed on the corpus side."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = ensure_parallelism(docs).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    c = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(ws) / {_CHUNK_W}.0) AS INT) - 1), "
+                f"j -> md5(concat_ws(' ', slice(ws, j * {_CHUNK_W} + 1, {_CHUNK_W}))))"
+            )
+        ).alias("h"),
+    )
+    df_tbl = c.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        c.join(df_tbl, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            shared.alias("n_shared_chunks"),
+            F.round(
+                shared / F.count(F.lit(1)).cast("double"), 6
+            ).alias("shared_fraction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing weights (per-source sampling rates toward a uniform target)
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = """
+WITH per_src AS (
+  SELECT lang, source,
+         count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DECIMAL(38, 12))
+             / sum(n_tokens) OVER (), 6) AS token_share,
+       round(CAST(sum(n_tokens) OVER () AS DECIMAL(38, 12))
+             / (count(*) OVER () * n_tokens), 6) AS mix_weight
+FROM per_src
+"""
+
+
+@register(
+    "domain_mixing_weights",
+    oracle=_MIX_ORACLE,
+    tags=("pipeline", "text"),
+)
+def domain_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: per (lang, source) token counts, the domain's share of
+    the corpus, and the up/down-sampling weight that would equalize token
+    mass across domains (target = uniform) — the numbers a data-mixture
+    sweep starts from.
+
+    Scale: the full-corpus pass reduces to ONE ROW PER DOMAIN (map-side
+    combinable sum of token counts), so the unpartitioned share/count window
+    runs over a frame with tens-to-hundreds of rows regardless of corpus
+    size — the single-partition window is on the aggregate, never the data.
+    Ratios are DECIMAL(38,12)-exact before the final round (no
+    order-sensitive float sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()  # tiny aggregated frame — see docstring
+    total = F.sum("n_tokens").over(w)
+    n_domains = F.count(F.lit(1)).over(w)
+    return per_src.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("decimal(38,12)") / total, 6
+        ).alias("token_share"),
+        F.round(
+            total.cast("decimal(38,12)") / (n_domains * F.col("n_tokens")), 6
+        ).alias("mix_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency rarity scoring (bigram document frequency)
+# ---------------------------------------------------------------------------
+
+_RARE_DF = 2  # a bigram seen in ≤2 documents is "rare"
+
+
+_RARITY_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+b AS (
+  SELECT DISTINCT doc_id, md5(ws[j + 1] || ' ' || ws[j + 2]) AS h
+  FROM (SELECT doc_id, ws,
+               unnest(range(0, greatest(len(ws) - 1, 0))) AS j FROM w)
+),
+df AS (SELECT h, count(*) AS df FROM b GROUP BY h)
+SELECT b.doc_id,
+       count(*) AS n_distinct_bigrams,
+       sum(CASE WHEN df.df <= {_RARE_DF} THEN 1 ELSE 0 END) AS n_rare_bigrams,
+       round(sum(CASE WHEN df.df <= {_RARE_DF} THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS rare_fraction
+FROM b JOIN df ON b.h = df.h
+GROUP BY b.doc_id
+"""
+
+
+@register(
+    "doc_bigram_rarity",
+    oracle=_RARITY_ORACLE,
+    tags=("pipeline", "text"),
+)
+def doc_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity: per document, the fraction of its distinct
+    word bigrams that are rare corpus-wide (document frequency ≤ 2) — a
+    cheap LM-free novelty/noise signal (very high = gibberish or OCR noise,
+    very low = templated boilerplate) used alongside `text_quality_scores`
+    in curation gates.
+
+    Scale: the bigram-DF vocabulary aggregates with map-side combine on
+    uniform digests; the join back is digest-keyed (AQE broadcasts the df
+    side only when the vocabulary is actually small). Since the per-doc DF
+    contribution is 0/1, df(h) = count(*) over per-doc-distinct bigram rows
+    — no count_distinct shuffle of raw occurrences."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = ensure_parallelism(docs).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    # per-doc distinct via array_distinct BEFORE the explode: zero-shuffle
+    # dedup (a row-level .distinct() here would shuffle every bigram
+    # occurrence in the corpus)
+    b = ws.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(ws) >= 2 THEN "
+                    "transform(sequence(0, size(ws) - 2), "
+                    "j -> md5(concat_ws(' ', ws[j], ws[j+1]))) "
+                    "ELSE CAST(array() AS ARRAY<STRING>) END"
+                )
+            )
+        ).alias("h"),
+    )
+    df_tbl = b.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    rare = F.sum(F.when(F.col("df") <= _RARE_DF, 1).otherwise(0))
+    return (
+        b.join(df_tbl, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            rare.alias("n_rare_bigrams"),
+            F.round(rare / F.count(F.lit(1)).cast("double"), 6).alias(
+                "rare_fraction"
+            ),
+        )
+    )

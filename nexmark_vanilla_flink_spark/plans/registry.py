@@ -65,6 +65,12 @@ DRIVER_HEAD: list[str] = [
     "q5_sliding_stream_replay",
     "cm_stream_replay",
     "stream_static_enrich",
+    # added in round 2, third session (curation tranche 2 — never
+    # driver-checked, so they outrank everything below)
+    "eval_decontamination",
+    "chunk_dedup_stats",
+    "domain_mixing_weights",
+    "doc_bigram_rarity",
     # riskiest round-2 change (CC edge checkpoint) plus the new streaming
     # replay and text op; the other r2-touched entries that were
     # driver-green in r1 (minhash_lsh_pairs, corpus_curation, tpch_q16,
