@@ -202,3 +202,48 @@ def test_simhash_pairs_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "simhash_neardup_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_dir):
+    # the eval shingle set must broadcast (eval sets are MBs at 100 TB
+    # corpus scale); a shuffle join here would shuffle the whole corpus's
+    # shingle stream
+    plan = _plan(spark, sf_dir, "eval_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_curation_tranche2_dedup_in_array_not_shuffle(spark, sf_dir):
+    # per-doc n-gram dedup rides array_distinct inside the projection;
+    # the only exchanges allowed are the df aggregate + digest join (rarity)
+    # and the per-doc count (decontamination) — a row-level distinct would
+    # add a corpus-wide shuffle on top
+    for name, max_hash_exchanges in (
+        ("eval_decontamination", 2),  # eval-side distinct (tiny) + doc agg
+        ("doc_bigram_rarity", 3),  # df agg + join back + doc agg
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") <= max_hash_exchanges, name
+
+
+def test_curation_tranche2_nonempty(spark, sf_dir):
+    for name in (
+        "eval_decontamination",
+        "chunk_dedup_stats",
+        "domain_mixing_weights",
+        "doc_bigram_rarity",
+    ):
+        assert REGISTRY[name].spark(spark, sf_dir).limit(1).count() == 1, name
+
+
+def test_mixing_weights_window_is_post_aggregate(spark, sf_dir):
+    # the unpartitioned share window must sit ABOVE the (lang, source)
+    # hash aggregate — i.e. the single-partition exchange carries one row
+    # per domain, never raw documents
+    plan = _plan(spark, sf_dir, "domain_mixing_weights")
+    assert "HashAggregate" in plan
+    assert "Exchange SinglePartition" in plan
+    # the aggregate appears below the single-partition exchange in the tree
+    assert plan.index("Exchange SinglePartition") < plan.index(
+        "HashAggregate(keys=[lang"
+    )
