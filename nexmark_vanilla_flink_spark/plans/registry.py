@@ -94,7 +94,9 @@ DRIVER_HEAD: list[str] = [
     "tpch_q19_discounted_revenue",
     "tpch_q21_waiting_suppliers",
     "bids_asof_profile",
-    "stratified_sample",
+    # (stratified_sample demoted past the cap: a zero-shuffle md5-nibble
+    # filter whose only cross-engine risk — md5 bytes — is exercised by a
+    # dozen head entries already)
     "doc_top_terms",
     "token_budget_packing",
     # added in round 2, continued session (canonical public Nexmark queries
@@ -103,17 +105,18 @@ DRIVER_HEAD: list[str] = [
     # q14/q22 below) yield their slots to the higher-risk new entries
     "events_cube",
     "hot_items_salted_join",
-    "nexmark_q3_local_suggest",
+    # (q3 — plain filtered equi-join projection, the join family is
+    # head-covered by q8/q11/q13-tpch — and q7 — max_by arg-max, same
+    # family as the r1-gate-green highest_bid_per_window — yield their
+    # slots so the regex/URL queries q19-q22 fit under the 50-cap)
     "nexmark_q4_category_avg",
     "nexmark_q6_seller_avg",
     # (q0 passthrough yields its head slot to simhash_neardup_pairs — the
     # trivial projection is pytest-parity-locked and shape-identical to
     # q2/q22 which stay under the gate)
     "simhash_neardup_pairs",
-    "nexmark_q7_highest_bid",
     "nexmark_q9_winning_bid_rows",
     "nexmark_q10_log_partitioned",
-    "nexmark_q13_side_input_join",
     "nexmark_q14_calculation",
     "nexmark_q15_bidding_stats",
     "nexmark_q16_channel_stats",
