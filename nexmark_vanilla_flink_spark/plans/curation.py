@@ -152,10 +152,13 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate — the paragraph-level dedup signal (headers, license
     blocks, navigation chrome) that document-level dedup misses.
 
-    Scale: two shuffles on uniform md5 digests — the chunk-frequency
-    aggregate (map-side combinable) and the digest join back; per-doc stats
-    then reduce on doc_id. No skew (digests are uniform), no broadcast
-    needed on the corpus side."""
+    Scale: exactly two shuffles on uniform keys — one exchange on the chunk
+    digest where a dense_rank window counts distinct docs per digest (the
+    exploded frame is derived ONCE; a groupBy-then-join-back shape would
+    re-derive the whole explode+md5 stage on the join side because the
+    partial-aggregate exchange cannot be reused), then the per-doc stats
+    exchange. No skew (digests are uniform), no per-bucket collection —
+    a boilerplate digest shared by millions of docs costs only a rank."""
     docs = load_table(spark, sf_dir, "documents")
     ws = ensure_parallelism(docs).select(
         "doc_id", F.split("text", " ").alias("ws")
@@ -169,20 +172,24 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    df_tbl = c.groupBy("h").agg(
-        F.count_distinct("doc_id").alias("n_docs")
+    # distinct-doc count per digest via one sorted window pass: dense_rank
+    # over doc_id hits its max (= the distinct count) on the last row, read
+    # back with an unbounded max over the same sort — one exchange, one sort
+    wh = Window.partitionBy("h").orderBy("doc_id")
+    whf = Window.partitionBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    counted = c.select(
+        "doc_id",
+        F.max(F.dense_rank().over(wh)).over(whf).alias("n_docs"),
     )
     shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
-    return (
-        c.join(df_tbl, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            shared.alias("n_shared_chunks"),
-            F.round(
-                shared / F.count(F.lit(1)).cast("double"), 6
-            ).alias("shared_fraction"),
-        )
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        shared.alias("n_shared_chunks"),
+        F.round(shared / F.count(F.lit(1)).cast("double"), 6).alias(
+            "shared_fraction"
+        ),
     )
 
 
@@ -284,11 +291,12 @@ def doc_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     very low = templated boilerplate) used alongside `text_quality_scores`
     in curation gates.
 
-    Scale: the bigram-DF vocabulary aggregates with map-side combine on
-    uniform digests; the join back is digest-keyed (AQE broadcasts the df
-    side only when the vocabulary is actually small). Since the per-doc DF
-    contribution is 0/1, df(h) = count(*) over per-doc-distinct bigram rows
-    — no count_distinct shuffle of raw occurrences."""
+    Scale: since the per-doc DF contribution is 0/1 (bigrams deduped inside
+    each doc), df(h) = count(*) over the per-doc-distinct rows — computed by
+    an unbounded count window on ONE digest exchange. The exploded frame is
+    derived once (a groupBy-df + join-back shape re-derives the explode+md5
+    stage on the join side); the per-doc stats exchange is the only other
+    shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     ws = ensure_parallelism(docs).select(
         "doc_id", F.split("text", " ").alias("ws")
@@ -309,16 +317,15 @@ def doc_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    df_tbl = b.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    whf = Window.partitionBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    counted = b.select("doc_id", F.count(F.lit(1)).over(whf).alias("df"))
     rare = F.sum(F.when(F.col("df") <= _RARE_DF, 1).otherwise(0))
-    return (
-        b.join(df_tbl, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_distinct_bigrams"),
-            rare.alias("n_rare_bigrams"),
-            F.round(rare / F.count(F.lit(1)).cast("double"), 6).alias(
-                "rare_fraction"
-            ),
-        )
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        rare.alias("n_rare_bigrams"),
+        F.round(rare / F.count(F.lit(1)).cast("double"), 6).alias(
+            "rare_fraction"
+        ),
     )

@@ -1057,17 +1057,41 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from the order-wide max / runner-up max and the count of
     suppliers attaining the max. EXISTS(other supplier) ⟺ n_sup > 1;
     NOT EXISTS(later other shipment) ⟺ l1.ship >= other_max. One shuffle on
-    l_orderkey, no nested loop, identical rows."""
+    l_orderkey, no nested loop, identical rows.
+
+    Single-scan shape: lineitem is read ONCE — finalized orders broadcast
+    onto the scan to tag each row late/not-late, then one groupBy
+    (order, supplier) carries BOTH the all-rows ship max (feeding the
+    other_max window) and the multiset of late ship values (a small
+    collect_list — TPC-H orders have ≤7 items), so the qualifying-row count
+    is an array filter after the window instead of a join back to a second
+    lineitem scan + fact-grain shuffle."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
-    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate_ns")
-    sup_max = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate_ns").alias("sup_max")
+    late_ns = 60 * 86400 * 1_000_000_000
+    finalized = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate_ns"
+    )
+    li = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate_ns")
+        .join(broadcast(finalized), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    per_sup = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate_ns").alias("sup_max"),
+        # late shipments only; nulls (on-time rows) are dropped by the agg
+        F.collect_list(
+            F.when(
+                F.col("l_shipdate_ns") - F.col("o_orderdate_ns") > late_ns,
+                F.col("l_shipdate_ns"),
+            )
+        ).alias("late_ships"),
     )
     w = Window.partitionBy("l_orderkey")
-    stats = sup_max.select(
+    stats = per_sup.select(
         "l_orderkey",
         "l_suppkey",
         "sup_max",
+        "late_ships",
         F.max("sup_max").over(w).alias("order_max"),
         F.count(F.lit(1)).over(w).alias("n_sup"),
     )
@@ -1080,31 +1104,25 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("sup_max") < F.col("order_max"), F.col("sup_max"))
         ).over(w).alias("runner_up"),
     )
-    other_max = stats.select(
-        "l_orderkey",
+    contrib = stats.filter(F.col("n_sup") > 1).select(
         "l_suppkey",
-        "n_sup",
-        F.when(
-            (F.col("sup_max") < F.col("order_max")) | (F.col("n_at_max") > 1),
-            F.col("order_max"),
-        )
-        .otherwise(F.col("runner_up"))
-        .alias("other_max"),
-    )
-    late_ns = 60 * 86400 * 1_000_000_000
-    finalized = t["orders"].filter(F.col("o_orderstatus") == "F").select(
-        "o_orderkey", "o_orderdate_ns"
+        F.size(
+            F.filter(
+                F.col("late_ships"),
+                lambda x: x
+                >= F.when(
+                    (F.col("sup_max") < F.col("order_max"))
+                    | (F.col("n_at_max") > 1),
+                    F.col("order_max"),
+                ).otherwise(F.col("runner_up")),
+            )
+        ).alias("n_wait"),
     )
     return (
-        li.join(finalized, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate_ns") - F.col("o_orderdate_ns") > late_ns)
-        .join(other_max, ["l_orderkey", "l_suppkey"])
-        .filter(
-            (F.col("n_sup") > 1) & (F.col("l_shipdate_ns") >= F.col("other_max"))
-        )
+        contrib.filter(F.col("n_wait") > 0)
         .join(
             broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_wait").cast("long").alias("numwait"))
     )
