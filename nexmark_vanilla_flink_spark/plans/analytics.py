@@ -310,3 +310,39 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in kinds:
         out = out.withColumn(k, F.coalesce(F.col(k), F.lit(0)).cast("long"))
     return out
+
+
+@register(
+    "events_variant_props",
+    oracle="""
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("analytics", "json", "variant"),
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: the events ``props`` JSON column parsed through
+    Spark 4's VariantType (``parse_json`` once, typed ``variant_get`` path
+    extraction — the open-ended-schema ingestion surface a training-data
+    pipeline needs for raw crawl metadata). Aggregates per (event_type,
+    k%10) so the oracle exercises the full extract→cast→group path.
+
+    Scale: variant parse is a per-row codegen projection in the scan stage
+    (no shuffle added); the binary variant encoding is columnar-friendly and
+    pushes schema resolution to read time instead of ingest time."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
