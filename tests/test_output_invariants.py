@@ -65,3 +65,90 @@ def test_quantization_reconstruction_small(spark, sf_dir):
     )
     # int8 quantization of 64-dim vectors: err ≤ dim * (scale/2)² summed → tiny
     assert 0 < r[1] and r[0] < 0.05
+
+
+def test_chunk_dedup_bounds_and_exact_dup_saturation(spark, sf_dir):
+    stats = REGISTRY["chunk_dedup_stats"].spark(spark, sf_dir)
+    r = _one(
+        stats,
+        F.min("n_chunks"),
+        F.min(F.col("n_chunks") - F.col("n_shared_chunks")),
+        F.min("shared_fraction"),
+        F.max("shared_fraction"),
+    )
+    assert r[0] >= 1 and r[1] >= 0 and 0.0 <= r[2] <= r[3] <= 1.0
+    # every chunk of an exact-duplicate document is corpus-shared by
+    # construction (its twin contains the identical chunks)
+    dups = (
+        REGISTRY["dedup_exact_docs"]
+        .spark(spark, sf_dir)
+        .filter(F.col("n_copies") > 1)
+        .select("doc_id")
+    )
+    sat = stats.join(dups, "doc_id").filter(F.col("shared_fraction") < 1.0)
+    assert sat.count() == 0
+
+
+def test_bigram_rarity_bounds(spark, sf_dir):
+    r = _one(
+        REGISTRY["doc_bigram_rarity"].spark(spark, sf_dir),
+        F.min("n_distinct_bigrams"),
+        F.min(F.col("n_distinct_bigrams") - F.col("n_rare_bigrams")),
+        F.min("rare_fraction"),
+        F.max("rare_fraction"),
+    )
+    assert r[0] >= 1 and r[1] >= 0 and 0.0 <= r[2] <= r[3] <= 1.0
+
+
+def test_decontamination_excludes_eval_set_and_catches_exact_copies(
+    spark, sf_dir
+):
+    hits = REGISTRY["eval_decontamination"].spark(spark, sf_dir)
+    r = _one(
+        hits,
+        F.sum((F.col("doc_id") % 17 == 0).cast("int")),
+        F.min("n_shared_ngrams"),
+    )
+    assert (r[0] or 0) == 0 and r[1] >= 1
+    # any training doc that is an exact copy of an eval doc MUST be flagged
+    docs = REGISTRY["dedup_exact_docs"].spark(spark, sf_dir)
+    eval_digests = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select((F.col("canonical_id")).alias("cid"))
+        .distinct()
+    )
+    exact_copies = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .join(eval_digests, docs.canonical_id == eval_digests.cid)
+        .select("doc_id")
+    )
+    missed = exact_copies.join(hits, "doc_id", "left_anti")
+    assert missed.count() == 0
+
+
+def test_mixing_weights_partition_the_corpus(spark, sf_dir):
+    from nexmark_vanilla_flink_spark.sources.tables import load_table
+
+    mw = REGISTRY["domain_mixing_weights"].spark(spark, sf_dir)
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    r = _one(
+        mw,
+        F.sum("n_docs"),
+        F.sum("token_share"),
+        F.min("mix_weight"),
+        F.count(F.lit(1)),
+    )
+    assert r[0] == n_docs_total
+    # rounded shares sum to 1 within n_domains * 1e-6
+    assert abs(float(r[1]) - 1.0) <= r[3] * 1e-6
+    assert float(r[2]) > 0.0
+
+
+def test_variant_props_covers_all_events(spark, sf_dir):
+    from nexmark_vanilla_flink_spark.sources.tables import load_table
+
+    vp = REGISTRY["events_variant_props"].spark(spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    r = _one(vp, F.sum("n"), F.min("min_k"), F.max("max_k"))
+    assert r[0] == n_events  # no event lost to a failed JSON parse
+    assert 0 <= r[1] <= r[2]
