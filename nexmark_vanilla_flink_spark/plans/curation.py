@@ -329,3 +329,131 @@ def doc_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rare_fraction"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a NEW batch against the existing corpus
+# ---------------------------------------------------------------------------
+
+_NEW_MOD = 5  # doc_id % 5 == 4 → the "newly arrived" batch
+
+
+_INCR_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, ws[j + 1] || ' ' || ws[j + 2] || ' ' || ws[j + 3] AS g
+  FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 2, 0))) AS j FROM w)
+),
+h AS (SELECT doc_id, md5(g) AS h FROM g),
+mh AS (
+  SELECT doc_id, t.seed AS seed,
+         min(substr(h || h, t.seed * 2 + 1, 16)) AS mh
+  FROM h CROSS JOIN range(0, 12) t(seed)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, seed // 3 AS band,
+         md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || mh)), '|')) AS sig
+  FROM mh GROUP BY doc_id, seed // 3
+),
+digests AS (SELECT doc_id, md5(text) AS dg FROM documents),
+new_docs AS (SELECT doc_id FROM documents WHERE doc_id % {_NEW_MOD} = {_NEW_MOD - 1}),
+corpus AS (SELECT doc_id FROM documents WHERE doc_id % {_NEW_MOD} <> {_NEW_MOD - 1}),
+exact AS (
+  SELECT n.doc_id, min(cd.doc_id) AS exact_canonical
+  FROM new_docs n
+  JOIN digests nd ON nd.doc_id = n.doc_id
+  JOIN digests cd ON cd.dg = nd.dg AND cd.doc_id IN (SELECT doc_id FROM corpus)
+  GROUP BY 1
+),
+near AS (
+  SELECT nb.doc_id, count(DISTINCT cb.doc_id) AS n_near_corpus
+  FROM bands nb
+  JOIN bands cb ON cb.band = nb.band AND cb.sig = nb.sig
+  WHERE nb.doc_id % {_NEW_MOD} = {_NEW_MOD - 1}
+    AND cb.doc_id % {_NEW_MOD} <> {_NEW_MOD - 1}
+  GROUP BY 1
+)
+SELECT n.doc_id,
+       e.exact_canonical,
+       coalesce(nr.n_near_corpus, 0) AS n_near_corpus,
+       CASE WHEN e.exact_canonical IS NOT NULL THEN 'exact'
+            WHEN coalesce(nr.n_near_corpus, 0) > 0 THEN 'near'
+            ELSE 'unique' END AS verdict
+FROM new_docs n
+LEFT JOIN exact e ON e.doc_id = n.doc_id
+LEFT JOIN near nr ON nr.doc_id = n.doc_id
+"""
+
+
+@register(
+    "incremental_dedup",
+    oracle=_INCR_ORACLE,
+    tags=("pipeline", "dedup", "lsh"),
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production arrival path: a newly ingested
+    batch (deterministic subset ``doc_id % 5 == 4``) is checked against the
+    EXISTING corpus only (new⋈corpus, never new⋈new or corpus⋈corpus):
+    exact duplicates by content digest (smallest matching corpus doc as
+    canonical), near-duplicates by shared MinHash-LSH band signature, and a
+    verdict column (exact | near | unique) deciding the doc's fate.
+
+    Scale: the corpus side's digests and band signatures are exactly what a
+    production system keeps as its dedup INDEX — both joins are equi-joins
+    on uniform hash keys, the batch side is small, and nothing ever
+    compares corpus docs to each other again. Band signatures come from the
+    same `_minhash_wide` builder as `minhash_lsh_pairs`, so index and
+    ad-hoc pair search stay bit-identical."""
+    from .pipeline import _minhash_wide
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % _NEW_MOD == _NEW_MOD - 1
+    digests = docs.select("doc_id", F.md5("text").alias("dg"))
+    new_docs = docs.filter(is_new).select("doc_id")
+    exact = (
+        digests.filter(is_new)
+        .join(
+            digests.filter(~is_new).select(
+                F.col("doc_id").alias("c_id"), "dg"
+            ),
+            "dg",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("c_id").alias("exact_canonical"))
+    )
+    wide = _minhash_wide(spark, sf_dir)
+    bands = wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"sig{b}") for b in range(4)])
+        ).alias("band", "sig"),
+    )
+    near = (
+        bands.filter(is_new)
+        .join(
+            bands.filter(~is_new).select(
+                F.col("doc_id").alias("c_id"), "band", "sig"
+            ),
+            ["band", "sig"],
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("c_id").alias("n_near_corpus"))
+    )
+    return (
+        new_docs.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_canonical",
+            F.coalesce(F.col("n_near_corpus"), F.lit(0)).alias(
+                "n_near_corpus"
+            ),
+            F.when(F.col("exact_canonical").isNotNull(), "exact")
+            .when(F.coalesce(F.col("n_near_corpus"), F.lit(0)) > 0, "near")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+    )

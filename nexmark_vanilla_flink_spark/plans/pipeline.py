@@ -100,6 +100,57 @@ JOIN sig sb ON sb.doc_id = doc_b
 """
 
 
+def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MinHash signature builder: (doc_id, arr[12], sig0..sig3) —
+    the wide-column plan minhash_lsh_pairs documents. Reused by the
+    incremental-dedup operator so both derive identical band signatures."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = ensure_parallelism(docs).select("doc_id", F.split("text", " ").alias("ws"))
+    g = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 3 THEN "
+                "transform(sequence(0, size(ws) - 3), "
+                "j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2])) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("g"),
+    )
+    h = g.select("doc_id", F.md5("g").alias("h"))
+    rots = h.select(
+        "doc_id",
+        *[
+            F.expr(f"substr(concat(h, h), {s * 2 + 1}, 16)").alias(f"r{s}")
+            for s in range(_N_HASHES)
+        ],
+    )
+    mins = rots.groupBy("doc_id").agg(
+        *[F.min(f"r{s}").alias(f"mh{s}") for s in range(_N_HASHES)]
+    )
+    band_sigs = [
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.concat(F.lit(f"{s}:"), F.col(f"mh{s}"))
+                            for s in range(b * _BAND_ROWS, (b + 1) * _BAND_ROWS)
+                        ]
+                    )
+                ),
+                "|",
+            )
+        ).alias(f"sig{b}")
+        for b in range(_N_HASHES // _BAND_ROWS)
+    ]
+    return mins.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{s}") for s in range(_N_HASHES)]).alias("arr"),
+        *band_sigs,
+    )
+
+
 @register(
     "minhash_lsh_pairs",
     oracle=_MINHASH_ORACLE,
@@ -125,54 +176,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ReuseExchange with no re-aggregation, and the shuffle is 12× fewer rows —
     the part that compounds at 100 TB).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    ws = ensure_parallelism(docs).select("doc_id", F.split("text", " ").alias("ws"))
-    g = ws.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(ws) >= 3 THEN "
-                "transform(sequence(0, size(ws) - 3), "
-                "j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2])) "
-                "ELSE CAST(array() AS ARRAY<STRING>) END"
-            )
-        ).alias("g"),
-    )
-    h = g.select("doc_id", F.md5("g").alias("h"))
-    rots = h.select(
-        "doc_id",
-        *[
-            F.expr(f"substr(concat(h, h), {s * 2 + 1}, 16)").alias(f"r{s}")
-            for s in range(_N_HASHES)
-        ],
-    )
-    mins = rots.groupBy("doc_id").agg(
-        *[F.min(f"r{s}").alias(f"mh{s}") for s in range(_N_HASHES)]
-    )
-    # band signature mirrors the oracle byte-for-byte: lexicographic sort of
-    # "seed:minhash" strings, '|'-joined, md5'd — built from the wide columns
-    # with a 3-element array_sort instead of a collect_list aggregation
-    band_sigs = [
-        F.md5(
-            F.array_join(
-                F.array_sort(
-                    F.array(
-                        *[
-                            F.concat(F.lit(f"{s}:"), F.col(f"mh{s}"))
-                            for s in range(b * _BAND_ROWS, (b + 1) * _BAND_ROWS)
-                        ]
-                    )
-                ),
-                "|",
-            )
-        ).alias(f"sig{b}")
-        for b in range(_N_HASHES // _BAND_ROWS)
-    ]
-    wide = mins.select(
-        "doc_id",
-        F.array(*[F.col(f"mh{s}") for s in range(_N_HASHES)]).alias("arr"),
-        *band_sigs,
-    )
+    wide = _minhash_wide(spark, sf_dir)
     bands = wide.select(
         "doc_id",
         F.posexplode(
