@@ -218,6 +218,30 @@ def main() -> None:
         t0 = time.perf_counter()
         _timed_save(name)
         timings[name] = round(time.perf_counter() - t0, 3)
+    out_path = os.environ.get(
+        "BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"),
+    )
+
+    def _flush(obj):
+        # write-after-every-phase: a caller timeout mid-sweep still leaves a
+        # complete, parseable result file from the last finished phase
+        with open(out_path, "w") as f:
+            json.dump(obj, f)
+
+    _flush(
+        {
+            "metric": "total_query_wall_time",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "result_rows": out_rows,
+            "sf": sf,
+            "relayout_sec": relayout_sec,
+            "timing_passes": 1,
+            "partial": "first pass only",
+        }
+    )
     passes = 1
     while passes < repeat and time.perf_counter() - sweep_t0 < budget_s:
         for name in names:
@@ -241,6 +265,7 @@ def main() -> None:
         "relayout_sec": relayout_sec,
         "timing_passes": passes,
     }
+    _flush(result)
 
     if os.environ.get("BENCH_DUCKDB", "1") != "0":
         # Same-machine DuckDB comparator on the batch-oracled subset — the
@@ -283,12 +308,7 @@ def main() -> None:
             "queries": duck,
         }
 
-    out_path = os.environ.get(
-        "BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"),
-    )
-    with open(out_path, "w") as f:
-        json.dump(result, f)
+    _flush(result)
     print(json.dumps(result))
     spark.stop()
 
