@@ -141,3 +141,48 @@ def test_dynamic_gap_session_window_matches_model(spark, events):
         )
     )
     assert sorted(map(tuple, got.collect())) == _dyn_sessions_model(events)
+
+
+def _reachability_min_labels(edges):
+    """Brute-force reference: min reachable vertex per vertex via BFS."""
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    seen = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, queue = set(), [start]
+        while queue:
+            v = queue.pop()
+            if v in comp:
+                continue
+            comp.add(v)
+            queue.extend(adj[v] - comp)
+        lo = min(comp)
+        for v in comp:
+            out[v] = lo
+        seen |= comp
+    return out
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=0,
+        max_size=120,
+    )
+)
+def test_union_find_matches_reachability(edges):
+    # pure-Python lock for the connected-components driver fast path:
+    # union-by-min with path compression must agree with brute-force BFS
+    # reachability minima on arbitrary graphs (self-loops, duplicates,
+    # multi-edges included)
+    from nexmark_vanilla_flink_spark.operators.graph import _union_find_labels
+
+    got = _union_find_labels(edges)
+    want = _reachability_min_labels(edges)
+    assert got == want
