@@ -457,3 +457,90 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document dedup REWRITE (first occurrence wins, corpus-wide)
+# ---------------------------------------------------------------------------
+
+_REWRITE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+c AS (
+  SELECT doc_id, j,
+         array_to_string(list_slice(ws, j * {_CHUNK_W} + 1,
+                                    (j + 1) * {_CHUNK_W}), ' ') AS chunk
+  FROM (SELECT doc_id, ws,
+               unnest(range(0, CAST(ceil(len(ws) / {_CHUNK_W}.0) AS BIGINT))) AS j
+        FROM w)
+),
+ranked AS (
+  SELECT doc_id, j, chunk,
+         row_number() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, j) AS occ
+  FROM c
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN occ = 1 THEN chunk END, ' ' ORDER BY j),
+                    '')) AS rewritten_fp
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+@register(
+    "chunk_dedup_rewrite",
+    oracle=_REWRITE_ORACLE,
+    tags=("pipeline", "dedup", "text"),
+)
+def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup as a TRANSFORM, not just a measurement: every
+    20-token chunk survives only at its first corpus occurrence (smallest
+    (doc_id, position)); later copies — license blocks, boilerplate,
+    navigation chrome — are dropped and each document is reassembled from
+    its kept chunks in original order. Returns per-doc chunk counts plus
+    the md5 fingerprint of the rewritten text (the full rewritten corpus is
+    the same plan minus the final hash).
+
+    Scale: one exchange on the chunk digest (row_number window decides the
+    global first occurrence — no self-join, no collection per digest), then
+    the per-doc reassembly exchange where order is restored by sorting the
+    in-group chunk structs by position."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = ensure_parallelism(docs).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    c = ws.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(ws) / {_CHUNK_W}.0) AS INT) - 1), "
+                f"j -> concat_ws(' ', slice(ws, j * {_CHUNK_W} + 1, {_CHUNK_W})))"
+            )
+        ).alias("j", "chunk"),
+    )
+    w_occ = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "j")
+    ranked = c.select(
+        "doc_id", "j", "chunk", F.row_number().over(w_occ).alias("occ")
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("occ") == 1, F.struct("j", "chunk")
+                    )
+                )
+            ),
+            lambda s: s.chunk,
+        ),
+        " ",
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.md5(kept_text).alias("rewritten_fp"),
+    )
