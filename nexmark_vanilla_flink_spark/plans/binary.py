@@ -50,3 +50,35 @@ def person_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(path):
         write_person_frames(sf_dir, path)
     return decode_person_frames(spark, path)
+
+
+@register(
+    "bid_binary_decode",
+    oracle="""
+SELECT user_id AS bidder_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS auction_id,
+       value AS price,
+       epoch_ns(ts) // 1000000 AS ts_ms
+FROM events
+WHERE event_type = 'purchase'
+""",
+    tags=("nexmark", "source", "binary", "decode"),
+)
+def bid_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the reference's framed 32-byte bid records (8192-byte frames,
+    checksum 0xdeedbeaf; layout long bidderId | long auctionId | double
+    price | long timestamp — BidDesearializationSchema.java:19,38-49). The
+    price double is reconstructed bit-exactly from its IEEE-754 fields with
+    pure column arithmetic; the oracle recomputes the same surface straight
+    from the events table, so any byte-layout or float-reconstruction
+    asymmetry hash-mismatches."""
+    from ..sources.binary import (
+        bid_frames_path,
+        decode_bid_frames,
+        write_bid_frames,
+    )
+
+    path = bid_frames_path(sf_dir)
+    if not os.path.exists(path):
+        write_bid_frames(sf_dir, path)
+    return decode_bid_frames(spark, path)

@@ -156,3 +156,86 @@ def decode_person_frames(spark: SparkSession, path: str) -> DataFrame:
         ),
         F.expr(_u("substring(rec, 199, 8)")).alias("ts_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bid wire format: 32-byte records (reference BidDesearializationSchema.java:
+# 19 — BID_RECORD_SIZE = 8+8+8+8; layout long bidderId | long auctionId |
+# double price | long timestamp; frames of 8192 bytes with the same 16-byte
+# header shape but checksum 0xdeedbeaf, :31-49)
+# ---------------------------------------------------------------------------
+
+BID_RECORD_SIZE = 32
+BID_CHECKSUM = 0xDEEDBEAF
+BIDS_PER_FRAME = (FRAME_SIZE - HEADER_SIZE) // BID_RECORD_SIZE  # 255
+
+
+def write_bid_frames(sf_dir: str, out_path: str) -> str:
+    """Encode every purchase event of ``sf_dir`` as a framed 32-byte bid
+    record (bidder = user_id, auction = props.k, price = value,
+    ts = epoch millis)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT), value, "
+        "epoch_ns(ts) // 1000000 FROM "
+        f"read_parquet('{sf_dir.rstrip('/')}/events.parquet') "
+        "WHERE event_type = 'purchase' ORDER BY event_id"
+    ).fetchall()
+    con.close()
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(out_path))
+    with os.fdopen(fd, "wb") as f:
+        for i in range(0, len(rows), BIDS_PER_FRAME):
+            chunk = rows[i : i + BIDS_PER_FRAME]
+            # unsigned pack: 0xdeedbeaf has the sign bit set — Java's signed
+            # putInt writes the identical four bytes
+            frame = struct.pack(">Iiq", BID_CHECKSUM, len(chunk), len(rows) - i)
+            for bidder, auction, price, ts_ms in chunk:
+                frame += struct.pack(">qqdq", bidder, auction, price, ts_ms)
+            f.write(frame + b"\x00" * (FRAME_SIZE - len(frame)))
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def bid_frames_path(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_person_bin", tag, "bids.bin"
+    )
+
+
+def decode_bid_frames(spark: SparkSession, path: str) -> DataFrame:
+    """Pure-column decode of framed bid binary, including the IEEE-754
+    double: for a positive normal double, (1 + mantissa/2^52) * 2^(exp-1023)
+    is EXACT in double arithmetic (each step is a power-of-two scale), so
+    the decoded price is bit-identical to what the encoder wrote — no UDF,
+    no Python, just conv/hex/shift column expressions."""
+    raw = spark.read.format("binaryFile").load(path).select("content")
+    frames = raw.select(
+        F.expr(
+            f"explode(transform(sequence(0, CAST(length(content)/{FRAME_SIZE} AS INT) - 1),"
+            f" i -> substring(content, i * {FRAME_SIZE} + 1, {FRAME_SIZE})))"
+        ).alias("frame")
+    ).filter(F.expr(_u("substring(frame, 1, 4)")) == BID_CHECKSUM)
+    recs = frames.select(
+        F.expr(
+            f"explode(transform(sequence(0, CAST({_u('substring(frame, 5, 4)')} AS INT) - 1),"
+            f" i -> substring(frame, {HEADER_SIZE} + i * {BID_RECORD_SIZE} + 1,"
+            f" {BID_RECORD_SIZE})))"
+        ).alias("rec")
+    )
+    bits = _u("substring(rec, 17, 8)")
+    price = (
+        f"CASE WHEN {bits} = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        f"(1.0 + CAST(({bits} & 4503599627370495) AS DOUBLE) / 4503599627370496.0)"
+        f" * power(CAST(2.0 AS DOUBLE), CAST(shiftright({bits}, 52) & 2047 AS INT) - 1023)"
+        f" END"
+    )
+    return recs.select(
+        F.expr(_u("substring(rec, 1, 8)")).alias("bidder_id"),
+        F.expr(_u("substring(rec, 9, 8)")).alias("auction_id"),
+        F.expr(price).alias("price"),
+        F.expr(_u("substring(rec, 25, 8)")).alias("ts_ms"),
+    )

@@ -73,3 +73,42 @@ def test_decode_plan_is_udf_free(spark, sf_dir):
     import os
 
     assert os.path.exists(person_frames_path(sf_dir))
+
+
+def test_bid_frames_round_trip_bit_exact_doubles(spark, sf_dir, tmp_path):
+    """The 32-byte bid record (BidDesearializationSchema.java:19,38-49):
+    encoded prices must decode to the IDENTICAL double bits through the
+    pure-column IEEE-754 reconstruction."""
+    import duckdb
+
+    from nexmark_vanilla_flink_spark.sources.binary import (
+        BID_CHECKSUM,
+        BID_RECORD_SIZE,
+        BIDS_PER_FRAME,
+        decode_bid_frames,
+        write_bid_frames,
+    )
+
+    assert BID_RECORD_SIZE == 32 and BIDS_PER_FRAME == 255
+    path = str(tmp_path / "bids.bin")
+    write_bid_frames(sf_dir, path)
+    blob = open(path, "rb").read()
+    assert len(blob) % 8192 == 0
+    assert struct.unpack_from(">I", blob, 0)[0] == BID_CHECKSUM
+    got = {
+        (r.bidder_id, r.auction_id, r.ts_ms): r.price
+        for r in decode_bid_frames(spark, path).collect()
+    }
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT), "
+        "epoch_ns(ts) // 1000000, value FROM "
+        f"read_parquet('{sf_dir}/events.parquet') WHERE event_type = 'purchase'"
+    ).fetchall()
+    con.close()
+    assert len(got) == len(want)
+    for bidder, auction, ts_ms, price in want:
+        # bit-exact: struct round-trip equality, not approximate
+        assert struct.pack(">d", got[(bidder, auction, ts_ms)]) == struct.pack(
+            ">d", price
+        )
