@@ -82,3 +82,41 @@ def bid_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(path):
         write_bid_frames(sf_dir, path)
     return decode_bid_frames(spark, path)
+
+
+@register(
+    "auction_binary_decode",
+    oracle="""
+SELECT event_id AS auction_id,
+       user_id AS seller_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 20 AS category,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS item_id,
+       epoch_ns(ts) // 1000000 AS start_ms,
+       epoch_ns(ts) // 1000000 + 60000 AS end_ms,
+       CAST(round(value * 100) AS BIGINT) AS price_cents,
+       'ITEM_' || CAST(json_extract(props, '$.k') AS BIGINT) AS item_name,
+       'DESC_' || event_id AS description,
+       epoch_ns(ts) // 1000000 AS ts_ms
+FROM events
+WHERE event_type = 'view'
+""",
+    tags=("nexmark", "source", "binary", "decode"),
+)
+def auction_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the reference's framed 269-byte auction records
+    (AuctionsDeserializationSchema.java:14,57-67 — checksum 0x30061992;
+    long id | long pid | byte category | int itemId | long start | long end
+    | int price | 20B name | 200B description | long ts). Same pure-column
+    frame/record-explode + conv(hex()) slicing as the person and bid
+    decoders; with this the reference's full binary wire surface
+    (206/269/32-byte records) is reproduced end-to-end."""
+    from ..sources.binary import (
+        auction_frames_path,
+        decode_auction_frames,
+        write_auction_frames,
+    )
+
+    path = auction_frames_path(sf_dir)
+    if not os.path.exists(path):
+        write_auction_frames(sf_dir, path)
+    return decode_auction_frames(spark, path)

@@ -75,6 +75,7 @@ DRIVER_HEAD: list[str] = [
     "incremental_dedup",
     "chunk_dedup_rewrite",
     "bid_binary_decode",
+    "auction_binary_decode",
     # riskiest round-2 change (CC edge checkpoint) plus the new streaming
     # replay and text op; the other r2-touched entries that were
     # driver-green in r1 (minhash_lsh_pairs, corpus_curation, tpch_q16,

@@ -30,6 +30,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.parallelism import ensure_parallelism
+
 PERSON_RECORD_SIZE = 206
 FRAME_SIZE = 8192
 HEADER_SIZE = 16
@@ -132,6 +134,10 @@ def decode_person_frames(spark: SparkSession, path: str) -> DataFrame:
             f" i -> substring(content, i * {FRAME_SIZE} + 1, {FRAME_SIZE})))"
         ).alias("frame")
     ).filter(F.expr(_u("substring(frame, 1, 4)")) == CHECKSUM)
+    # one binary file scans as one task; the frame rows are tiny, so
+    # spreading them costs nothing and parallelizes the record
+    # explode + byte slicing (the CPU-dense part of the decode)
+    frames = ensure_parallelism(frames)
     recs = frames.select(
         F.expr(
             f"explode(transform(sequence(0, CAST({_u('substring(frame, 5, 4)')} AS INT) - 1),"
@@ -219,6 +225,10 @@ def decode_bid_frames(spark: SparkSession, path: str) -> DataFrame:
             f" i -> substring(content, i * {FRAME_SIZE} + 1, {FRAME_SIZE})))"
         ).alias("frame")
     ).filter(F.expr(_u("substring(frame, 1, 4)")) == BID_CHECKSUM)
+    # one binary file scans as one task; the frame rows are tiny, so
+    # spreading them costs nothing and parallelizes the record
+    # explode + byte slicing (the CPU-dense part of the decode)
+    frames = ensure_parallelism(frames)
     recs = frames.select(
         F.expr(
             f"explode(transform(sequence(0, CAST({_u('substring(frame, 5, 4)')} AS INT) - 1),"
@@ -238,4 +248,110 @@ def decode_bid_frames(spark: SparkSession, path: str) -> DataFrame:
         F.expr(_u("substring(rec, 9, 8)")).alias("auction_id"),
         F.expr(price).alias("price"),
         F.expr(_u("substring(rec, 25, 8)")).alias("ts_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Auction wire format: 269-byte records (reference
+# AuctionsDeserializationSchema.java:14,57-67 — layout long id | long pid |
+# byte category | int itemId | long start | long end | int price |
+# 20B name | 200B description | long timestamp; checksum 0x30061992)
+# ---------------------------------------------------------------------------
+
+AUCTION_RECORD_SIZE = 269
+AUCTION_CHECKSUM = 0x30061992
+AUCTIONS_PER_FRAME = (FRAME_SIZE - HEADER_SIZE) // AUCTION_RECORD_SIZE  # 30
+
+
+def _pad(s: str, n: int) -> bytes:
+    b = s.encode("utf-8")[:n]
+    return b + b" " * (n - len(b))
+
+
+def write_auction_frames(sf_dir: str, out_path: str) -> str:
+    """Encode every view event of ``sf_dir`` as a framed 269-byte auction
+    record (id = event_id, seller = user_id, category = k % 20,
+    item = k, start = epoch ms, end = start + 60 s, price = cents).
+    All derived arithmetic (incl. the cents rounding) runs in DuckDB so the
+    oracle recomputes byte-identical expectations."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT event_id, user_id, "
+        "CAST(json_extract(props, '$.k') AS BIGINT) % 20, "
+        "CAST(json_extract(props, '$.k') AS INTEGER), "
+        "epoch_ns(ts) // 1000000, "
+        "CAST(round(value * 100) AS INTEGER) FROM "
+        f"read_parquet('{sf_dir.rstrip('/')}/events.parquet') "
+        "WHERE event_type = 'view' ORDER BY event_id"
+    ).fetchall()
+    con.close()
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(out_path))
+    with os.fdopen(fd, "wb") as f:
+        for i in range(0, len(rows), AUCTIONS_PER_FRAME):
+            chunk = rows[i : i + AUCTIONS_PER_FRAME]
+            frame = struct.pack(
+                ">iiq", AUCTION_CHECKSUM, len(chunk), len(rows) - i
+            )
+            for eid, uid, cat, item, ms, cents in chunk:
+                frame += struct.pack(
+                    ">qqbiqqi20s200sq",
+                    eid,
+                    uid,
+                    cat,
+                    item,
+                    ms,
+                    ms + 60_000,
+                    cents,
+                    _pad(f"ITEM_{item}", 20),
+                    _pad(f"DESC_{eid}", 200),
+                    ms,
+                )
+            f.write(frame + b"\x00" * (FRAME_SIZE - len(frame)))
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def auction_frames_path(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_person_bin", tag, "auctions.bin"
+    )
+
+
+def decode_auction_frames(spark: SparkSession, path: str) -> DataFrame:
+    """Pure-column decode of framed 269-byte auction records."""
+    raw = spark.read.format("binaryFile").load(path).select("content")
+    frames = raw.select(
+        F.expr(
+            f"explode(transform(sequence(0, CAST(length(content)/{FRAME_SIZE} AS INT) - 1),"
+            f" i -> substring(content, i * {FRAME_SIZE} + 1, {FRAME_SIZE})))"
+        ).alias("frame")
+    ).filter(F.expr(_u("substring(frame, 1, 4)")) == AUCTION_CHECKSUM)
+    # one binary file scans as one task; the frame rows are tiny, so
+    # spreading them costs nothing and parallelizes the record
+    # explode + byte slicing (the CPU-dense part of the decode)
+    frames = ensure_parallelism(frames)
+    recs = frames.select(
+        F.expr(
+            f"explode(transform(sequence(0, CAST({_u('substring(frame, 5, 4)')} AS INT) - 1),"
+            f" i -> substring(frame, {HEADER_SIZE} + i * {AUCTION_RECORD_SIZE} + 1,"
+            f" {AUCTION_RECORD_SIZE})))"
+        ).alias("rec")
+    )
+    return recs.select(
+        F.expr(_u("substring(rec, 1, 8)")).alias("auction_id"),
+        F.expr(_u("substring(rec, 9, 8)")).alias("seller_id"),
+        F.expr(_u("substring(rec, 17, 1)")).alias("category"),
+        F.expr(_u("substring(rec, 18, 4)")).alias("item_id"),
+        F.expr(_u("substring(rec, 22, 8)")).alias("start_ms"),
+        F.expr(_u("substring(rec, 30, 8)")).alias("end_ms"),
+        F.expr(_u("substring(rec, 38, 4)")).alias("price_cents"),
+        F.expr("rtrim(decode(substring(rec, 42, 20), 'UTF-8'))").alias("item_name"),
+        F.expr("rtrim(decode(substring(rec, 62, 200), 'UTF-8'))").alias(
+            "description"
+        ),
+        F.expr(_u("substring(rec, 262, 8)")).alias("ts_ms"),
     )
