@@ -126,6 +126,9 @@ DRIVER_HEAD: list[str] = [
     "nexmark_q15_bidding_stats",
     "nexmark_q16_channel_stats",
     "nexmark_q17_auction_stats",
+    # the five below sit just past this round's 50-cap (the fresh round-2
+    # code above outranks them); they are pytest-oracle-locked every CI run
+    # and queue first for the next round's driver budget
     "nexmark_q18_last_bid",
     "nexmark_q19_auction_top10",
     "nexmark_q20_bid_auction",
