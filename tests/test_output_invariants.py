@@ -152,3 +152,43 @@ def test_variant_props_covers_all_events(spark, sf_dir):
     r = _one(vp, F.sum("n"), F.min("min_k"), F.max("max_k"))
     assert r[0] == n_events  # no event lost to a failed JSON parse
     assert 0 <= r[1] <= r[2]
+
+
+def test_chunk_rewrite_drops_all_of_exact_duplicates(spark, sf_dir):
+    rw = REGISTRY["chunk_dedup_rewrite"].spark(spark, sf_dir)
+    r = _one(rw, F.min(F.col("n_chunks") - F.col("n_kept")), F.min("n_kept"))
+    assert r[0] >= 0 and r[1] >= 0
+    # a non-canonical exact duplicate contains no first-occurrence chunks:
+    # every one of its chunks already appeared in the canonical copy
+    dups = (
+        REGISTRY["dedup_exact_docs"]
+        .spark(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id")
+    )
+    kept_any = rw.join(dups, "doc_id").filter(F.col("n_kept") > 0)
+    assert kept_any.count() == 0
+
+
+def test_incremental_dedup_verdicts_consistent(spark, sf_dir):
+    inc = REGISTRY["incremental_dedup"].spark(spark, sf_dir)
+    # verdict logic is internally consistent and covers only new-batch docs
+    bad = inc.filter(
+        ~(
+            ((F.col("verdict") == "exact") & F.col("exact_canonical").isNotNull())
+            | (
+                (F.col("verdict") == "near")
+                & F.col("exact_canonical").isNull()
+                & (F.col("n_near_corpus") > 0)
+            )
+            | (
+                (F.col("verdict") == "unique")
+                & F.col("exact_canonical").isNull()
+                & (F.col("n_near_corpus") == 0)
+            )
+        )
+        | (F.col("doc_id") % 5 != 4)
+        # the exact canonical must be a corpus doc, never from the new batch
+        | (F.col("exact_canonical") % 5 == 4)
+    )
+    assert bad.count() == 0
