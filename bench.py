@@ -310,6 +310,37 @@ def main() -> None:
 
     _flush(result)
     print(json.dumps(result))
+    # The driver parses a 2000-char stdout TAIL; the full result line above
+    # (111 per-query timings + a 100-entry comparator dict) blows past it.
+    # Emit a compact summary as the very LAST line: same schema, but the
+    # "queries" dict keeps only the slowest entries that fit the budget
+    # (full detail lives in the line above and in bench_result.json).
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf,
+        "timing_passes": passes,
+        "n_queries": len(timings),
+        "queries_full": os.path.basename(out_path),
+    }
+    if "comparator" in result:
+        c = result["comparator"]
+        compact["comparator"] = {
+            "engine": c["engine"],
+            "spark_batch_sec": c["spark_batch_sec"],
+            "duckdb_sec": c["duckdb_sec"],
+            "ratio": c["ratio"],
+            "n": len(c["queries"]),
+        }
+    slowest = sorted(timings, key=timings.get, reverse=True)
+    compact["queries"] = {}
+    for name in slowest:
+        compact["queries"][name] = timings[name]
+        if len(json.dumps(compact)) > 1800:
+            del compact["queries"][name]
+            break
+    print(json.dumps(compact))
     spark.stop()
 
 

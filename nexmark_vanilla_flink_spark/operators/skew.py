@@ -26,8 +26,17 @@ def salted_join(
 
     ``small`` is replicated ``salt``× (keep it the dimension side); output
     columns match a plain ``big.join(small, on, how)``.
+
+    The salt is derived from a hash of the whole big-side row (not
+    ``F.rand``): rand depends on partition layout, so a task retry could
+    route the same row to a different sub-key — harmless for batch
+    aggregation but wrong under streaming exactly-once. A row hash is
+    retry-stable and spreads a hot key's (non-identical) rows just as well.
     """
-    big_s = big.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    big_s = big.withColumn(
+        "_salt",
+        F.pmod(F.hash(*[F.col(c) for c in big.columns], F.lit(42)), F.lit(salt)),
+    )
     small_s = small.withColumn(
         "_salt", F.explode(F.expr(f"sequence(0, {salt - 1})"))
     )

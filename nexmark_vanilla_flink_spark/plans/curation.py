@@ -132,7 +132,8 @@ c AS (
 df AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM c GROUP BY h)
 SELECT c.doc_id,
        count(*) AS n_chunks,
-       sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared_chunks,
+       CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_chunks,
        round(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE), 6) AS shared_fraction
 FROM c JOIN df ON c.h = df.h
@@ -201,14 +202,14 @@ _MIX_ORACLE = """
 WITH per_src AS (
   SELECT lang, source,
          count(*) AS n_docs,
-         sum(len(string_split(text, ' '))) AS n_tokens
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang, source
 )
 SELECT lang, source, n_docs, n_tokens,
-       round(CAST(n_tokens AS DECIMAL(38, 12))
-             / sum(n_tokens) OVER (), 6) AS token_share,
-       round(CAST(sum(n_tokens) OVER () AS DECIMAL(38, 12))
-             / (count(*) OVER () * n_tokens), 6) AS mix_weight
+       CAST(round(CAST(n_tokens AS DECIMAL(38, 12))
+                  / sum(n_tokens) OVER (), 6) AS DOUBLE) AS token_share,
+       CAST(round(CAST(sum(n_tokens) OVER () AS DECIMAL(38, 12))
+                  / (count(*) OVER () * n_tokens), 6) AS DOUBLE) AS mix_weight
 FROM per_src
 """
 
@@ -243,12 +244,14 @@ def domain_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(
-            F.col("n_tokens").cast("decimal(38,12)") / total, 6
-        ).alias("token_share"),
+        F.round(F.col("n_tokens").cast("decimal(38,12)") / total, 6)
+        .cast("double")
+        .alias("token_share"),
         F.round(
             total.cast("decimal(38,12)") / (n_domains * F.col("n_tokens")), 6
-        ).alias("mix_weight"),
+        )
+        .cast("double")
+        .alias("mix_weight"),
     )
 
 
@@ -271,7 +274,8 @@ b AS (
 df AS (SELECT h, count(*) AS df FROM b GROUP BY h)
 SELECT b.doc_id,
        count(*) AS n_distinct_bigrams,
-       sum(CASE WHEN df.df <= {_RARE_DF} THEN 1 ELSE 0 END) AS n_rare_bigrams,
+       CAST(sum(CASE WHEN df.df <= {_RARE_DF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare_bigrams,
        round(sum(CASE WHEN df.df <= {_RARE_DF} THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE), 6) AS rare_fraction
 FROM b JOIN df ON b.h = df.h
@@ -483,7 +487,7 @@ ranked AS (
 )
 SELECT doc_id,
        count(*) AS n_chunks,
-       sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS n_kept,
+       CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        md5(coalesce(string_agg(CASE WHEN occ = 1 THEN chunk END, ' ' ORDER BY j),
                     '')) AS rewritten_fp
 FROM ranked

@@ -104,11 +104,26 @@ def write_person_frames(sf_dir: str, out_path: str) -> str:
     return out_path
 
 
+def _cache_tag(sf_dir: str, table: str) -> str:
+    """Cache key for the encoded frames: SF basename PLUS a content
+    fingerprint (mtime+size) of the source parquet, so regenerating the
+    testdata under the same directory name — or two sf dirs sharing a
+    basename — can never silently reuse stale encoded bytes."""
+    src = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    st = os.stat(src)
+    return (
+        f"{os.path.basename(sf_dir.rstrip('/'))}-"
+        f"{int(st.st_mtime)}-{st.st_size}"
+    )
+
+
 def person_frames_path(sf_dir: str) -> str:
-    """Deterministic per-SF cache path for the encoded frame file."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    """Deterministic per-SF, content-fingerprinted cache path."""
     return os.path.join(
-        tempfile.gettempdir(), "spark_graft_person_bin", tag, "persons.bin"
+        tempfile.gettempdir(),
+        "spark_graft_person_bin",
+        _cache_tag(sf_dir, "customer"),
+        "persons.bin",
     )
 
 
@@ -206,17 +221,44 @@ def write_bid_frames(sf_dir: str, out_path: str) -> str:
 
 
 def bid_frames_path(sf_dir: str) -> str:
-    tag = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(
-        tempfile.gettempdir(), "spark_graft_person_bin", tag, "bids.bin"
+        tempfile.gettempdir(),
+        "spark_graft_person_bin",
+        _cache_tag(sf_dir, "events"),
+        "bids.bin",
+    )
+
+
+def _ieee754_double(bytes_expr: str) -> str:
+    """SQL expression decoding an 8-byte big-endian slice as an IEEE-754
+    double, covering the FULL domain: sign, normals, subnormals, ±0,
+    ±Infinity and NaN. The bit pattern is split into two unsigned 32-bit
+    halves (each fits BIGINT — a single conv() of 8 sign-bit-set bytes would
+    exceed BIGINT and CAST to NULL). Every arithmetic step is a power-of-two
+    scale of an exactly-representable value, so the reconstruction is
+    bit-exact: normals as sign·(1+frac/2^52)·2^(exp-1023), subnormals (and
+    signed zero) as sign·(frac/2^52)·2^-1022 — the final product rounds to
+    the exact subnormal it denotes."""
+    hi = _u(f"substring({bytes_expr}, 1, 4)")
+    lo = _u(f"substring({bytes_expr}, 5, 4)")
+    sign = f"(CASE WHEN shiftright({hi}, 31) = 1 THEN -1.0 ELSE 1.0 END)"
+    exp = f"CAST(shiftright({hi}, 20) & 2047 AS INT)"
+    frac = f"(({hi} & 1048575) * 4294967296 + {lo})"
+    return (
+        f"CASE WHEN {exp} = 2047 AND {frac} = 0 THEN {sign} * CAST('Infinity' AS DOUBLE) "
+        f"WHEN {exp} = 2047 THEN CAST('NaN' AS DOUBLE) "
+        f"WHEN {exp} = 0 THEN {sign} * (CAST({frac} AS DOUBLE) / 4503599627370496.0)"
+        f" * power(CAST(2.0 AS DOUBLE), -1022) "
+        f"ELSE {sign} * (1.0 + CAST({frac} AS DOUBLE) / 4503599627370496.0)"
+        f" * power(CAST(2.0 AS DOUBLE), {exp} - 1023) END"
     )
 
 
 def decode_bid_frames(spark: SparkSession, path: str) -> DataFrame:
     """Pure-column decode of framed bid binary, including the IEEE-754
-    double: for a positive normal double, (1 + mantissa/2^52) * 2^(exp-1023)
-    is EXACT in double arithmetic (each step is a power-of-two scale), so
-    the decoded price is bit-identical to what the encoder wrote — no UDF,
+    double price via ``_ieee754_double`` (full domain: sign bit, normals,
+    subnormals, ±0, ±Inf, NaN — every step a power-of-two scale, so the
+    decoded price is bit-identical to what the encoder wrote) — no UDF,
     no Python, just conv/hex/shift column expressions."""
     raw = spark.read.format("binaryFile").load(path).select("content")
     frames = raw.select(
@@ -236,17 +278,10 @@ def decode_bid_frames(spark: SparkSession, path: str) -> DataFrame:
             f" {BID_RECORD_SIZE})))"
         ).alias("rec")
     )
-    bits = _u("substring(rec, 17, 8)")
-    price = (
-        f"CASE WHEN {bits} = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
-        f"(1.0 + CAST(({bits} & 4503599627370495) AS DOUBLE) / 4503599627370496.0)"
-        f" * power(CAST(2.0 AS DOUBLE), CAST(shiftright({bits}, 52) & 2047 AS INT) - 1023)"
-        f" END"
-    )
     return recs.select(
         F.expr(_u("substring(rec, 1, 8)")).alias("bidder_id"),
         F.expr(_u("substring(rec, 9, 8)")).alias("auction_id"),
-        F.expr(price).alias("price"),
+        F.expr(_ieee754_double("substring(rec, 17, 8)")).alias("price"),
         F.expr(_u("substring(rec, 25, 8)")).alias("ts_ms"),
     )
 
@@ -315,9 +350,11 @@ def write_auction_frames(sf_dir: str, out_path: str) -> str:
 
 
 def auction_frames_path(sf_dir: str) -> str:
-    tag = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(
-        tempfile.gettempdir(), "spark_graft_person_bin", tag, "auctions.bin"
+        tempfile.gettempdir(),
+        "spark_graft_person_bin",
+        _cache_tag(sf_dir, "events"),
+        "auctions.bin",
     )
 
 

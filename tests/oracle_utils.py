@@ -24,14 +24,21 @@ def duckdb_run(sf_dir: str, sql: str):
 
 
 def _canon_value(v):
-    if isinstance(v, Decimal):
-        v = float(v)
+    # Driver-strict: the driver hashes pandas frames, where HUGEINT becomes
+    # float64/object and DECIMAL stays Decimal — so engine output TYPES must
+    # match, not just values. No Decimal→float coercion, no float rounding:
+    # a type or ULP mismatch here would hash-fail at the driver too.
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # driver-style rounding guard; our queries already round explicitly
-        return round(v, 9)
-    return v
+        return ("float", "NaN" if math.isnan(v) else v)
+    if isinstance(v, Decimal):
+        return ("decimal", str(v))
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v))
+    return (type(v).__name__, v)
 
 
 def canonicalize(cols: list[str], rows: list[tuple]) -> list[tuple]:

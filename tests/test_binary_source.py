@@ -112,3 +112,45 @@ def test_bid_frames_round_trip_bit_exact_doubles(spark, sf_dir, tmp_path):
         assert struct.pack(">d", got[(bidder, auction, ts_ms)]) == struct.pack(
             ">d", price
         )
+
+
+def test_ieee754_full_domain_decode(spark, tmp_path):
+    """The column IEEE-754 decoder is a GENERAL wire decoder: sign-bit-set
+    values, subnormals (incl. the minimum 2^-1074), signed zero, ±Inf and
+    NaN must all reconstruct bit-exactly (not just the positive normals the
+    generated prices happen to use)."""
+    import math
+
+    from nexmark_vanilla_flink_spark.sources.binary import (
+        BID_CHECKSUM,
+        FRAME_SIZE,
+        decode_bid_frames,
+    )
+
+    vals = [
+        0.0,
+        -0.0,
+        1.5,
+        -273.15,
+        5e-324,  # min subnormal
+        -5e-324,
+        2.2250738585072009e-308,  # max subnormal
+        2.2250738585072014e-308,  # min normal
+        1.7976931348623157e308,  # max double
+        -1.7976931348623157e308,
+        math.inf,
+        -math.inf,
+        math.nan,
+        3.141592653589793,
+        -1e-200,
+    ]
+    frame = struct.pack(">Iiq", BID_CHECKSUM, len(vals), len(vals))
+    for i, v in enumerate(vals):
+        frame += struct.pack(">qqdq", i, i * 10, v, i * 100)
+    path = str(tmp_path / "edge_bids.bin")
+    with open(path, "wb") as f:
+        f.write(frame + b"\x00" * (FRAME_SIZE - len(frame)))
+    got = {r.bidder_id: r.price for r in decode_bid_frames(spark, path).collect()}
+    assert len(got) == len(vals)
+    for i, v in enumerate(vals):
+        assert struct.pack(">d", got[i]) == struct.pack(">d", v), (i, v, got[i])
