@@ -19,6 +19,8 @@ Scale notes: these are the operators that actually matter at 100 TB —
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -456,8 +458,19 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one explode (3 rows/doc), one hash shuffle on the band key,
     per-bucket pairing bounded by bucket size, popcount verification inline
     (bit_count(simhash XOR simhash)) — sub-quadratic end to end, no UDF.
-    At 64-bit production width the same plan reads 3-4 wider bands; a
-    residual hot bucket beyond AQE's skew split would take the salted
+
+    Oversized-bucket guard (candidate pairs grow as Σ bucket², and a
+    hard-clustering corpus can put most docs in one bucket — measured
+    10.5 K → 4.0 M candidates at 64× data before this guard): buckets over
+    SIMHASH_BUCKET_CAP docs are RE-BANDED on the fingerprint bits the band
+    does NOT cover. Recall stays exact by the same pigeonhole: a pair in the
+    bucket already agrees on the band's bits, so its ≤2 differing bits all
+    lie in the remaining 21-22 bits — split those into 3 sub-bands and at
+    least one sub-band matches. Small buckets pair directly; the two paths
+    union before the popcount filter, so the output (and the oracle) is
+    unchanged. The per-bucket size comes from a count window over the SAME
+    (band, band_val) key the join shuffles on — no extra exchange. A
+    residual hot sub-bucket beyond AQE's skew split would take the salted
     replicate-join (operators/skew.py)."""
     docs = load_table(spark, sf_dir, "documents")
     hashed = ensure_parallelism(docs).select(
@@ -491,19 +504,49 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE (simhash32 >> 22) & 1023 END"
         ),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    cap = int(os.environ.get("SIMHASH_BUCKET_CAP", "256"))
+    banded = banded.withColumn(
+        "bsize",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "band_val")),
+    )
+    small = banded.filter(F.col("bsize") <= cap)
+    # the band's complement bits, packed contiguously (21-22 bits), then
+    # split 7/7/rest — any in-bucket pair's ≤2 differing bits hit ≥1 sub-band
+    big = (
+        banded.filter(F.col("bsize") > cap)
+        .withColumn(
+            "rem",
+            F.expr(
+                "CASE band WHEN 0 THEN simhash32 >> 11 "
+                "WHEN 1 THEN (simhash32 & 2047) | ((simhash32 >> 22) << 11) "
+                "ELSE simhash32 & 4194303 END"
+            ),
         )
-        .select(
+        .withColumn("sub", F.explode(F.sequence(F.lit(0), F.lit(2))))
+        .withColumn(
+            "sub_val",
+            F.expr(
+                "CASE sub WHEN 0 THEN rem & 127 "
+                "WHEN 1 THEN (rem >> 7) & 127 ELSE rem >> 14 END"
+            ),
+        )
+        .drop("rem")
+    )
+
+    def _pairs(frame: DataFrame, keys: list[str]) -> DataFrame:
+        a, b = frame.alias("a"), frame.alias("b")
+        cond = F.col("a.doc_id") < F.col("b.doc_id")
+        for k in keys:
+            cond &= F.col(f"a.{k}") == F.col(f"b.{k}")
+        return a.join(b, cond).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.expr("bit_count(a.simhash32 ^ b.simhash32)").alias("hamming"),
         )
+
+    return (
+        _pairs(small, ["band", "band_val"])
+        .unionAll(_pairs(big, ["band", "band_val", "sub", "sub_val"]))
         .filter(F.col("hamming") <= 2)
         .distinct()
     )

@@ -138,22 +138,34 @@ def _s(pos: int) -> str:
     return f"rtrim(decode(substring(rec, {pos}, 32), 'UTF-8'))"
 
 
-def decode_person_frames(spark: SparkSession, path: str) -> DataFrame:
-    """Pure-column decode of framed person binary: one ``binaryFile`` row per
-    file → explode frames → checksum filter → explode records (count from
-    each frame's own header) → slice fields → P5 derived columns."""
+def _explode_file_frames(spark: SparkSession, path: str) -> DataFrame:
+    """binaryFile scan → one 8192-byte ``frame`` row per frame. One binary
+    file scans as one task; the frame rows are tiny, so spreading them costs
+    nothing and parallelizes the record explode + byte slicing (the
+    CPU-dense part of the decode)."""
     raw = spark.read.format("binaryFile").load(path).select("content")
     frames = raw.select(
         F.expr(
             f"explode(transform(sequence(0, CAST(length(content)/{FRAME_SIZE} AS INT) - 1),"
             f" i -> substring(content, i * {FRAME_SIZE} + 1, {FRAME_SIZE})))"
         ).alias("frame")
-    ).filter(F.expr(_u("substring(frame, 1, 4)")) == CHECKSUM)
-    # one binary file scans as one task; the frame rows are tiny, so
-    # spreading them costs nothing and parallelizes the record
-    # explode + byte slicing (the CPU-dense part of the decode)
-    frames = ensure_parallelism(frames)
-    recs = frames.select(
+    )
+    return ensure_parallelism(frames)
+
+
+def decode_person_frame_col(frames: DataFrame) -> DataFrame:
+    """Decode a DataFrame holding ONE frame per row in a binary ``frame``
+    column — exactly the shape a Kafka consumer sees (the reference
+    publishes whole 8 KiB frames as message values and its deserializer
+    walks header + records per message,
+    PersonDeserializationSchema.java:26-104). Shared verbatim by the file
+    decoder and the Kafka value decoder (streaming/sources.py), so the wire
+    plan cannot drift between the two ingestion paths. Checksum filter →
+    record explode (count from each frame's own header) → substring slices
+    → P5 derived columns; streaming-safe (projections/filters only)."""
+    recs = frames.filter(
+        F.expr(_u("substring(frame, 1, 4)")) == CHECKSUM
+    ).select(
         F.expr(
             f"explode(transform(sequence(0, CAST({_u('substring(frame, 5, 4)')} AS INT) - 1),"
             f" i -> substring(frame, {HEADER_SIZE} + i * {PERSON_RECORD_SIZE} + 1,"
@@ -177,6 +189,13 @@ def decode_person_frames(spark: SparkSession, path: str) -> DataFrame:
         ),
         F.expr(_u("substring(rec, 199, 8)")).alias("ts_ms"),
     )
+
+
+def decode_person_frames(spark: SparkSession, path: str) -> DataFrame:
+    """Pure-column decode of framed person binary FILES: explode the file
+    into frames, then the same per-frame column plan the Kafka consumer
+    uses (``decode_person_frame_col``)."""
+    return decode_person_frame_col(_explode_file_frames(spark, path))
 
 
 # ---------------------------------------------------------------------------
@@ -254,24 +273,16 @@ def _ieee754_double(bytes_expr: str) -> str:
     )
 
 
-def decode_bid_frames(spark: SparkSession, path: str) -> DataFrame:
-    """Pure-column decode of framed bid binary, including the IEEE-754
-    double price via ``_ieee754_double`` (full domain: sign bit, normals,
-    subnormals, ±0, ±Inf, NaN — every step a power-of-two scale, so the
-    decoded price is bit-identical to what the encoder wrote) — no UDF,
-    no Python, just conv/hex/shift column expressions."""
-    raw = spark.read.format("binaryFile").load(path).select("content")
-    frames = raw.select(
-        F.expr(
-            f"explode(transform(sequence(0, CAST(length(content)/{FRAME_SIZE} AS INT) - 1),"
-            f" i -> substring(content, i * {FRAME_SIZE} + 1, {FRAME_SIZE})))"
-        ).alias("frame")
-    ).filter(F.expr(_u("substring(frame, 1, 4)")) == BID_CHECKSUM)
-    # one binary file scans as one task; the frame rows are tiny, so
-    # spreading them costs nothing and parallelizes the record
-    # explode + byte slicing (the CPU-dense part of the decode)
-    frames = ensure_parallelism(frames)
-    recs = frames.select(
+def decode_bid_frame_col(frames: DataFrame) -> DataFrame:
+    """Per-frame column decode of 32-byte bid records, including the
+    IEEE-754 double price via ``_ieee754_double`` (full domain: sign bit,
+    normals, subnormals, ±0, ±Inf, NaN — every step a power-of-two scale,
+    so the decoded price is bit-identical to what the encoder wrote) — no
+    UDF, just conv/hex/shift column expressions. Shared by the file decoder
+    and the Kafka value decoder; streaming-safe."""
+    recs = frames.filter(
+        F.expr(_u("substring(frame, 1, 4)")) == BID_CHECKSUM
+    ).select(
         F.expr(
             f"explode(transform(sequence(0, CAST({_u('substring(frame, 5, 4)')} AS INT) - 1),"
             f" i -> substring(frame, {HEADER_SIZE} + i * {BID_RECORD_SIZE} + 1,"
@@ -284,6 +295,11 @@ def decode_bid_frames(spark: SparkSession, path: str) -> DataFrame:
         F.expr(_ieee754_double("substring(rec, 17, 8)")).alias("price"),
         F.expr(_u("substring(rec, 25, 8)")).alias("ts_ms"),
     )
+
+
+def decode_bid_frames(spark: SparkSession, path: str) -> DataFrame:
+    """File variant: explode frames, then the shared per-frame plan."""
+    return decode_bid_frame_col(_explode_file_frames(spark, path))
 
 
 # ---------------------------------------------------------------------------
@@ -358,20 +374,12 @@ def auction_frames_path(sf_dir: str) -> str:
     )
 
 
-def decode_auction_frames(spark: SparkSession, path: str) -> DataFrame:
-    """Pure-column decode of framed 269-byte auction records."""
-    raw = spark.read.format("binaryFile").load(path).select("content")
-    frames = raw.select(
-        F.expr(
-            f"explode(transform(sequence(0, CAST(length(content)/{FRAME_SIZE} AS INT) - 1),"
-            f" i -> substring(content, i * {FRAME_SIZE} + 1, {FRAME_SIZE})))"
-        ).alias("frame")
-    ).filter(F.expr(_u("substring(frame, 1, 4)")) == AUCTION_CHECKSUM)
-    # one binary file scans as one task; the frame rows are tiny, so
-    # spreading them costs nothing and parallelizes the record
-    # explode + byte slicing (the CPU-dense part of the decode)
-    frames = ensure_parallelism(frames)
-    recs = frames.select(
+def decode_auction_frame_col(frames: DataFrame) -> DataFrame:
+    """Per-frame column decode of 269-byte auction records. Shared by the
+    file decoder and the Kafka value decoder; streaming-safe."""
+    recs = frames.filter(
+        F.expr(_u("substring(frame, 1, 4)")) == AUCTION_CHECKSUM
+    ).select(
         F.expr(
             f"explode(transform(sequence(0, CAST({_u('substring(frame, 5, 4)')} AS INT) - 1),"
             f" i -> substring(frame, {HEADER_SIZE} + i * {AUCTION_RECORD_SIZE} + 1,"
@@ -392,3 +400,8 @@ def decode_auction_frames(spark: SparkSession, path: str) -> DataFrame:
         ),
         F.expr(_u("substring(rec, 262, 8)")).alias("ts_ms"),
     )
+
+
+def decode_auction_frames(spark: SparkSession, path: str) -> DataFrame:
+    """File variant: explode frames, then the shared per-frame plan."""
+    return decode_auction_frame_col(_explode_file_frames(spark, path))

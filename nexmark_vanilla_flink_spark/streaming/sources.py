@@ -100,6 +100,77 @@ def _kafka_raw_stream(
     )
 
 
+def _kafka_raw_binary_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str,
+) -> DataFrame:
+    """readStream.format("kafka") keeping the value as BINARY — the shape
+    the reference's framed wire formats need (each Kafka message value is
+    one 8192-byte frame; NexmarkQuery8.java:506-539 consumes them per
+    message). Connector-gated like the JSON variant."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(F.col("value").alias("frame"))
+
+
+def stream_kafka_binary_persons(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "nexmark-persons",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka ingestion of the reference's FRAMED BINARY person wire format
+    (S5: 8 KiB frames of 206-byte records,
+    PersonDeserializationSchema.java:26-104): message value = one frame,
+    decoded by the IDENTICAL column plan as the file decoder
+    (sources.binary.decode_person_frame_col — conv(hex()) slices, zero
+    Python), so file replay and brokered ingestion cannot drift. The
+    broker-less round-trip proof is tests/test_kafka_binary.py."""
+    from ..sources.binary import decode_person_frame_col
+
+    return decode_person_frame_col(
+        _kafka_raw_binary_stream(spark, bootstrap_servers, topic, starting_offsets)
+    )
+
+
+def stream_kafka_binary_bids(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "nexmark-bids",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Framed binary bid ingestion (32-byte records, checksum 0xdeedbeaf,
+    BidDesearializationSchema.java:19,38-49) — shared column plan with the
+    file decoder, including the bit-exact IEEE-754 price reconstruction."""
+    from ..sources.binary import decode_bid_frame_col
+
+    return decode_bid_frame_col(
+        _kafka_raw_binary_stream(spark, bootstrap_servers, topic, starting_offsets)
+    )
+
+
+def stream_kafka_binary_auctions(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "nexmark-auctions",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Framed binary auction ingestion (269-byte records,
+    AuctionsDeserializationSchema.java:14,57-67)."""
+    from ..sources.binary import decode_auction_frame_col
+
+    return decode_auction_frame_col(
+        _kafka_raw_binary_stream(spark, bootstrap_servers, topic, starting_offsets)
+    )
+
+
 def stream_kafka_events(
     spark: SparkSession,
     bootstrap_servers: str,
