@@ -59,17 +59,27 @@ def connected_components(
     graph (measured at sf0.1: 0.5-0.75 s per round for a 524-edge frame).
     The label map goes back as a broadcast join onto the vertex frame. Above
     the bound, the distributed min-label loop below handles graphs of any
-    size — same contract, same results."""
-    # Fast path: ONE evaluation of the edge pipeline, collected up to the
-    # bound (CollectLimit stops pulling partitions once it has limit rows,
-    # so a huge graph costs one truncated pass before falling back). No
-    # symmetrization needed — union-find treats edges as undirected.
-    _fastpath_probe = (
+    size — same contract, same results (both paths emit exactly the
+    ``vertices`` set: labels are semi-joined back against it)."""
+    # Materialize the symmetrized edge frame ONCE, BEFORE the fast-path
+    # probe. For dedup_clusters the upstream DAG is the full MinHash-LSH
+    # candidate pipeline (shingle -> minhash -> band self-join); the
+    # checkpoint (a) keeps each loop iteration from replaying it, and
+    # (b) lets the bounded probe below read the already-materialized frame —
+    # the earlier shape probed the raw edge DAG with a truncated CollectLimit
+    # pass and then re-evaluated the whole upstream for the checkpoint
+    # exactly in the large-graph case.
+    sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .limit(driver_max_edges + 1)
-        .collect()
+        .unionByName(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .localCheckpoint()
     )
-    if len(_fastpath_probe) <= driver_max_edges:
+    # Fast path: bounded collect of the checkpointed frame (2 rows/edge, so
+    # the bound doubles); union-find treats duplicates/direction as noise.
+    _fastpath_probe = sym.limit(2 * driver_max_edges + 1).collect()
+    if len(_fastpath_probe) <= 2 * driver_max_edges:
         label_map = _union_find_labels((r[0], r[1]) for r in _fastpath_probe)
         spark = vertices.sparkSession
         if not label_map:
@@ -87,20 +97,6 @@ def connected_components(
         ).select(
             "id", F.coalesce(F.col("root"), F.col("id")).alias("cluster_id")
         )
-
-    sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-        )
-        # Materialize the edge frame ONCE. For dedup_clusters the upstream DAG
-        # is the full MinHash-LSH candidate pipeline (shingle -> minhash ->
-        # band self-join); without this checkpoint every iteration (and the
-        # per-iteration convergence aggregate) replays that DAG from the
-        # parquet scan, which multiplies the most expensive stage by the
-        # iteration count at scale.
-        .localCheckpoint()
-    )
     # Only edge ENDPOINTS can ever change label — isolated vertices keep
     # their own id by definition, so they stay out of the loop entirely and
     # are unioned back at the end. On a near-dup graph this shrinks the
@@ -138,8 +134,16 @@ def connected_components(
     isolated = vertices.select(F.col(vertex_col).alias("id")).join(
         endpoints, "id", "left_anti"
     )
-    out = labels.select("id", F.col("label").alias("cluster_id")).unionByName(
-        isolated.select("id", F.col("id").alias("cluster_id"))
+    # semi-join the endpoint labels back against `vertices` so the output is
+    # exactly the vertex set on BOTH paths — without it, edges referencing
+    # vertices outside `vertices` would leak extra rows here but not in the
+    # driver fast path
+    out = (
+        labels.select("id", F.col("label").alias("cluster_id"))
+        .join(
+            vertices.select(F.col(vertex_col).alias("id")), "id", "left_semi"
+        )
+        .unionByName(isolated.select("id", F.col("id").alias("cluster_id")))
     )
     # hand the caller a plan that no longer pins the persisted iteration
     # frame (bench runs sweep hundreds of these)

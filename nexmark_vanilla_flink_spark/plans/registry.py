@@ -49,91 +49,69 @@ REGISTRY: dict[str, Query] = {}
 # this round. The remainder follows in module-import order. Entries that fall
 # past the cap are still oracled every CI run by tests/test_oracle_parity.py
 # and were driver-green in a prior round's CORRECTNESS_r*.json.
+# Round-3 head (rotation policy: COVERAGE.md "Driver-gate rotation").
+# Tier 1 — the 12 entries never driver-checked in any round (r1/r2 cap
+# casualties; closing VERDICT r2 ask #2). Tier 2 — new this round.
+# Tier 3 — implementation or oracle changed this round. Tier 4 — regression
+# rotation: entries green in r1 but not re-checked in r2 (oldest signal
+# first). approx_user_stats (structurally no_oracle) is demoted past the cap
+# so it stops burning a head slot. Everything below the cap stays
+# pytest-oracle-locked every CI run (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
-    # skipped by the round-1 cap (analytics)
-    "nation_distinct_segments",
-    "events_semi_anti_join",
-    "approx_user_stats",
-    "user_event_gaps",
-    "user_event_pivot",
-    # skipped by the round-1 cap (streaming replays)
-    "q5_hot_items_stream_replay",
-    "sessions_stream_replay",
-    "q8_union_join_lowlevel",
-    "q8_join_stream_replay",
-    "qx_interval_join_stream_replay",
-    "q5_sliding_stream_replay",
-    "cm_stream_replay",
-    "stream_static_enrich",
-    # added in round 2, third session (curation tranche 2 — never
-    # driver-checked, so they outrank everything below)
-    "eval_decontamination",
-    "chunk_dedup_stats",
-    "domain_mixing_weights",
-    "doc_bigram_rarity",
-    "events_variant_props",
-    "incremental_dedup",
-    "chunk_dedup_rewrite",
-    "bid_binary_decode",
-    "auction_binary_decode",
-    # riskiest round-2 change (CC edge checkpoint) plus the new streaming
-    # replay and text op; the other r2-touched entries that were
-    # driver-green in r1 (minhash_lsh_pairs, corpus_curation, tpch_q16,
-    # tpch_q22, the embedding ops) are demoted past the cap — their changes
-    # are regression-locked by tests/test_oracle_parity.py (and re-verified
-    # by hand at sf0.01 this round) so the head budget goes to
-    # never-checked and brand-new entries first
-    "dedup_clusters",
-    "q7_highest_bid_stream_replay",
-    "doc_repetition_scores",
-    # added in round 2
-    "person_binary_decode",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_national_share",
-    "tpch_q9_product_profit",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q20_potential_promotion",
-    "tpch_q11_important_parts",
-    "tpch_q13_order_distribution",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_waiting_suppliers",
-    "bids_asof_profile",
-    # (stratified_sample demoted past the cap: a zero-shuffle md5-nibble
-    # filter whose only cross-engine risk — md5 bytes — is exercised by a
-    # dozen head entries already)
-    "doc_top_terms",
-    "token_budget_packing",
-    # added in round 2, continued session (canonical public Nexmark queries
-    # — with nexmark_suite2 this completes the public q0-q22 catalog)
-    # q1/q2 (trivial projection/filter, pytest-locked, shape covered by
-    # q14/q22 below) yield their slots to the higher-risk new entries
-    "events_cube",
-    "hot_items_salted_join",
-    # (q3 — plain filtered equi-join projection, the join family is
-    # head-covered by q8/q11/q13-tpch — and q7 — max_by arg-max, same
-    # family as the r1-gate-green highest_bid_per_window — yield their
-    # slots so the regex/URL queries q19-q22 fit under the 50-cap)
-    "nexmark_q4_category_avg",
-    "nexmark_q6_seller_avg",
-    # (q0 passthrough yields its head slot to simhash_neardup_pairs — the
-    # trivial projection is pytest-parity-locked and shape-identical to
-    # q2/q22 which stay under the gate)
-    "simhash_neardup_pairs",
-    "nexmark_q9_winning_bid_rows",
-    "nexmark_q10_log_partitioned",
-    "nexmark_q14_calculation",
-    "nexmark_q15_bidding_stats",
-    "nexmark_q16_channel_stats",
-    "nexmark_q17_auction_stats",
-    # the five below sit just past this round's 50-cap (the fresh round-2
-    # code above outranks them); they are pytest-oracle-locked every CI run
-    # and queue first for the next round's driver budget
+    # --- tier 1: never driver-checked ---
+    "nexmark_q0_passthrough",
+    "nexmark_q1_currency",
+    "nexmark_q2_selection",
+    "nexmark_q3_local_suggest",
+    "nexmark_q7_highest_bid",
+    "nexmark_q13_side_input_join",
     "nexmark_q18_last_bid",
     "nexmark_q19_auction_top10",
     "nexmark_q20_bid_auction",
     "nexmark_q21_channel_id",
     "nexmark_q22_url_dirs",
+    "stratified_sample",
+    # --- tier 2: added in round 3 ---
+    "exactly_once_sink_replay",
+    # --- tier 3: implementation/oracle changed in round 3 ---
+    "chunk_dedup_stats",       # oracle typing fix (r2 hash-fail)
+    "domain_mixing_weights",   # oracle typing fix (r2 hash-fail)
+    "doc_bigram_rarity",       # oracle typing fix (r2 hash-fail)
+    "chunk_dedup_rewrite",     # oracle typing fix (r2 hash-fail)
+    "simhash_neardup_pairs",   # oversized-bucket re-banding guard
+    "hot_items_salted_join",   # deterministic row-hash salt
+    "dedup_clusters",          # graph.py probe/semi-join changes
+    "person_binary_decode",    # shared frame-column decode refactor
+    "bid_binary_decode",       # full-domain IEEE-754 decoder
+    "auction_binary_decode",   # shared frame-column decode refactor
+    # --- tier 4: r1-green, not re-checked since ---
+    "q5_hot_items",
+    "q5_sliding",
+    "q8_new_users_auctions",
+    "q11_user_bids",
+    "qx_winning_bids",
+    "sessions_by_bidder",
+    "cm_load_per_job",
+    "highest_bid_per_window",
+    "event_type_stats",
+    "union_tagged_daily",
+    "sessions_dynamic_gap",
+    "q8_left_outer",
+    "grouped_median_pandas",
+    "q5_hot_items_sql",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q12_shipmode_buckets",
+    "tpch_q14_promo_share",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q10_returned_items",
+    "tpch_q18_volume_customers",
+    "tpch_q22_global_acctbal",
+    "tpch_q16_part_suppliers",
+    "dedup_exact_docs",
 ]
 
 

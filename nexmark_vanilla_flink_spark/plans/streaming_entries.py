@@ -228,6 +228,75 @@ REGISTRY["cm_stream_replay"].oracle = _batch_oracle("cm_load_per_job")
 
 
 @register(
+    "exactly_once_sink_replay",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    tags=("streaming", "sink", "exactly-once"),
+)
+def exactly_once_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once THROUGH A CRASH (the reference's
+    CheckpointingMode.EXACTLY_ONCE production surface,
+    NexmarkQuery8.java:454-473): the events table is replayed as 3
+    micro-batches into an idempotent ledgered parquet sink
+    (streaming/runner.py::idempotent_batch_writer); an injected failure
+    kills the query BETWEEN a batch's data write and its ledger commit —
+    the worst-possible crash point — and the query is restarted on the same
+    checkpoint. The restart must skip the committed batches, overwrite the
+    crashed batch's partial data, and commit it once. The oracle then
+    checks the sink holds EXACTLY the input rows — any duplicate or loss
+    from the crash/replay fails the hash."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ..sources.tables import load_table
+    from ..streaming.runner import (
+        idempotent_batch_writer,
+        read_committed,
+        run_foreach_batch,
+    )
+
+    base = tempfile.mkdtemp(prefix="eos_")
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    in_dir = f"{base}/in"
+    src.repartition(3).write.parquet(in_dir)
+
+    def _stream():
+        return (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+
+    out_dir, ck = f"{base}/out", f"{base}/ck"
+    boom = {"armed": True}
+
+    def _pre_commit(batch_id: int) -> None:
+        if batch_id >= 1 and boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError(
+                "injected crash between data write and ledger commit"
+            )
+
+    try:
+        run_foreach_batch(
+            _stream(),
+            idempotent_batch_writer(out_dir, pre_commit_hook=_pre_commit),
+            checkpoint_dir=ck,
+        )
+        raise AssertionError("injected crash did not fire")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # the injected crash — now resume from the same checkpoint
+    run_foreach_batch(
+        _stream(), idempotent_batch_writer(out_dir), checkpoint_dir=ck
+    )
+    return read_committed(spark, out_dir)
+
+
+@register(
     "stream_static_enrich",
     oracle=with_ctes(EV_CTE, PERSONS_CTE, BIDS_CTE)
     + """

@@ -8,6 +8,7 @@ NexmarkQuery8.java:155-217).
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -107,6 +108,91 @@ def with_observed_metrics(sdf: DataFrame, name: str = "nexmark_metrics") -> Data
         name,
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def idempotent_batch_writer(out_dir: str, pre_commit_hook=None):
+    """The exactly-once SINK half of Spark's replay-based model (the
+    reference runs CheckpointingMode.EXACTLY_ONCE end-to-end,
+    NexmarkQuery8.java:454-473; Spark's source replay is exactly-once
+    already — this makes the sink idempotent so replays can't duplicate):
+
+    per micro-batch, (1) if the batch id is already in the ledger, SKIP —
+    the batch was fully committed before a crash and is being replayed;
+    (2) write the batch to its own ``data/batch_id=<id>/`` directory with
+    mode=overwrite — a partially-written directory from a crash mid-write
+    is clobbered, never appended to; (3) atomically record the batch id in
+    the ledger (temp file + rename). Readers (``read_committed``) only see
+    ledgered batches, so every input row lands exactly once no matter where
+    a crash falls. ``pre_commit_hook(batch_id)`` runs between (2) and (3) —
+    the failure-injection point the crash-resume test uses (also a natural
+    fsync/metrics hook).
+
+    On a real cluster the ledger rename needs an atomic store (HDFS rename,
+    a transactional table format, or a conditional object-store put); the
+    batch-directory layout itself is the scale-safe part — each batch is an
+    independent parallel write, no global lock."""
+    data_dir = os.path.join(out_dir, "data")
+    ledger_dir = os.path.join(out_dir, "_ledger")
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        os.makedirs(ledger_dir, exist_ok=True)
+        marker = os.path.join(ledger_dir, f"{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        df.write.mode("overwrite").parquet(
+            os.path.join(data_dir, f"batch_id={batch_id}")
+        )
+        if pre_commit_hook is not None:
+            pre_commit_hook(batch_id)
+        fd, tmp = tempfile.mkstemp(dir=ledger_dir)
+        os.close(fd)
+        os.replace(tmp, marker)
+
+    return _batch
+
+
+def read_committed(spark, out_dir: str) -> DataFrame:
+    """Read back ONLY the ledger-committed batches of an
+    ``idempotent_batch_writer`` sink (uncommitted crash debris is
+    invisible)."""
+    ledger_dir = os.path.join(out_dir, "_ledger")
+    data_dir = os.path.join(out_dir, "data")
+    committed = sorted(
+        int(f[: -len(".done")])
+        for f in os.listdir(ledger_dir)
+        if f.endswith(".done")
+    )
+    if not committed:
+        raise ValueError(f"no committed batches under {out_dir}")
+    paths = [os.path.join(data_dir, f"batch_id={b}") for b in committed]
+    return (
+        spark.read.option("basePath", data_dir).parquet(*paths).drop("batch_id")
+    )
+
+
+def run_foreach_batch(
+    sdf: DataFrame,
+    batch_fn,
+    timeout_s: int = 300,
+    checkpoint_dir: str | None = None,
+):
+    """Drive a foreachBatch sink to completion with Trigger.AvailableNow,
+    re-raising any streaming failure (so injected crashes propagate)."""
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_fb_")
+    q = (
+        sdf.writeStream.foreachBatch(batch_fn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"foreachBatch sink did not finish in {timeout_s}s")
+    if q.exception() is not None:
+        raise q.exception()
+    return q
 
 
 def run_noop(sdf: DataFrame, timeout_s: int = 300):

@@ -186,3 +186,32 @@ def test_union_find_matches_reachability(edges):
     got = _union_find_labels(edges)
     want = _reachability_min_labels(edges)
     assert got == want
+
+
+def test_connected_components_paths_agree_on_foreign_endpoints(spark):
+    """Edges referencing vertices OUTSIDE the vertices frame: both the
+    driver fast path and the distributed loop must emit exactly the vertex
+    set (the foreign endpoint still conducts connectivity, but never
+    appears in the output)."""
+    from nexmark_vanilla_flink_spark.operators.graph import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5]], ["id"])
+    # 99 is not a vertex, but it bridges 2 and 4; 5 is isolated
+    edges = spark.createDataFrame(
+        [(2, 99), (99, 4), (1, 3)], ["src", "dst"]
+    )
+    fast = {
+        (r.id, r.cluster_id)
+        for r in connected_components(vertices, edges).collect()
+    }
+    dist = {
+        (r.id, r.cluster_id)
+        for r in connected_components(
+            vertices, edges, driver_max_edges=0
+        ).collect()
+    }
+    want = {(1, 1), (3, 1), (2, 2), (4, 2), (5, 5)}
+    assert fast == want
+    assert dist == want
