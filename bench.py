@@ -190,7 +190,10 @@ def main() -> None:
     # ("iterative") — for those the work IS in the build. The DuckDB
     # comparator's C++ parse+bind is sub-millisecond and stays inside its
     # timer; the asymmetry worth excluding is Python, not planning.
-    EAGER_TAGS = {"streaming", "sink", "iterative"}
+    # "eager" marks queries whose CONSTRUCTION does real cluster work (e.g.
+    # a localCheckpoint that evaluates at plan-build time) — guarded by
+    # tests/test_bench_guard.py so nothing slips out of the timer silently
+    EAGER_TAGS = {"streaming", "sink", "iterative", "eager"}
 
     def _timed_save(name, cache={}):
         q = REGISTRY[name]

@@ -437,7 +437,10 @@ JOIN banded b
   ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 2
 """,
-    tags=("pipeline", "dedup", "simhash"),
+    # "eager": the lazy localCheckpoint below still evaluates its scan at
+    # plan-build time under AQE, so construction does real work — bench.py
+    # must keep construction inside the timer (tests/test_bench_guard.py)
+    tags=("pipeline", "dedup", "simhash", "eager"),
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash candidate pairing — the dedup step the fingerprints feed:

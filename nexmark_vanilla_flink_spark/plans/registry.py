@@ -73,6 +73,8 @@ DRIVER_HEAD: list[str] = [
     "stratified_sample",
     # --- tier 2: added in round 3 ---
     "exactly_once_sink_replay",
+    "ngram_containment_pairs",
+    "pq_codes",
     # --- tier 3: implementation/oracle changed in round 3 ---
     "chunk_dedup_stats",       # oracle typing fix (r2 hash-fail)
     "domain_mixing_weights",   # oracle typing fix (r2 hash-fail)
@@ -110,8 +112,9 @@ DRIVER_HEAD: list[str] = [
     "tpch_q10_returned_items",
     "tpch_q18_volume_customers",
     "tpch_q22_global_acctbal",
-    "tpch_q16_part_suppliers",
-    "dedup_exact_docs",
+    # (tpch_q16_part_suppliers and dedup_exact_docs — both ever-green —
+    # yield their tier-4 slots to the two new round-3 entries; they queue
+    # first for the next round's rotation)
 ]
 
 

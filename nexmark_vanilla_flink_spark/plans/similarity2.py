@@ -1,0 +1,249 @@
+"""Round-3 similarity/dedup additions (no reference counterpart —
+BASELINE.json north-star operators for the 100 TB curation pipeline):
+
+* asymmetric n-gram CONTAINMENT dedup — catches a document EMBEDDED inside
+  another (quotes, concatenated shards, page-wrapped reposts), which
+  symmetric Jaccard dilutes below threshold when the host document is big;
+* product-quantization (PQ) codes over the embedding column — the memory
+  side of the ANN scale path (`ann_ivf_topk` is the compute side): 64-dim
+  float vectors compress to 4 bytes of codebook ids, and the measured
+  reconstruction error is the quality dial.
+
+Determinism discipline matches `plans/pipeline.py`: md5 digests, doubles
+only through fixed-order folds, round(…, 6) at the end, counts as BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..operators.parallelism import ensure_parallelism
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment near-dup (inverted-index candidate generation)
+# ---------------------------------------------------------------------------
+
+_CONT_N = 3  # 3-word shingles
+_CONT_DF_CAP = 100  # drop shingles in >100 docs: non-discriminative
+_CONT_MIN = 0.8  # emit pairs where either direction's containment ≥ 0.8
+
+_CONTAIN_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         md5(ws[j + 1] || ' ' || ws[j + 2] || ' ' || ws[j + 3]) AS h
+  FROM (SELECT doc_id, ws,
+               unnest(range(0, greatest(len(ws) - {_CONT_N - 1}, 0))) AS j
+        FROM w)
+),
+df AS (SELECT h, count(*) AS df FROM g GROUP BY h),
+gk AS (SELECT g.doc_id, g.h FROM g JOIN df ON g.h = df.h
+       WHERE df.df <= {_CONT_DF_CAP}),
+sizes AS (SELECT doc_id, count(*) AS n FROM gk GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM gk a JOIN gk b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT co.doc_a, co.doc_b,
+       CAST(co.n_shared AS BIGINT) AS n_shared,
+       round(co.n_shared / CAST(sa.n AS DOUBLE), 6) AS cont_a,
+       round(co.n_shared / CAST(sb.n AS DOUBLE), 6) AS cont_b
+FROM co
+JOIN sizes sa ON sa.doc_id = co.doc_a
+JOIN sizes sb ON sb.doc_id = co.doc_b
+WHERE co.n_shared >= {_CONT_MIN} * least(sa.n, sb.n)
+"""
+
+
+@register(
+    "ngram_containment_pairs",
+    oracle=_CONTAIN_ORACLE,
+    tags=("pipeline", "dedup", "text"),
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: pairs where ≥80% of the SMALLER document's
+    distinct 3-word shingles appear in the other document — the
+    embedded-duplicate signal (quotes, concatenations, page chrome around a
+    repost) that symmetric Jaccard misses when the host is much larger.
+    Returns both directions' containments so the curation policy can pick
+    subset-of vs superset-of handling.
+
+    Scale: inverted-index candidate generation — ONE shuffle on the shingle
+    digest; shingles in more than {df_cap} documents are dropped first
+    (prefix-filtering: a shingle shared by thousands of docs identifies
+    nothing and its posting list is the quadratic hazard — the df window
+    rides the same digest exchange). Per-doc sizes come from the same
+    deduped shingle frame; the pair count + two size joins are uniform-key
+    hash joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = ensure_parallelism(docs).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    g = ws.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN size(ws) >= {_CONT_N} THEN "
+                    f"transform(sequence(0, size(ws) - {_CONT_N}), "
+                    "j -> md5(concat_ws(' ', ws[j], ws[j+1], ws[j+2]))) "
+                    "ELSE CAST(array() AS ARRAY<STRING>) END"
+                )
+            )
+        ).alias("h"),
+    )
+    # df on the SAME digest exchange (count window), then the cap filter —
+    # per-doc contributions are 0/1 because shingles were deduped per doc
+    whf = Window.partitionBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gk = g.select(
+        "doc_id", "h", F.count(F.lit(1)).over(whf).alias("df")
+    ).filter(F.col("df") <= _CONT_DF_CAP)
+    sizes = gk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    co = (
+        gk.select("doc_id", "h")
+        .join(
+            gk.select(F.col("doc_id").alias("doc_b"), "h"),
+            "h",
+        )
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        co.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_shared")
+            >= F.lit(_CONT_MIN) * F.least(F.col("na"), F.col("nb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("na").cast("double"), 6).alias(
+                "cont_a"
+            ),
+            F.round(F.col("n_shared") / F.col("nb").cast("double"), 6).alias(
+                "cont_b"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: 64-dim float vectors → 4 codebook ids (+ error)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace (4 × 16 = 64)
+_PQ_K = 16  # centroids per subspace: the subvectors of vec_id 0..15
+
+_PQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, t.s AS s,
+         list_slice(v, t.s * {_PQ_SUB} + 1, (t.s + 1) * {_PQ_SUB}) AS sv
+  FROM e CROSS JOIN range(0, {_PQ_M}) t(s)
+),
+cent AS (
+  SELECT vec_id AS k, s, sv AS cv FROM sub WHERE vec_id < {_PQ_K}
+),
+d AS (
+  SELECT sub.vec_id, sub.s, cent.k,
+         list_aggregate(
+           list_transform(list_zip(sub.sv, cent.cv),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS d2,
+         row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                            ORDER BY list_aggregate(
+                              list_transform(list_zip(sub.sv, cent.cv),
+                                             p -> (p[1] - p[2]) * (p[1] - p[2])),
+                              'sum'), cent.k) AS rn
+  FROM sub JOIN cent ON cent.s = sub.s
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN s = 0 THEN k END) AS BIGINT) AS c0,
+       CAST(max(CASE WHEN s = 1 THEN k END) AS BIGINT) AS c1,
+       CAST(max(CASE WHEN s = 2 THEN k END) AS BIGINT) AS c2,
+       CAST(max(CASE WHEN s = 3 THEN k END) AS BIGINT) AS c3,
+       round(max(CASE WHEN s = 0 THEN d2 END)
+             + max(CASE WHEN s = 1 THEN d2 END)
+             + max(CASE WHEN s = 2 THEN d2 END)
+             + max(CASE WHEN s = 3 THEN d2 END), 6) AS recon_err
+FROM d WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+@register(
+    "pq_codes",
+    oracle=_PQ_ORACLE,
+    tags=("pipeline", "similarity", "quantization"),
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization assignment — the memory half of the ANN scale
+    path: each 64-dim vector splits into 4 subvectors of 16 dims, each
+    assigned to its nearest of 16 deterministic codebook centroids (the
+    subvectors of vec_id 0..15 — a seeded stand-in for trained k-means
+    codebooks; assignment is the scale-critical operator, training is a
+    bounded offline step). Output: 4 code ids (4 bytes replaces 256 bytes
+    of float32 — 64× compression) plus the exact reconstruction error.
+
+    Scale: the codebook is 64 tiny rows — BROADCAST; the corpus streams
+    through one map-side join (16 distance folds per subvector, all
+    zip_with/aggregate JVM expressions), then one argmin window and one
+    per-vector pivot. Distances fold in fixed subvector order on both
+    engines, so the doubles compare exactly. A 100 TB embedding table is
+    one scan + two uniform exchanges."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    sub = e.select(
+        "vec_id",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"),
+    ).select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(v, s * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"),
+    )
+    cent = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("k"), "s", F.col("sv").alias("cv")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    d = sub.join(broadcast(cent), "s").select(
+        "vec_id", "s", "k", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d2", "k")
+    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    def _c(i: int):
+        return F.max(F.when(F.col("s") == i, F.col("k"))).alias(f"c{i}")
+
+    def _e(i: int):
+        return F.max(F.when(F.col("s") == i, F.col("d2")))
+
+    return best.groupBy("vec_id").agg(
+        _c(0),
+        _c(1),
+        _c(2),
+        _c(3),
+        F.round(_e(0) + _e(1) + _e(2) + _e(3), 6).alias("recon_err"),
+    )

@@ -722,7 +722,9 @@ FROM revenue r
 JOIN supplier s ON s.s_suppkey = r.supplier_no
 WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 """,
-    tags=("tpch", "subquery", "view", "agg"),
+    # "eager": the lazy localCheckpoint on the revenue view executes its
+    # shuffle stages at plan-build under AQE (tests/test_bench_guard.py)
+    tags=("tpch", "subquery", "view", "agg", "eager"),
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue view + scalar-max subquery. The quarter
@@ -887,7 +889,8 @@ SELECT p.l_partkey, CAST(p.pc AS DOUBLE) / 100 AS part_value
 FROM per_part p CROSS JOIN tot
 WHERE p.pc * 1000 > tot.tc
 """,
-    tags=("tpch", "agg", "scalar-subquery", "having"),
+    # "eager": lazy localCheckpoint on per_part — see tpch_q15 note
+    tags=("tpch", "agg", "scalar-subquery", "having", "eager"),
 )
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts representing an outsized share (>0.1%) of one
