@@ -463,6 +463,139 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_dedup_stream_replay",
+    oracle=_INCR_ORACLE,
+    tags=("streaming", "dedup", "lsh"),
+)
+def incremental_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production arrival path UNDER STREAMING EXECUTION: newly
+    ingested documents arrive as a STREAM and are checked against the
+    static corpus dedup index (digests + MinHash band signatures) by
+    stream-static broadcast joins — the exact deployment shape (index in a
+    table, arrivals through Kafka/files). Same oracle as the batch
+    `incremental_dedup`, so the streaming engine's execution of the
+    identical semantics sits under the hash gate.
+
+    Streaming-plan notes: the per-doc MinHash signature needs NO
+    aggregation on the stream — a document is one row, so each of the 12
+    rotation-mins folds inside the row (array_min over HOF transforms),
+    producing bit-identical signatures to the batch `_minhash_wide`
+    builder (min over the same string set). Exact/near hits and a
+    self-row per doc union into ONE streaming aggregation (complete mode):
+    Structured Streaming allows a single stateful agg, and this shape
+    needs exactly one."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from .pipeline import _BAND_ROWS, _N_HASHES
+    from ..streaming.runner import run_available_now
+
+    docs_b = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % _NEW_MOD == _NEW_MOD - 1
+
+    # static corpus index (batch side): content digests + band signatures,
+    # band sigs from the SAME _minhash_wide builder as the batch operator
+    from .pipeline import _minhash_wide
+
+    corpus_digests = (
+        docs_b.filter(~is_new)
+        .select(F.col("doc_id").alias("c_id"), F.md5("text").alias("dg"))
+    )
+    corpus_bands = (
+        _minhash_wide(spark, sf_dir)
+        .filter(~is_new)
+        .select(
+            F.col("doc_id").alias("c_id"),
+            F.posexplode(
+                F.array(*[F.col(f"sig{b}") for b in range(_N_HASHES // _BAND_ROWS)])
+            ).alias("band", "sig"),
+        )
+    )
+
+    # streaming side: new docs as a file stream; signatures per ROW
+    schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").schema
+    new = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .filter(is_new)
+        .withColumn(
+            "hs",
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+                "transform(sequence(0, size(split(text, ' ')) - 3), "
+                "j -> md5(concat_ws(' ', split(text, ' ')[j], "
+                "split(text, ' ')[j+1], split(text, ' ')[j+2]))) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            ),
+        )
+    )
+    for s in range(_N_HASHES):
+        new = new.withColumn(
+            f"mh{s}",
+            F.expr(f"array_min(transform(hs, h -> substr(concat(h, h), {s * 2 + 1}, 16)))"),
+        )
+    sig_cols = [
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.concat(F.lit(f"{s}:"), F.col(f"mh{s}"))
+                            for s in range(b * _BAND_ROWS, (b + 1) * _BAND_ROWS)
+                        ]
+                    )
+                ),
+                "|",
+            )
+        ).alias(f"sig{b}")
+        for b in range(_N_HASHES // _BAND_ROWS)
+    ]
+    new = new.select("doc_id", F.md5("text").alias("dg"), *sig_cols)
+
+    exact_hits = (
+        new.select("doc_id", "dg")
+        .join(F.broadcast(corpus_digests), "dg")
+        .select("doc_id", "c_id", F.lit("exact").alias("tag"))
+    )
+    near_hits = (
+        new.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[F.col(f"sig{b}") for b in range(_N_HASHES // _BAND_ROWS)])
+            ).alias("band", "sig"),
+        )
+        .join(F.broadcast(corpus_bands), ["band", "sig"])
+        .select("doc_id", "c_id", F.lit("near").alias("tag"))
+    )
+    self_rows = new.select(
+        "doc_id", F.lit(None).cast("long").alias("c_id"), F.lit("self").alias("tag")
+    )
+    tagged = exact_hits.unionByName(near_hits).unionByName(self_rows)
+    agg = tagged.groupBy("doc_id").agg(
+        F.min(F.when(F.col("tag") == "exact", F.col("c_id"))).alias(
+            "exact_canonical"
+        ),
+        F.size(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("tag") == "near", F.col("c_id")))
+            )
+        )
+        .cast("long")
+        .alias("n_near_corpus"),
+    )
+    out = agg.select(
+        "doc_id",
+        "exact_canonical",
+        "n_near_corpus",
+        F.when(F.col("exact_canonical").isNotNull(), "exact")
+        .when(F.col("n_near_corpus") > 0, "near")
+        .otherwise("unique")
+        .alias("verdict"),
+    )
+    return run_available_now(out, output_mode="complete")
+
+
 # ---------------------------------------------------------------------------
 # Sub-document dedup REWRITE (first occurrence wins, corpus-wide)
 # ---------------------------------------------------------------------------

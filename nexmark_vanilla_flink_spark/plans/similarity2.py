@@ -65,7 +65,8 @@ WHERE co.n_shared >= {_CONT_MIN} * least(sa.n, sb.n)
 @register(
     "ngram_containment_pairs",
     oracle=_CONTAIN_ORACLE,
-    tags=("pipeline", "dedup", "text"),
+    # "eager": the inverted-index checkpoint below evaluates at plan-build
+    tags=("pipeline", "dedup", "text", "eager"),
 )
 def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup: pairs where ≥80% of the SMALLER document's
@@ -75,13 +76,17 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns both directions' containments so the curation policy can pick
     subset-of vs superset-of handling.
 
-    Scale: inverted-index candidate generation — ONE shuffle on the shingle
-    digest; shingles in more than {df_cap} documents are dropped first
-    (prefix-filtering: a shingle shared by thousands of docs identifies
-    nothing and its posting list is the quadratic hazard — the df window
-    rides the same digest exchange). Per-doc sizes come from the same
-    deduped shingle frame; the pair count + two size joins are uniform-key
-    hash joins."""
+    Scale: inverted-index candidate generation. The deduped, df-capped
+    shingle frame IS the inverted index, and it is materialized ONCE
+    (localCheckpoint) — it feeds four consumers (both pair-join sides and
+    both size frames), and without the cut Spark re-derives the
+    explode+md5+df-window stage for each (observed: 4 copies in the
+    physical plan). Production systems write this index to a table for the
+    same reason. Shingles in more than {df_cap} documents are dropped
+    before the join (prefix-filtering: a shingle shared by thousands of
+    docs identifies nothing and its posting list is the quadratic hazard —
+    the df window rides the digest exchange). The pair count + two size
+    joins are uniform-key hash joins off the materialized index."""
     docs = load_table(spark, sf_dir, "documents")
     ws = ensure_parallelism(docs).select(
         "doc_id", F.split("text", " ").alias("ws")
@@ -104,9 +109,12 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whf = Window.partitionBy("h").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    gk = g.select(
-        "doc_id", "h", F.count(F.lit(1)).over(whf).alias("df")
-    ).filter(F.col("df") <= _CONT_DF_CAP)
+    gk = (
+        g.select("doc_id", "h", F.count(F.lit(1)).over(whf).alias("df"))
+        .filter(F.col("df") <= _CONT_DF_CAP)
+        .drop("df")
+        .localCheckpoint(eager=False)
+    )
     sizes = gk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     co = (
         gk.select("doc_id", "h")

@@ -247,3 +247,28 @@ def test_mixing_weights_window_is_post_aggregate(spark, sf_dir):
     assert plan.index("Exchange SinglePartition") < plan.index(
         "HashAggregate(keys=[lang"
     )
+
+
+def test_pq_codes_broadcasts_codebook_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pq_codes")
+    assert "BroadcastHashJoin" in plan  # 64-row codebook builds the hash side
+    assert "Cartesian" not in plan
+    # the argmin rn=1 is pushed below the exchange as a partial group limit
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_containment_materializes_index_once(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ngram_containment_pairs")
+    assert "Cartesian" not in plan
+    # the inverted index (explode + md5 + df window) must be checkpointed
+    # and consumed, not re-derived per consumer: zero Generate/Window nodes
+    # should remain in the final plan (they ran once inside the checkpoint)
+    assert "Generate explode" not in plan
+    assert plan.count("Scan ExistingRDD") >= 1
+
+
+def test_simhash_guard_no_cartesian_and_unions_paths(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "simhash_neardup_pairs")
+    assert "Cartesian" not in plan
+    assert "Union" in plan  # small-bucket direct path + re-banded big path

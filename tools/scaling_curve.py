@@ -42,6 +42,7 @@ QUERIES = [
     "doc_bigram_rarity",
     "dedup_clusters",
     "corpus_curation",
+    "ngram_containment_pairs",
 ]
 
 
