@@ -76,6 +76,7 @@ DRIVER_HEAD: list[str] = [
     "ngram_containment_pairs",
     "pq_codes",
     "incremental_dedup_stream_replay",
+    "multimodal_audio_windows",
     # --- tier 3: implementation/oracle changed in round 3 ---
     "chunk_dedup_stats",       # oracle typing fix (r2 hash-fail)
     "domain_mixing_weights",   # oracle typing fix (r2 hash-fail)
@@ -111,10 +112,10 @@ DRIVER_HEAD: list[str] = [
     "tpch_q14_promo_share",
     "tpch_q2_min_cost_supplier",
     "tpch_q10_returned_items",
-    "tpch_q18_volume_customers",
-    # (tpch_q22_global_acctbal, tpch_q16_part_suppliers and
-    # dedup_exact_docs — all ever-green — yield their tier-4 slots to the
-    # new round-3 entries; they queue first for the next round's rotation)
+    # (tpch_q18_volume_customers, tpch_q22_global_acctbal,
+    # tpch_q16_part_suppliers and dedup_exact_docs — all ever-green —
+    # yield their tier-4 slots to the new round-3 entries; they queue
+    # first for the next round's rotation)
 ]
 
 

@@ -255,3 +255,77 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         _c(3),
         F.round(_e(0) + _e(1) + _e(2) + _e(3), 6).alias("recon_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: audio-style windowed feature extraction over binary payloads
+# ---------------------------------------------------------------------------
+
+_PCM_WIN = 64  # samples per analysis window
+
+
+_PCM_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, j // {_PCM_WIN} AS win,
+         ord(substr(text, CAST(j AS INT) + 1, 1)) AS v
+  FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS j
+        FROM documents)
+)
+SELECT doc_id, win,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(max(v) AS BIGINT) AS peak
+FROM s GROUP BY doc_id, win
+"""
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle=_PCM_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction plumbing: opaque binary payloads decoded as
+    unsigned-8-bit PCM and reduced to per-window energy/peak features — the
+    exact shape of a real audio pipeline (frombuffer → vectorized windowed
+    reductions), with the codec step a deterministic stand-in (payload =
+    the document's utf-8 bytes; swap for a real PCM/ffmpeg decode on a
+    cluster with codecs; the corpus is ASCII so byte values equal the
+    oracle's codepoints). All features are INTEGER-exact (sum of squares,
+    max), so the DuckDB oracle hash-matches bit-for-bit.
+
+    Scale: Arrow-batched mapInPandas; inside each batch the windowed
+    reductions are numpy reduceat calls (no per-window Python loop).
+    Payloads never shuffle — the feature rows (5 small ints per window) are
+    the only thing leaving the scan stage."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = ensure_parallelism(docs).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def _pcm_windows(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "win": [], "n_samples": [], "energy": [], "peak": []}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.int64)
+                if len(a) == 0:
+                    continue
+                idx = np.arange(0, len(a), _PCM_WIN)
+                energy = np.add.reduceat(a * a, idx)
+                peak = np.maximum.reduceat(a, idx)
+                n = np.diff(np.append(idx, len(a)))
+                k = len(idx)
+                out["doc_id"].extend([doc_id] * k)
+                out["win"].extend(range(k))
+                out["n_samples"].extend(n.tolist())
+                out["energy"].extend(energy.tolist())
+                out["peak"].extend(peak.tolist())
+            yield pd.DataFrame(out)
+
+    return payload.mapInPandas(
+        _pcm_windows,
+        schema="doc_id long, win long, n_samples long, energy long, peak long",
+    )
