@@ -77,6 +77,8 @@ DRIVER_HEAD: list[str] = [
     "pq_codes",
     "incremental_dedup_stream_replay",
     "multimodal_audio_windows",
+    "histogram_quantiles",
+    "bottomk_consistent_sample",
     # --- tier 3: implementation/oracle changed in round 3 ---
     "chunk_dedup_stats",       # oracle typing fix (r2 hash-fail)
     "domain_mixing_weights",   # oracle typing fix (r2 hash-fail)
@@ -110,8 +112,9 @@ DRIVER_HEAD: list[str] = [
     "tpch_q4_order_priority",
     "tpch_q12_shipmode_buckets",
     "tpch_q14_promo_share",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q10_returned_items",
+    # (tpch_q2_min_cost_supplier and tpch_q10_returned_items join the other
+    # ever-green tier-4 rotations queued for next round — slots yielded to
+    # the new round-3 entries)
     # (tpch_q18_volume_customers, tpch_q22_global_acctbal,
     # tpch_q16_part_suppliers and dedup_exact_docs — all ever-green —
     # yield their tier-4 slots to the new round-3 entries; they queue

@@ -329,3 +329,137 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pcm_windows,
         schema="doc_id long, win long, n_samples long, energy long, peak long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantiles: the EXACT, mergeable quantile pattern for 100 TB
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 1000
+_HQ_LO, _HQ_HI = 0.0, 500.0  # events.value domain (generator emits 0..~490)
+
+
+_HQ_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         least(CAST(floor((value - {_HQ_LO}) / (({_HQ_HI} - {_HQ_LO}) / {_HQ_BINS})) AS BIGINT),
+               {_HQ_BINS - 1}) AS bin,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM b
+)
+SELECT event_type,
+       CAST(min(CASE WHEN cum >= 0.50 * total THEN bin END) AS BIGINT) AS p50_bin,
+       CAST(min(CASE WHEN cum >= 0.95 * total THEN bin END) AS BIGINT) AS p95_bin,
+       CAST(min(CASE WHEN cum >= 0.99 * total THEN bin END) AS BIGINT) AS p99_bin,
+       CAST(sum(n) AS BIGINT) AS n_rows
+FROM c GROUP BY event_type
+"""
+
+
+@register(
+    "histogram_quantiles",
+    oracle=_HQ_ORACLE,
+    tags=("analytics", "quantile"),
+)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram quantiles — the DETERMINISTIC scale pattern for
+    percentiles over 100 TB (the exact complement to `approx_user_stats`'
+    sketches): bin the value domain into 1000 fixed buckets, one map-side
+    combinable groupBy, then read p50/p95/p99 off the cumulative counts of
+    the (tiny) per-group histogram. Unlike exact sort-based percentiles
+    (global sort = the anti-pattern) or engine-specific sketches
+    (un-oracle-able), the histogram is mergeable, one-pass, and
+    bit-reproducible across engines — resolution is the bin width, chosen
+    by the domain.
+
+    Scale: ONE corpus-sized shuffle of ((event_type, bin), partial count);
+    the quantile windows run over ≤1000 rows per group."""
+    ev = load_table(spark, sf_dir, "events")
+    width = (_HQ_HI - _HQ_LO) / _HQ_BINS
+    b = ev.groupBy(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - _HQ_LO) / width).cast("long"),
+            F.lit(_HQ_BINS - 1),
+        ).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    c = b.select(
+        "event_type",
+        "bin",
+        "n",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wtot).alias("total"),
+    )
+
+    def _q(p: float, name: str):
+        return F.min(
+            F.when(F.col("cum") >= F.lit(p) * F.col("total"), F.col("bin"))
+        ).alias(name)
+
+    return c.groupBy("event_type").agg(
+        _q(0.50, "p50_bin"),
+        _q(0.95, "p95_bin"),
+        _q(0.99, "p99_bin"),
+        F.sum("n").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Consistent bottom-k sampling per group (exact-k, coordination-free)
+# ---------------------------------------------------------------------------
+
+_BK_K = 5
+
+
+_BK_ORACLE = f"""
+SELECT lang, doc_id, rk
+FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+              AS BIGINT) AS rk
+  FROM documents
+)
+WHERE rk <= {_BK_K}
+"""
+
+
+@register(
+    "bottomk_consistent_sample",
+    oracle=_BK_ORACLE,
+    tags=("pipeline", "sampling"),
+)
+def bottomk_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k consistent sampling per group: the k documents per language
+    with the smallest md5(doc_id) — the distributed bottom-k sketch. Unlike
+    rand()-based sampling it is deterministic, replayable across engines
+    and retries, and STABLE UNDER GROWTH: a doc stays sampled until k
+    smaller hashes arrive, so daily re-runs overlap maximally (the property
+    eval-set construction and A/B slicing need). Complements
+    `stratified_sample` (hash-threshold = fractional rate, no exact k) and
+    `deterministic_splits` (partition assignment).
+
+    Scale: the rank rides ONE exchange on the group key, and
+    WindowGroupLimit pushes the k-cutoff below the shuffle (each map task
+    forwards only its local bottom-k) — the classic bottom-k merge, for
+    free from the optimizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= _BK_K)
+    )
