@@ -192,3 +192,68 @@ def test_incremental_dedup_verdicts_consistent(spark, sf_dir):
         | (F.col("exact_canonical") % 5 == 4)
     )
     assert bad.count() == 0
+
+
+def test_containment_bounds_and_threshold(spark, sf_dir):
+    pairs = REGISTRY["ngram_containment_pairs"].spark(spark, sf_dir)
+    bad = pairs.filter(
+        (F.col("doc_a") >= F.col("doc_b"))
+        | (F.col("cont_a") <= 0) | (F.col("cont_a") > 1)
+        | (F.col("cont_b") <= 0) | (F.col("cont_b") > 1)
+        # emission rule: the SMALLER side's containment clears 0.8
+        | (F.greatest("cont_a", "cont_b") < 0.8)
+        | (F.col("n_shared") <= 0)
+    )
+    assert bad.count() == 0
+
+
+def test_pq_codes_cover_every_vector_with_valid_codes(spark, sf_dir):
+    from nexmark_vanilla_flink_spark.sources.tables import load_table
+
+    pq = REGISTRY["pq_codes"].spark(spark, sf_dir)
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert pq.count() == n_vecs
+    bad = pq.filter(
+        (F.col("c0") < 0) | (F.col("c0") >= 16)
+        | (F.col("c1") < 0) | (F.col("c1") >= 16)
+        | (F.col("c2") < 0) | (F.col("c2") >= 16)
+        | (F.col("c3") < 0) | (F.col("c3") >= 16)
+        | (F.col("recon_err") < 0)
+    )
+    assert bad.count() == 0
+    # the codebook vectors themselves must reconstruct exactly (err = 0,
+    # codes = own id): they ARE centroids
+    own = pq.filter(F.col("vec_id") < 16)
+    assert own.filter(
+        (F.col("recon_err") != 0)
+        | (F.col("c0") != F.col("vec_id"))
+        | (F.col("c3") != F.col("vec_id"))
+    ).count() == 0
+
+
+def test_histogram_quantiles_monotone(spark, sf_dir):
+    hq = REGISTRY["histogram_quantiles"].spark(spark, sf_dir)
+    bad = hq.filter(
+        (F.col("p50_bin") > F.col("p95_bin"))
+        | (F.col("p95_bin") > F.col("p99_bin"))
+        | (F.col("n_rows") <= 0)
+    )
+    assert bad.count() == 0
+
+
+def test_bottomk_exact_k_per_group(spark, sf_dir):
+    bk = REGISTRY["bottomk_consistent_sample"].spark(spark, sf_dir)
+    sizes = bk.groupBy("lang").count()
+    # every language has >= 5 docs in the testdata, so exactly k survive
+    assert sizes.filter(F.col("count") != 5).count() == 0
+
+
+def test_audio_windows_energy_peak_consistent(spark, sf_dir):
+    aw = REGISTRY["multimodal_audio_windows"].spark(spark, sf_dir)
+    # peak² ≤ energy ≤ n·peak² and 0 < n_samples ≤ window size
+    bad = aw.filter(
+        (F.col("n_samples") <= 0) | (F.col("n_samples") > 64)
+        | (F.col("energy") < F.col("peak") * F.col("peak"))
+        | (F.col("energy") > F.col("n_samples") * F.col("peak") * F.col("peak"))
+    )
+    assert bad.count() == 0
