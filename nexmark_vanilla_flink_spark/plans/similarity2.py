@@ -463,3 +463,56 @@ def bottomk_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", "doc_id", F.row_number().over(w).cast("long").alias("rk"))
         .filter(F.col("rk") <= _BK_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup telemetry: cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def _source_matrix_oracle() -> str:
+    from .pipeline import _MINHASH_CTES
+
+    return _MINHASH_CTES + """
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = pairs.doc_a
+JOIN documents db ON db.doc_id = pairs.doc_b
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "source_dup_matrix",
+    oracle=_source_matrix_oracle(),
+    tags=("pipeline", "dedup", "analytics"),
+)
+def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup TELEMETRY — which source pairs leak into each other: MinHash
+    near-dup candidate pairs joined back to document metadata and counted
+    per unordered (source, source) pair. The numbers a curation team reads
+    before deciding what to crawl less of and which pipelines re-ingest
+    each other's output; diagonal entries (same source twice) measure
+    intra-source redundancy. Shares the `minhash_lsh_pairs` plan verbatim,
+    so telemetry counts exactly what the dedup pass would drop.
+
+    Scale: the pair frame is tiny relative to the corpus (candidates, not
+    documents); the two metadata joins hash on doc_id (broadcast when the
+    doc dimension fits) and the matrix aggregate has |sources|² keys."""
+    from .pipeline import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ma = meta.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    mb = meta.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
