@@ -516,3 +516,76 @@ def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture-rebalanced sampling: domain weights applied as a deterministic
+# per-document sampling decision
+# ---------------------------------------------------------------------------
+
+_MIX_HEX = 8  # uniform draw = first 8 md5 hex chars / 16^8
+
+
+_MIX_SAMPLE_ORACLE = f"""
+WITH per_src AS (
+  SELECT lang, source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+rates AS (
+  SELECT lang, source,
+         least(CAST(sum(n_tokens) OVER () AS DOUBLE)
+               / (count(*) OVER () * n_tokens), 1.0) AS rate
+  FROM per_src
+)
+SELECT d.doc_id, d.lang, d.source,
+       round(r.rate, 6) AS rate
+FROM documents d
+JOIN rates r ON r.lang = d.lang AND r.source = d.source
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, {_MIX_HEX}))
+           AS BIGINT) < r.rate * 4294967296
+"""
+
+
+@register(
+    "mixture_rebalanced_sample",
+    oracle=_MIX_SAMPLE_ORACLE,
+    tags=("pipeline", "sampling", "text"),
+)
+def mixture_rebalanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZATION step after `domain_mixing_weights`: apply each
+    domain's uniform-target weight as a per-document keep probability
+    (capped at 1 — upsampled domains keep everything; repetition factors
+    are the training loader's job) and draw deterministically from
+    md5(doc_id), so the same corpus always yields the same rebalanced
+    sample and a retry can never double-sample. Returns the kept docs with
+    their domain rate — what a data-mixture sweep actually feeds the
+    tokenizer.
+
+    Scale: the per-domain rate frame is tens-to-hundreds of rows (the
+    global windows run over the aggregated frame only) and BROADCASTS back
+    onto the corpus scan; the keep decision is one md5 per row, map-side,
+    zero extra shuffles beyond the domain aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("lang", "source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    rates = per_src.select(
+        "lang",
+        "source",
+        F.least(
+            F.sum("n_tokens").over(w).cast("double")
+            / (F.count(F.lit(1)).over(w) * F.col("n_tokens")),
+            F.lit(1.0),
+        ).alias("rate"),
+    )
+    draw = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, _MIX_HEX), 16, 10
+    ).cast("long")
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(broadcast(rates), ["lang", "source"])
+        .filter(draw < F.col("rate") * F.lit(4294967296))
+        .select("doc_id", "lang", "source", F.round("rate", 6).alias("rate"))
+    )
