@@ -81,6 +81,8 @@ DRIVER_HEAD: list[str] = [
     "bottomk_consistent_sample",
     "source_dup_matrix",
     "mixture_rebalanced_sample",
+    "text_normalize_fingerprints",
+    "countmin_sketch_table",
     # --- tier 3: implementation/oracle changed in round 3 ---
     "chunk_dedup_stats",       # oracle typing fix (r2 hash-fail)
     "domain_mixing_weights",   # oracle typing fix (r2 hash-fail)
@@ -110,9 +112,7 @@ DRIVER_HEAD: list[str] = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_order_priority",
-    # (tpch_q12_shipmode_buckets and tpch_q14_promo_share join the queued
+    # (tpch_q4, tpch_q6, tpch_q12_shipmode_buckets and tpch_q14_promo_share join the queued
     # tier-4 rotations — slots yielded to the round-3 additions)
     # (tpch_q2_min_cost_supplier and tpch_q10_returned_items join the other
     # ever-green tier-4 rotations queued for next round — slots yielded to

@@ -589,3 +589,120 @@ def mixture_rebalanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(draw < F.col("rate") * F.lit(4294967296))
         .select("doc_id", "lang", "source", F.round("rate", 6).alias("rate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization with before/after fingerprints
+# ---------------------------------------------------------------------------
+
+_NORM_ORACLE = """
+WITH n AS (
+  SELECT doc_id,
+         md5(text) AS fp_raw,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, fp_raw, md5(norm) AS fp_norm,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm,
+       md5(norm) <> fp_raw AS changed
+FROM n
+"""
+
+
+@register(
+    "text_normalize_fingerprints",
+    oracle=_NORM_ORACLE,
+    tags=("pipeline", "text"),
+)
+def text_normalize_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization pass every dedup pipeline runs FIRST: lowercase,
+    strip non-alphanumerics, collapse whitespace — with md5 fingerprints of
+    the raw and normalized forms so exact dedup can run on either
+    representation and the `changed` flag measures how much the corpus
+    needed normalizing. Pure column expressions (regexp_replace chains stay
+    in codegen); zero shuffles — a 100 TB corpus normalizes at scan
+    speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return ensure_parallelism(docs).select(
+        "doc_id",
+        F.md5("text").alias("fp_raw"),
+        F.md5(norm).alias("fp_norm"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (F.md5(norm) != F.md5("text")).alias("changed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch as DATA: deterministic, mergeable, oracle-able
+# ---------------------------------------------------------------------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 256
+
+
+_CMS_ORACLE = f"""
+WITH h AS (
+  SELECT t.d AS depth,
+         CAST(('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' ||
+                                  CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % {_CM_WIDTH} AS bucket
+  FROM events CROSS JOIN range(0, {_CM_DEPTH}) t(d)
+)
+SELECT depth, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM h GROUP BY depth, bucket
+"""
+
+
+@register(
+    "countmin_sketch_table",
+    oracle=_CMS_ORACLE,
+    tags=("analytics", "sketch"),
+)
+def countmin_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A count-min sketch built AS A TABLE — the production heavy-hitter
+    sketch with none of the engine-specific opacity that makes
+    `approx_user_stats` un-oracle-able: 4 rows (depth) × 256 buckets, each
+    cell the count of events whose md5-derived hash lands there. Point
+    estimates (min over the 4 cells of a key) upper-bound the true count —
+    pinned by the invariants test. Because the sketch is plain rows from a
+    deterministic hash, it is mergeable across partitions, comparable
+    across engines, and diffable across days.
+
+    Scale: ONE map-side-combinable shuffle with at most depth×width = 1024
+    output groups, independent of cardinality — the whole point of the
+    sketch. The explode multiplies rows ×4 before the partial aggregate but
+    the combine collapses them within each task."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_CM_DEPTH - 1))).alias("depth"),
+        "user_id",
+    ).select(
+        "depth",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("depth").cast("string"),
+                            F.lit(":"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CM_WIDTH
+        ).alias("bucket"),
+    )
+    return h.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("cnt"))

@@ -257,3 +257,58 @@ def test_audio_windows_energy_peak_consistent(spark, sf_dir):
         | (F.col("energy") > F.col("n_samples") * F.col("peak") * F.col("peak"))
     )
     assert bad.count() == 0
+
+
+def test_countmin_point_estimates_upper_bound_truth(spark, sf_dir):
+    """CM guarantee: est(key) = min over depths of its cell ≥ true count."""
+    from nexmark_vanilla_flink_spark.plans.similarity2 import (
+        _CM_DEPTH,
+        _CM_WIDTH,
+    )
+    from nexmark_vanilla_flink_spark.sources.tables import load_table
+
+    cms = REGISTRY["countmin_sketch_table"].spark(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    truth = ev.groupBy("user_id").count()
+    cells = truth.select(
+        "user_id",
+        "count",
+        F.explode(F.sequence(F.lit(0), F.lit(_CM_DEPTH - 1))).alias("depth"),
+    ).select(
+        "user_id",
+        "count",
+        "depth",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("depth").cast("string"),
+                            F.lit(":"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CM_WIDTH
+        ).alias("bucket"),
+    )
+    est = (
+        cells.join(cms, ["depth", "bucket"])
+        .groupBy("user_id", "count")
+        .agg(F.min("cnt").alias("est"))
+    )
+    assert est.filter(F.col("est") < F.col("count")).count() == 0
+
+
+def test_normalize_fingerprints_consistent(spark, sf_dir):
+    nf = REGISTRY["text_normalize_fingerprints"].spark(spark, sf_dir)
+    bad = nf.filter(
+        (F.col("changed") != (F.col("fp_norm") != F.col("fp_raw")))
+        | (F.col("n_chars_norm") < 0)
+    )
+    assert bad.count() == 0
