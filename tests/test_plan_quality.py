@@ -272,3 +272,40 @@ def test_simhash_guard_no_cartesian_and_unions_paths(spark, sf_dir):
     plan = _plan(spark, sf_dir, "simhash_neardup_pairs")
     assert "Cartesian" not in plan
     assert "Union" in plan  # small-bucket direct path + re-banded big path
+
+
+def test_runtime_bloom_filter_reduces_fact_fact_join(spark, sf_dir):
+    """100 TB posture pin: when a selective dimension side CANNOT broadcast
+    (fact-fact shuffle join), Spark's runtime bloom-filter injection puts a
+    might_contain() semi-join reduction on the big side's scan — rows that
+    can't match never reach the exchange. Verify the capability engages on
+    this workload's shapes (it is conf-gated and silently subsumed by
+    broadcast joins, so a regression would be invisible without this pin)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
