@@ -722,17 +722,19 @@ FROM revenue r
 JOIN supplier s ON s.s_suppkey = r.supplier_no
 WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 """,
-    # "eager": the lazy localCheckpoint on the revenue view executes its
-    # shuffle stages at plan-build under AQE (tests/test_bench_guard.py)
-    tags=("tpch", "subquery", "view", "agg", "eager"),
+    tags=("tpch", "subquery", "view", "agg"),
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue view + scalar-max subquery. The quarter
     revenue per supplier stays DECIMAL(38,4) until after the max-equality
     filter — exact associative sums make `revenue = max(revenue)` a safe
     cross-engine equality (doubles would tie-break differently per partition
-    order). The max is broadcast back against the view (one lazy plan, no
-    driver collect); supplier is broadcast for the name join."""
+    order). The scalar max rides an unpartitioned window OVER THE AGGREGATED
+    frame (one row per supplier — tiny at any SF), so the revenue view is
+    derived exactly once in one lazy plan: no self-referencing broadcast
+    join, no lineage-cut checkpoint (whose lazy form still executes at
+    plan-build under AQE — tests/test_bench_guard.py), no driver collect;
+    supplier is broadcast for the name join."""
     t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
     li = t["lineitem"]
     ship_type = dict(li.dtypes)["l_shipdate"]
@@ -750,12 +752,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_dec")
         )
     )
-    # materialize once — broadcast max and main branch share the frame
-    # (see tpch_q11 note)
-    revenue = revenue.localCheckpoint(eager=False)
-    top = revenue.agg(F.max("rev_dec").alias("max_rev"))
+    w = Window.partitionBy()  # over the per-supplier aggregate only
     return (
-        revenue.crossJoin(broadcast(top))
+        revenue.withColumn("max_rev", F.max("rev_dec").over(w))
         .filter(F.col("rev_dec") == F.col("max_rev"))
         .join(broadcast(t["supplier"]), F.col("s_suppkey") == F.col("supplier_no"))
         .select(
@@ -889,8 +888,7 @@ SELECT p.l_partkey, CAST(p.pc AS DOUBLE) / 100 AS part_value
 FROM per_part p CROSS JOIN tot
 WHERE p.pc * 1000 > tot.tc
 """,
-    # "eager": lazy localCheckpoint on per_part — see tpch_q15 note
-    tags=("tpch", "agg", "scalar-subquery", "having", "eager"),
+    tags=("tpch", "agg", "scalar-subquery", "having"),
 )
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts representing an outsized share (>0.1%) of one
@@ -902,9 +900,11 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine discipline: the share test runs entirely in BIGINT cents
     (price has ≤2 decimals, so round(price*100) is exact) — ``pc*1000 > tc``
     is the division-free form of ``pc > 0.001*tc``; no decimal-width
-    overflow, no double-rounding divergence. The global total rides in on a
-    broadcast cross join, keeping the whole query one lazy plan (same
-    pattern as tpch_q22). At 100 TB the per-part agg is the only shuffle."""
+    overflow, no double-rounding divergence. The global total rides an
+    unpartitioned window over the per-part AGGREGATE (tiny at any SF), so
+    the lineitem join+agg derives once in one lazy plan — no checkpoint
+    (whose lazy form executes at plan-build under AQE), no broadcast
+    self-reference. At 100 TB the per-part agg is the only shuffle."""
     t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
     nat_supp = (
         t["supplier"]
@@ -922,14 +922,9 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("pc")
         )
     )
-    # materialize the per-part aggregate once: both the broadcast total and
-    # the main branch consume it, and without a lineage cut Spark re-executes
-    # the lineitem join+agg for each (same trap as the SimHash self-join —
-    # SCALE_NOTES.md §4). ~|parts| rows, trivially small at any SF.
-    per_part = per_part.localCheckpoint(eager=False)
-    tot = per_part.agg(F.sum("pc").alias("tc"))
+    w = Window.partitionBy()  # over the per-part aggregate only
     return (
-        per_part.crossJoin(broadcast(tot))
+        per_part.withColumn("tc", F.sum("pc").over(w))
         .filter(F.col("pc") * 1000 > F.col("tc"))
         .select(
             "l_partkey", (F.col("pc").cast("double") / 100).alias("part_value")
