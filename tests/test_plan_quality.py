@@ -106,10 +106,15 @@ def test_q16_null_aware_anti_join(spark, sf_dir):
 
 def test_q15_q17_single_lazy_plan(spark, sf_dir):
     # scalar thresholds (max revenue, per-part avg) must live inside the
-    # plan (broadcast join), not a driver-side collect
+    # plan (q15: window over the aggregate + broadcast supplier join;
+    # q17: broadcast threshold join), never a driver-side collect
     for name in ("tpch_q15_top_supplier", "tpch_q17_small_qty_revenue"):
         plan = _plan(spark, sf_dir, name)
         assert "Broadcast" in plan, name
+    # the window rewrite derives the revenue view exactly once: a single
+    # lineitem scan in the q15 plan
+    q15 = _plan(spark, sf_dir, "tpch_q15_top_supplier")
+    assert q15.count("Scan parquet") == 2  # lineitem once + supplier once
 
 
 def test_q20_semi_join(spark, sf_dir):
