@@ -706,3 +706,57 @@ def countmin_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     return h.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val splits: near-dup clusters never straddle a split
+# ---------------------------------------------------------------------------
+
+_SPLIT_MOD = 10
+_VAL_SLOT = 0  # slot 0 → val (10% target)
+
+
+def _leakage_split_oracle() -> str:
+    from .pipeline import _DEDUP_CLUSTERS_ORACLE
+
+    return f"""
+SELECT doc_id, cluster_id,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))
+                      AS BIGINT) % {_SPLIT_MOD} = {_VAL_SLOT}
+            THEN 'val' ELSE 'train' END AS split
+FROM ({_DEDUP_CLUSTERS_ORACLE}) c
+"""
+
+
+@register(
+    "leakage_safe_splits",
+    oracle=_leakage_split_oracle(),
+    tags=("pipeline", "dedup", "sampling", "iterative"),
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val assignment that CANNOT leak near-duplicates across the
+    boundary: the split is hashed from the document's dedup CLUSTER id
+    (`dedup_clusters` — connected components over the MinHash candidate
+    graph), so every member of a near-dup clique lands on the same side.
+    Splitting on doc_id — what `deterministic_splits` does, correctly, for
+    i.i.d. data — silently puts near-copies of training documents into val
+    and inflates eval; this is the curation-grade variant. ~10% val via
+    md5(cluster_id) slot, deterministic and growth-stable.
+
+    Scale: inherits `dedup_clusters`' posture (banded candidates, bounded
+    driver union-find fast path with distributed min-label fallback); the
+    split itself is one md5 per row, zero additional shuffles."""
+    from .pipeline import dedup_clusters
+
+    clusters = dedup_clusters(spark, sf_dir)
+    slot = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % _SPLIT_MOD
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(slot == _VAL_SLOT, "val").otherwise("train").alias("split"),
+    )

@@ -312,3 +312,20 @@ def test_normalize_fingerprints_consistent(spark, sf_dir):
         | (F.col("n_chars_norm") < 0)
     )
     assert bad.count() == 0
+
+
+def test_leakage_safe_splits_no_cluster_straddle(spark, sf_dir):
+    """The whole point: no dedup cluster may have members in both splits,
+    and every document gets exactly one assignment."""
+    from nexmark_vanilla_flink_spark.sources.tables import load_table
+
+    ls = REGISTRY["leakage_safe_splits"].spark(spark, sf_dir)
+    assert ls.count() == load_table(spark, sf_dir, "documents").count()
+    straddling = (
+        ls.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+    )
+    assert straddling.count() == 0
+    # both splits are non-empty on the fixture
+    assert ls.select(F.count_distinct("split")).collect()[0][0] == 2
