@@ -228,6 +228,39 @@ REGISTRY["cm_stream_replay"].oracle = _batch_oracle("cm_load_per_job")
 
 
 @register(
+    "stream_dedup_replay",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events
+""",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` under the driver gate: the event
+    stream is UNIONED WITH ITSELF (every record arrives twice — the
+    at-least-once delivery the operator exists for) and watermark-bounded
+    dedup on event_id must restore exactly-once: output ≡ the distinct
+    events table. State is bounded by the watermark horizon — the
+    production-safe form of streaming exact dedup (an unbounded
+    dropDuplicates would grow state forever)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..streaming.runner import run_available_now
+    from ..streaming.sources import stream_events
+
+    ev = stream_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    doubled = ev.unionByName(ev)
+    deduped = (
+        doubled.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .drop("ts")
+    )
+    return run_available_now(deduped, output_mode="append")
+
+
+@register(
     "exactly_once_sink_replay",
     oracle="SELECT event_id, user_id, event_type, value FROM events",
     tags=("streaming", "sink", "exactly-once"),
