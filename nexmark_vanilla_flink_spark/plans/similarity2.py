@@ -760,3 +760,102 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.when(slot == _VAL_SLOT, "val").otherwise("train").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel: per-gate survival counts for the corpus_curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def _funnel_oracle() -> str:
+    from .pipeline import _MINHASH_CTES
+
+    return _MINHASH_CTES + """
+, quality AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS uniq_ratio,
+         md5(text) AS content_md5
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, n_tokens, uniq_ratio,
+         min(doc_id) OVER (PARTITION BY content_md5) AS canonical_id
+  FROM quality
+),
+flags AS (
+  SELECT doc_id,
+         (n_tokens >= 20 AND uniq_ratio >= 0.5) AS q,
+         doc_id = canonical_id AS e,
+         NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_b = doc_id) AS nd
+  FROM canon
+)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'ingest' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs FROM flags
+UNION ALL
+SELECT 1, 'quality', CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+UNION ALL
+SELECT 2, 'exact_dedup',
+       CAST(sum(CASE WHEN q AND e THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+UNION ALL
+SELECT 3, 'near_dedup',
+       CAST(sum(CASE WHEN q AND e AND nd THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+"""
+
+
+@register(
+    "curation_funnel",
+    oracle=_funnel_oracle(),
+    tags=("pipeline", "dedup", "analytics"),
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ablation table a curation team reads before shipping a corpus:
+    how many documents survive each gate of the `corpus_curation` pipeline
+    (ingest → quality → exact dedup → near-dup prune), with the SAME gate
+    definitions (thresholds, canonical rule, MinHash candidate pairs), so
+    the funnel always reconciles with the kept corpus.
+
+    Scale: the per-doc flags ride the same plans as the pipeline itself;
+    the funnel collapses to ONE aggregation row unpivoted to 4 — counting
+    adds nothing beyond the stages it measures."""
+    from .pipeline import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    quality = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        (F.size(F.array_distinct(ws)).cast("double") / F.size(ws)).alias(
+            "uniq_ratio"
+        ),
+        F.md5("text").alias("content_md5"),
+    )
+    canon = quality.withColumn(
+        "canonical_id", F.min("doc_id").over(Window.partitionBy("content_md5"))
+    )
+    dup_b = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    flags = canon.join(dup_b, "doc_id", "left").select(
+        ((F.col("n_tokens") >= 20) & (F.col("uniq_ratio") >= 0.5)).alias("q"),
+        (F.col("doc_id") == F.col("canonical_id")).alias("e"),
+        F.col("is_dup").isNull().alias("nd"),
+    )
+    row = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(F.col("q"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("q") & F.col("e"), 1).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(F.col("q") & F.col("e") & F.col("nd"), 1).otherwise(0)
+        ).alias("n3"),
+    )
+    return row.selectExpr(
+        "stack(4, CAST(0 AS BIGINT), 'ingest', n0,"
+        " CAST(1 AS BIGINT), 'quality', n1,"
+        " CAST(2 AS BIGINT), 'exact_dedup', n2,"
+        " CAST(3 AS BIGINT), 'near_dedup', n3) AS (stage_idx, stage, n_docs)"
+    )

@@ -329,3 +329,21 @@ def test_leakage_safe_splits_no_cluster_straddle(spark, sf_dir):
     assert straddling.count() == 0
     # both splits are non-empty on the fixture
     assert ls.select(F.count_distinct("split")).collect()[0][0] == 2
+
+
+def test_curation_funnel_reconciles_with_kept_corpus(spark, sf_dir):
+    """The funnel's final stage must equal the row count of the actual
+    corpus_curation output — the funnel and the pipeline share gates."""
+    funnel = {
+        r.stage: r.n_docs
+        for r in REGISTRY["curation_funnel"].spark(spark, sf_dir).collect()
+    }
+    kept = REGISTRY["corpus_curation"].spark(spark, sf_dir).count()
+    assert funnel["near_dedup"] == kept
+    assert (
+        funnel["ingest"]
+        >= funnel["quality"]
+        >= funnel["exact_dedup"]
+        >= funnel["near_dedup"]
+        > 0
+    )
