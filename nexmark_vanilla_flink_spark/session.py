@@ -45,8 +45,23 @@ def _runtime_confs() -> dict[str, str]:
 
 
 def configure_runtime(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an existing session (driver-owned or ours)."""
+    """Apply runtime confs to an existing session (driver-owned or ours).
+
+    ``spark.sql.shuffle.partitions`` is only touched when the session still
+    carries Spark's stock 200 default: callers that tuned it (bench.py's
+    SF-sized value, a test, a per-query pin) must keep their choice — this
+    function runs on EVERY streaming-source construction, and an
+    unconditional reset silently stomped the session tuning mid-sweep
+    (found in r3: every bench streaming entry reset the remaining sweep,
+    and the stream-stream join replays ran 3× slower at the reset value —
+    8 state partitions: 2.6 s, 32: 6.3 s on the QX replay at sf0.1)."""
     for key, value in _runtime_confs().items():
+        if key == "spark.sql.shuffle.partitions":
+            try:
+                if spark.conf.get("spark.sql.shuffle.partitions") != "200":
+                    continue
+            except Exception:
+                pass
         try:
             spark.conf.set(key, value)
         except Exception:

@@ -38,6 +38,7 @@ def run_available_now(
     timeout_s: int = 300,
     name: str | None = None,
     checkpoint_dir: str | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion on the currently-available
     data and return the result as a (batch) DataFrame from the memory sink.
@@ -45,19 +46,40 @@ def run_available_now(
     Pass ``checkpoint_dir`` to resume from (or establish) a durable
     checkpoint — restarting with the same dir continues exactly-once from
     the recorded offsets.
+
+    ``shuffle_partitions`` pins the STATE partition count for this query
+    (set around .start(), restored after completion — the streaming planner
+    reads the conf at first-batch planning, verified via the checkpoint's
+    state/0/ directory count). Alternating A/B on the QX interval join at
+    sf0.1 (drift-cancelled, min-of-3): 8 state partitions 2.6 s vs 32
+    6.3 s — local replays want FEW, large state partitions (per-partition
+    store commit overhead dominates); at real scale the number is sized to
+    state bytes, and the checkpoint bakes it in per query. Default None =
+    honor the session's tuned value (configure_runtime no longer stomps
+    it — session.py).
     """
     spark = sdf.sparkSession
     qname = name or f"q_{uuid.uuid4().hex[:8]}"
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    saved_parts = None
+    if shuffle_partitions is not None:
+        saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # restore only after completion: micro-batch PLANNING (which reads
+        # the conf) happens asynchronously after .start()
+        q.awaitTermination(timeout_s)
+    finally:
+        if saved_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     if q.isActive:
         q.stop()
         raise TimeoutError(f"streaming query {qname} did not finish in {timeout_s}s")
