@@ -228,6 +228,49 @@ REGISTRY["cm_stream_replay"].oracle = _batch_oracle("cm_load_per_job")
 
 
 @register(
+    "sessions_dynamic_gap_stream_replay",
+    oracle=None,  # assigned below: shares the batch sessions_dynamic_gap oracle
+    tags=("streaming", "nexmark", "session", "dynamic-gap"),
+)
+def sessions_dynamic_gap_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows through the STREAMING merge path
+    [§2.6 dynamic sessions]: each event carries its own gap expression
+    (30 s under a bid of 50, else 90 s) and the streaming session-merge
+    state must produce exactly the batch sessionization — complete-mode
+    replay under the batch oracle."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..streaming.runner import run_available_now
+    from ..streaming.sources import stream_nexmark
+
+    bids = stream_nexmark(spark, sf_dir)["bids"]
+    gap = F.when(
+        F.col("bid") < 50, F.expr("make_interval(0, 0, 0, 0, 0, 30, 0)")
+    ).otherwise(F.expr("make_interval(0, 0, 0, 0, 0, 90, 0)"))
+    agg = (
+        bids.withWatermark("b_ts", "2 seconds")
+        .groupBy(
+            F.session_window(F.col("b_ts"), gap).alias("sw"),
+            F.col("bidder_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_bids"), F.max("bid").alias("max_bid"))
+        .select(
+            "bidder_id",
+            F.col("sw.start").cast("long").alias("sess_start_s"),
+            F.col("sw.end").cast("long").alias("sess_end_s"),
+            "n_bids",
+            "max_bid",
+        )
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+REGISTRY["sessions_dynamic_gap_stream_replay"].oracle = _batch_oracle(
+    "sessions_dynamic_gap"
+)
+
+
+@register(
     "stream_dedup_replay",
     oracle="""
 SELECT event_id, user_id, event_type, value
