@@ -215,3 +215,18 @@ def test_connected_components_paths_agree_on_foreign_endpoints(spark):
     want = {(1, 1), (3, 1), (2, 2), (4, 2), (5, 5)}
     assert fast == want
     assert dist == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+def test_murmur3_python_matches_independent_transliteration(key):
+    """Hypothesis sweep of the producer partitioner hash against the
+    independent Java-int-semantics transliteration in test_kafka_binary."""
+    import struct
+
+    from nexmark_vanilla_flink_spark.sources.writer import murmur3_hash32
+    from tests.test_kafka_binary import _hive_hash32_reference
+
+    kb = struct.pack(">q", key)
+    assert murmur3_hash32(kb, 0, 4) == _hive_hash32_reference(kb[:4])
+    assert murmur3_hash32(kb) == _hive_hash32_reference(kb)

@@ -95,3 +95,23 @@ def test_watermark_drops_late_rows(spark):
         # the late event's hour-0 window must never appear in the output
         assert 0 not in rows, f"late row leaked into output: {rows}"
         assert n_before >= 0
+
+
+def test_configure_runtime_preserves_session_tuning(spark):
+    """Regression lock for the r3 conf-stomp bug: configure_runtime runs on
+    every streaming-source construction and must NOT override a session's
+    tuned shuffle-partition count (it silently reset the whole bench sweep
+    and forced wrong state partition counts onto streaming joins)."""
+    from nexmark_vanilla_flink_spark.session import configure_runtime
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        configure_runtime(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        # the stock 200 default IS replaced (that's the function's job)
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        configure_runtime(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") != "200"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
