@@ -859,3 +859,89 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(2 AS BIGINT), 'exact_dedup', n2,"
         " CAST(3 AS BIGINT), 'near_dedup', n3) AS (stage_idx, stage, n_docs)"
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means refinement step: one Lloyd iteration as a declarative plan
+# ---------------------------------------------------------------------------
+
+_KM_K = 8  # centroids = the vectors of vec_id 0..7
+
+
+_KM_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (SELECT vec_id AS k, v AS cv FROM e WHERE vec_id < {_KM_K}),
+d AS (
+  SELECT e.vec_id, cent.k,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_aggregate(list_transform(list_zip(e.v, cent.cv),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'),
+           cent.k) AS rn
+  FROM e CROSS JOIN cent
+),
+assigned AS (
+  SELECT e.vec_id, d.k AS cluster_id, e.v
+  FROM e JOIN d ON d.vec_id = e.vec_id AND d.rn = 1
+),
+comp AS (
+  SELECT cluster_id, t.dim AS dim, v[t.dim + 1] AS x
+  FROM assigned CROSS JOIN range(0, 64) t(dim)
+)
+SELECT cluster_id, dim,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(round(sum(CAST(x AS DECIMAL(38, 12))) / count(*), 6) AS DOUBLE)
+           AS centroid_val
+FROM comp GROUP BY cluster_id, dim
+"""
+
+
+@register(
+    "kmeans_refine_once",
+    oracle=_KM_ORACLE,
+    tags=("pipeline", "similarity", "iterative"),
+)
+def kmeans_refine_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration — the TRAINING half of the IVF/PQ path
+    (`ann_ivf_topk` assigns, `pq_codes` encodes; this refines the
+    codebook): every vector joins the broadcast seed centroids (vec_id
+    0..{k}), takes the L2-argmin cluster (id tie-break), and the new
+    centroids come back as per-(cluster, dim) means over DECIMAL-exact
+    component sums — order-insensitive, so both engines agree bit-for-bit.
+    A full k-means is this plan in a loop with a convergence aggregate
+    (the connected-components pattern, operators/graph.py).
+
+    Scale: centroids broadcast; ONE corpus-sized exchange on (cluster, dim)
+    with map-side partial sums; argmin rides a WindowGroupLimit-pushed rank
+    over the broadcast join output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    cent = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("k"), F.col("v").alias("cv")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("vec_id").orderBy(d2, "k")
+    assigned = (
+        e.crossJoin(broadcast(cent))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("k").alias("cluster_id"), "v")
+    )
+    comp = assigned.select(
+        "cluster_id", F.posexplode("v").alias("dim", "x")
+    )
+    return comp.groupBy("cluster_id", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum(F.col("x").cast("decimal(38,12)")) / F.count(F.lit(1)), 6
+        )
+        .cast("double")
+        .alias("centroid_val"),
+    )
