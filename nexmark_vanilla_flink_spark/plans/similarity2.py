@@ -900,7 +900,9 @@ FROM comp GROUP BY cluster_id, dim
 @register(
     "kmeans_refine_once",
     oracle=_KM_ORACLE,
-    tags=("pipeline", "similarity", "iterative"),
+    # not tagged "iterative": ONE refine step is a single pure-lazy plan
+    # (the full loop would be; see docstring)
+    tags=("pipeline", "similarity"),
 )
 def kmeans_refine_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration — the TRAINING half of the IVF/PQ path
