@@ -1,16 +1,22 @@
-"""Round-3 similarity/dedup additions (no reference counterpart —
-BASELINE.json north-star operators for the 100 TB curation pipeline):
+"""Round-3 curation/similarity additions (no reference counterpart —
+BASELINE.json north-star operators for the 100 TB training-data pipeline):
 
-* asymmetric n-gram CONTAINMENT dedup — catches a document EMBEDDED inside
-  another (quotes, concatenated shards, page-wrapped reposts), which
-  symmetric Jaccard dilutes below threshold when the host document is big;
-* product-quantization (PQ) codes over the embedding column — the memory
-  side of the ANN scale path (`ann_ivf_topk` is the compute side): 64-dim
-  float vectors compress to 4 bytes of codebook ids, and the measured
-  reconstruction error is the quality dial.
+* asymmetric n-gram CONTAINMENT dedup (embedded duplicates symmetric
+  Jaccard misses) with a df-capped inverted index;
+* product-quantization codes + k-means refine step — the memory and
+  training halves of the ANN path (`ann_ivf_topk` is the query half);
+* audio-style windowed feature extraction over binary payloads
+  (Arrow + numpy reduceat);
+* exact mergeable HISTOGRAM quantiles and a count-min sketch AS DATA —
+  the two deterministic, cross-engine-exact sketch patterns;
+* sampling: exact-k bottom-k per group, mixture-rebalanced corpus
+  sampling, leakage-safe train/val splits hashed from dedup cluster ids;
+* telemetry: cross-source duplication matrix, per-gate curation funnel;
+* text normalization with before/after fingerprints.
 
 Determinism discipline matches `plans/pipeline.py`: md5 digests, doubles
-only through fixed-order folds, round(…, 6) at the end, counts as BIGINT.
+only through fixed-order folds or DECIMAL-exact sums, round(…, 6) at the
+end, counts as BIGINT.
 """
 
 from __future__ import annotations
