@@ -59,3 +59,20 @@ def test_streaming_replays_share_batch_oracles():
     assert len(replays) >= 6
     for n in replays:
         assert REGISTRY[n].oracle, n
+
+
+def test_driver_head_order_and_size():
+    """The correctness driver gates the FIRST 50 entries of queries() —
+    DRIVER_HEAD must be exactly 50 registered names and must lead the
+    returned ordering verbatim (a silent reorder would swap which queries
+    sit under the hard cross-engine gate)."""
+    from nexmark_vanilla_flink_spark.plans import all_queries
+    from nexmark_vanilla_flink_spark.plans.registry import (
+        DRIVER_HEAD,
+        REGISTRY,
+    )
+
+    assert len(DRIVER_HEAD) == 50
+    missing = [n for n in DRIVER_HEAD if n not in REGISTRY]
+    assert not missing, missing
+    assert list(all_queries())[:50] == DRIVER_HEAD
