@@ -88,6 +88,7 @@ DRIVER_HEAD: list[str] = [
     "curation_funnel",
     "sessions_dynamic_gap_stream_replay",
     "kmeans_refine_once",
+    "minhash_estimate_error",
     # --- tier 3: implementation/oracle changed in round 3 ---
     "chunk_dedup_stats",       # oracle typing fix (r2 hash-fail)
     "domain_mixing_weights",   # oracle typing fix (r2 hash-fail)
@@ -111,8 +112,7 @@ DRIVER_HEAD: list[str] = [
     "event_type_stats",
     "union_tagged_daily",
     "sessions_dynamic_gap",
-    "q8_left_outer",
-    # (grouped_median_pandas, q5_hot_items_sql, tpch_q1, tpch_q3, tpch_q5_local_volume, tpch_q4, tpch_q6, tpch_q12 and tpch_q14 join the queued
+    # (q8_left_outer, grouped_median_pandas, q5_hot_items_sql, tpch_q1, tpch_q3, tpch_q5_local_volume, tpch_q4, tpch_q6, tpch_q12 and tpch_q14 join the queued
     # tier-4 rotations — slots yielded to the round-3 additions)
     # (tpch_q2_min_cost_supplier and tpch_q10_returned_items join the other
     # ever-green tier-4 rotations queued for next round — slots yielded to

@@ -953,3 +953,123 @@ def kmeans_refine_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("centroid_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-quality telemetry: MinHash estimate error vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _minhash_error_oracle() -> str:
+    from .pipeline import _MINHASH_CTES, _N_HASHES
+
+    return _MINHASH_CTES + f"""
+, hd AS (SELECT DISTINCT doc_id, h FROM h),
+sizes AS (SELECT doc_id, count(*) AS n FROM hd GROUP BY 1),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS co
+  FROM pairs p
+  JOIN hd a ON a.doc_id = p.doc_a
+  JOIN hd b ON b.doc_id = p.doc_b AND b.h = a.h
+  GROUP BY 1, 2
+),
+err AS (
+  SELECT round(abs(
+           round(len(list_filter(list_zip(sa.arr, sb.arr), z -> z[1] = z[2]))
+                 / {_N_HASHES}.0, 4)
+           - round(i.co / CAST(na.n + nb.n - i.co AS DOUBLE), 6)), 6) AS e
+  FROM pairs p
+  JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sizes na ON na.doc_id = p.doc_a
+  JOIN sizes nb ON nb.doc_id = p.doc_b
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(round(sum(CAST(e AS DECIMAL(38, 6))) / count(*), 6) AS DOUBLE)
+           AS mean_abs_err,
+       max(e) AS max_abs_err
+FROM err
+"""
+
+
+@register(
+    "minhash_estimate_error",
+    oracle=_minhash_error_oracle(),
+    tags=("pipeline", "dedup", "lsh", "telemetry"),
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality telemetry: for every MinHash-LSH candidate pair,
+    compare the 12-hash Jaccard ESTIMATE against the EXACT shingle-set
+    Jaccard and report pair count + mean/max absolute error — the number
+    that justifies (or indicts) the sketch width before anyone trusts the
+    dedup threshold at 100 TB. Exact Jaccard is computed only on the
+    CANDIDATE pairs (inverted-index co-count, sub-quadratic), never
+    all-pairs.
+
+    Scale: candidates are tiny relative to the corpus; the shingle frames
+    semi-join down to candidate docs before the co-count; error rows sum
+    through DECIMAL so the mean is order-insensitive."""
+    from .pipeline import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard_est"
+    )
+    ws = ensure_parallelism(docs).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    hd = ws.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(ws) >= 3 THEN "
+                    "transform(sequence(0, size(ws) - 3), "
+                    "j -> md5(concat_ws(' ', ws[j], ws[j+1], ws[j+2]))) "
+                    "ELSE CAST(array() AS ARRAY<STRING>) END"
+                )
+            )
+        ).alias("h"),
+    )
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    hdc = hd.join(broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = hdc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    co = (
+        hdc.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(hdc.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .join(broadcast(pairs.select("doc_a", "doc_b")), ["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    exact = (
+        pairs.join(co, ["doc_a", "doc_b"])
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            F.round(
+                F.abs(
+                    F.col("jaccard_est")
+                    - F.round(
+                        F.col("co")
+                        / (F.col("na") + F.col("nb") - F.col("co")).cast("double"),
+                        6,
+                    )
+                ),
+                6,
+            ).alias("e")
+        )
+    )
+    return exact.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("e").cast("decimal(38,6)")) / F.count(F.lit(1)), 6
+        )
+        .cast("double")
+        .alias("mean_abs_err"),
+        F.max("e").alias("max_abs_err"),
+    )
