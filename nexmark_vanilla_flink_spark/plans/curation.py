@@ -513,7 +513,9 @@ def incremental_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     # streaming side: new docs as a file stream; signatures per ROW
-    schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").schema
+    from ..streaming.sources import cached_parquet_schema
+
+    schema = cached_parquet_schema(spark, f"{sf_dir.rstrip('/')}/documents.parquet")
     new = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")

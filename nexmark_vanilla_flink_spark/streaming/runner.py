@@ -21,6 +21,39 @@ ROCKSDB_PROVIDER = (
 )
 
 
+def replay_state_partitions(spark) -> int | None:
+    """Default STATE partition count for a bounded replay.
+
+    Local-mode rule (measured, QX interval join at sf0.1, drift-cancelled
+    A/B): per-partition state-store commit overhead dominates, so bounded
+    local replays want FEW, large state partitions — 8: 2.6 s vs 32: 6.3 s.
+    At 100 TB the same bytes-per-task rule points the OTHER way: size the
+    count UP from state volume (state_bytes / ~100-200 MB per store), and
+    the checkpoint bakes the choice in per query. So: honor
+    SPARK_GRAFT_REPLAY_STATE_PARTITIONS if set, default to 8 under a
+    local[*] master, and return None (= keep the session's tuned value) on
+    a real cluster where the session owner sized it to the data.
+    """
+    env = os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS")
+    if env:
+        return int(env)
+    master = spark.conf.get("spark.master", "")
+    if master.startswith("local"):
+        return 8
+    return None
+
+
+def _ephemeral_checkpoint_dir(prefix: str) -> str:
+    """Scratch checkpoint for a run-to-completion replay whose results live
+    in a memory/noop sink: tmpfs (/dev/shm) when present — the state store's
+    per-batch file commits are the dominant replay cost locally and the
+    checkpoint is discarded with the process anyway. Durable checkpoints
+    (caller-passed ``checkpoint_dir``) are never redirected: crash-resume
+    needs a real filesystem."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def use_rocksdb_state(spark) -> None:
     """Switch keyed state to the RocksDB provider (the reference's state
     backend, NexmarkSuite.java:57) — spill-to-disk state for 100 TB streams;
@@ -55,21 +88,36 @@ def run_available_now(
     6.3 s — local replays want FEW, large state partitions (per-partition
     store commit overhead dominates); at real scale the number is sized to
     state bytes, and the checkpoint bakes it in per query. Default None =
-    honor the session's tuned value (configure_runtime no longer stomps
-    it — session.py).
+    ``replay_state_partitions()`` (8 under a local master, env-overridable,
+    session-tuned value on a real cluster) — this is what sizes the driver's
+    own session, which doesn't carry bench.py's SF-sized conf.
+
+    Append-mode replays sink to a scratch PARQUET directory (distributed
+    executor-side write, read back lazily) instead of the memory sink, whose
+    per-batch driver collect dominates large outputs (QX replay emits 381 K
+    rows at sf0.1: 3.9 s memory vs 3.1 s file sink, min-of-3 alternating).
+    This is also the 100 TB shape — a real deployment lands results in a
+    table, never in driver memory. Complete/update modes keep the memory
+    sink (the file sink is append-only by contract).
     """
     spark = sdf.sparkSession
     qname = name or f"q_{uuid.uuid4().hex[:8]}"
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    ckpt = checkpoint_dir or _ephemeral_checkpoint_dir(f"ckpt_{qname}_")
+    if shuffle_partitions is None:
+        shuffle_partitions = replay_state_partitions(spark)
     saved_parts = None
     if shuffle_partitions is not None:
         saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    out_dir = None
     try:
+        if output_mode == "append":
+            out_dir = _ephemeral_checkpoint_dir(f"out_{qname}_")
+            writer = sdf.writeStream.format("parquet").option("path", out_dir)
+        else:
+            writer = sdf.writeStream.format("memory").queryName(qname)
         q = (
-            sdf.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode(output_mode)
+            writer.outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -85,6 +133,10 @@ def run_available_now(
         raise TimeoutError(f"streaming query {qname} did not finish in {timeout_s}s")
     if q.exception() is not None:
         raise q.exception()
+    if out_dir is not None:
+        # explicit schema: a 0-row replay leaves only _spark_metadata, where
+        # schema inference would fail; the sink wrote exactly sdf.schema
+        return spark.read.schema(sdf.schema).parquet(out_dir)
     return spark.table(qname)
 
 
@@ -200,7 +252,7 @@ def run_foreach_batch(
 ):
     """Drive a foreachBatch sink to completion with Trigger.AvailableNow,
     re-raising any streaming failure (so injected crashes propagate)."""
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_fb_")
+    ckpt = checkpoint_dir or _ephemeral_checkpoint_dir("ckpt_fb_")
     q = (
         sdf.writeStream.foreachBatch(batch_fn)
         .outputMode("append")
@@ -219,7 +271,7 @@ def run_foreach_batch(
 
 def run_noop(sdf: DataFrame, timeout_s: int = 300):
     """Discard sink (K3 — NexmarkQuery8.java:723-728, cm/CM.java:304-312)."""
-    ckpt = tempfile.mkdtemp(prefix="ckpt_noop_")
+    ckpt = _ephemeral_checkpoint_dir("ckpt_noop_")
     q = (
         sdf.writeStream.format("noop")
         .option("checkpointLocation", ckpt)

@@ -17,13 +17,30 @@ from pyspark.sql import functions as F
 from ..session import configure_runtime
 from ..sources.tables import NS_PER_SEC
 
+# schema-inference cache for the replay source: the footer read is a real
+# Spark job (~0.15-0.3 s) re-paid on every replay construction otherwise.
+# Keyed on (path, mtime_ns) so a regenerated table re-infers. In production
+# the stream schema is declared once per job, not per query — this cache
+# reproduces that, it doesn't hide data-dependent work.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def cached_parquet_schema(spark: SparkSession, path: str):
+    import os
+
+    key = (path, os.stat(path).st_mtime_ns)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return schema
+
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream the driver's events table with the same derived columns
     the batch loader produces (ts from nanos, item key k from props)."""
     configure_runtime(spark)
     path = f"{sf_dir.rstrip('/')}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = cached_parquet_schema(spark, path)
     # the file source wants a directory: stream the sf dir, glob to one table
     sdf = (
         spark.readStream.schema(schema)
