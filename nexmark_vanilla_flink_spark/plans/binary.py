@@ -106,17 +106,22 @@ def auction_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode the reference's framed 269-byte auction records
     (AuctionsDeserializationSchema.java:14,57-67 — checksum 0x30061992;
     long id | long pid | byte category | int itemId | long start | long end
-    | int price | 20B name | 200B description | long ts). Same pure-column
-    frame/record-explode + conv(hex()) slicing as the person and bid
-    decoders; with this the reference's full binary wire surface
-    (206/269/32-byte records) is reproduced end-to-end."""
+    | int price | 20B name | 200B description | long ts). The hot path is
+    the Arrow decoder (one numpy structured-dtype pass per batch,
+    sources/binary.py::decode_auction_frame_col_arrow) — the 269-byte
+    layout's many numeric fields made the interpreted column-expression
+    chain the worst per-query ratio in the r3 sweep; the pure-column plan
+    remains the reference path (shared with the Kafka decoder) and
+    tests/test_binary_source.py asserts the two are row-identical. With
+    this the reference's full binary wire surface (206/269/32-byte
+    records) is reproduced end-to-end."""
     from ..sources.binary import (
         auction_frames_path,
-        decode_auction_frames,
+        decode_auction_frames_arrow,
         write_auction_frames,
     )
 
     path = auction_frames_path(sf_dir)
     if not os.path.exists(path):
         write_auction_frames(sf_dir, path)
-    return decode_auction_frames(spark, path)
+    return decode_auction_frames_arrow(spark, path)

@@ -405,3 +405,177 @@ def decode_auction_frame_col(frames: DataFrame) -> DataFrame:
 def decode_auction_frames(spark: SparkSession, path: str) -> DataFrame:
     """File variant: explode frames, then the shared per-frame plan."""
     return decode_auction_frame_col(_explode_file_frames(spark, path))
+
+
+# numpy structured dtype of one 269-byte auction record, big-endian (Java
+# ByteBuffer layout, AuctionsDeserializationSchema.java:57-66). Field sizes
+# sum to exactly AUCTION_RECORD_SIZE with no padding (align=False default).
+_AUCTION_DTYPE_FIELDS = [
+    ("auction_id", ">i8"),
+    ("seller_id", ">i8"),
+    ("category", ">i1"),
+    ("item_id", ">i4"),
+    ("start_ms", ">i8"),
+    ("end_ms", ">i8"),
+    ("price_cents", ">i4"),
+    ("item_name", "S20"),
+    ("description", "S200"),
+    ("ts_ms", ">i8"),
+]
+
+
+_AUCTION_SPARK_SCHEMA = ", ".join(
+    f"{name} {'string' if np_t.startswith('S') else 'bigint'}"
+    for name, np_t in _AUCTION_DTYPE_FIELDS
+)
+
+
+def _make_auction_chunk_decoder():
+    """Build the (worker-side) chunk decoder: takes a list of frame-aligned
+    binary chunks, walks each frame's header (checksum filter + per-frame
+    record count), and decodes all surviving records in ONE
+    ``np.frombuffer`` structured-dtype pass, returning an Arrow
+    RecordBatch. Shared by the Kafka-shaped per-frame decoder and the
+    ranged file reader."""
+    import numpy as np
+    import pyarrow as pa
+
+    rec_dtype = np.dtype(_AUCTION_DTYPE_FIELDS)
+    assert rec_dtype.itemsize == AUCTION_RECORD_SIZE
+    hdr_dtype = np.dtype([("checksum", ">u4"), ("n", ">i4"), ("backlog", ">i8")])
+    out_schema_pa = pa.schema(
+        [
+            (name, pa.string() if np_t.startswith("S") else pa.int64())
+            for name, np_t in _AUCTION_DTYPE_FIELDS
+        ]
+    )
+
+    def decode_chunks(chunks):
+        payloads = []
+        for raw in chunks:
+            if raw is None:
+                continue
+            for off in range(0, len(raw) - HEADER_SIZE + 1, FRAME_SIZE):
+                hdr = np.frombuffer(raw, dtype=hdr_dtype, count=1, offset=off)[0]
+                if int(hdr["checksum"]) != AUCTION_CHECKSUM:
+                    continue
+                lo = off + HEADER_SIZE
+                payloads.append(
+                    raw[lo : lo + int(hdr["n"]) * AUCTION_RECORD_SIZE]
+                )
+        if not payloads:
+            return pa.RecordBatch.from_pylist([], schema=out_schema_pa)
+        recs = np.frombuffer(b"".join(payloads), dtype=rec_dtype)
+        arrays = []
+        for name, np_t in _AUCTION_DTYPE_FIELDS:
+            col = recs[name]
+            if np_t.startswith("S"):
+                arrays.append(
+                    pa.array(np.char.decode(np.char.rstrip(col, b" "), "utf-8"))
+                )
+            else:
+                arrays.append(pa.array(col.astype(np.int64)))
+        return pa.RecordBatch.from_arrays(arrays, schema=out_schema_pa)
+
+    return decode_chunks
+
+
+def decode_auction_frame_col_arrow(frames: DataFrame) -> DataFrame:
+    """Arrow-vectorized twin of ``decode_auction_frame_col``: one
+    ``mapInArrow`` pass that ``np.frombuffer``s each batch's frame payloads
+    through a structured dtype — one C-level decode per Arrow batch instead
+    of ~10 interpreted column expressions per record. The 269-byte layout's
+    many numeric fields made the expression-chain plan the worst per-query
+    ratio in the r3 sweep (27.9x vs the comparator's blob slicing); the
+    wide-string person layout doesn't have that problem and keeps the pure
+    column plan. The column plan remains the oracle-shared reference path —
+    ``tests/test_binary_source.py`` asserts the two decoders are
+    row-identical, and the Kafka value decoder keeps the (streaming-safe)
+    column plan so file and brokered ingestion still share one definition.
+
+    Each input binary value may hold ONE frame (the Kafka message shape) or
+    a frame-aligned CHUNK of consecutive frames (the file path below slices
+    the file into ~one chunk per core JVM-side — a 30x cheaper explode than
+    per-frame substring slicing, measured 1.06 s -> 0.03 s at sf0.1).
+    Per-frame headers are still honored individually: checksum filter +
+    per-frame record count, exactly like the column plan.
+
+    Scale shape: the chunk slicing runs JVM-side per file task; the Arrow
+    hop moves the raw bytes once, and each executor decodes its own
+    partition — no shuffle, no driver involvement."""
+    decode_chunks = _make_auction_chunk_decoder()
+
+    def _decode(batches):
+        for batch in batches:
+            yield decode_chunks([buf.as_py() for buf in batch.column(0)])
+
+    return frames.mapInArrow(_decode, _AUCTION_SPARK_SCHEMA)
+
+
+def _chunked_file_frames(
+    spark: SparkSession, path: str, n_chunks: int | None = None
+) -> DataFrame:
+    """binaryFile scan → ~``n_chunks`` frame-ALIGNED binary chunks per file
+    (default: one per core). The per-frame JVM explode
+    (``_explode_file_frames``) costs ~1 s at sf0.1 — `transform` +
+    per-element substring over the whole blob is interpreter-heavy; slicing
+    a handful of contiguous chunks is 30x cheaper and the Arrow decoder
+    walks frames inside each chunk anyway. At 100 TB each file is its own
+    task and the chunking just sub-splits within the task's bytes."""
+    if n_chunks is None:
+        n_chunks = spark.sparkContext.defaultParallelism
+    raw = spark.read.format("binaryFile").load(path).select("content")
+    chunk_frames = (
+        f"CAST(ceil(length(content) / {FRAME_SIZE} / {n_chunks}) AS INT)"
+    )
+    chunks = raw.select(
+        F.expr(
+            f"explode(transform("
+            f" sequence(0, CAST(ceil(length(content) / {FRAME_SIZE} /"
+            f" {chunk_frames}) AS INT) - 1),"
+            f" i -> substring(content, i * {chunk_frames} * {FRAME_SIZE} + 1,"
+            f" {chunk_frames} * {FRAME_SIZE})))"
+        ).alias("frame")
+    )
+    return ensure_parallelism(chunks)
+
+
+def decode_auction_frames_arrow(
+    spark: SparkSession, path: str, n_chunks: int | None = None
+) -> DataFrame:
+    """File variant of the Arrow decode path — the Spark twin of the
+    reference's mmap'ed per-subtask file source (NexmarkQuery5File.java's
+    sources mmap a segment per parallel instance): ``spark.range(n_chunks)``
+    gives one frame-aligned byte range per task, and each task opens the
+    file, reads ONLY its range, and numpy-decodes it. Zero shuffle, zero
+    driver bytes — vs binaryFile's one-task-per-file scan + repartition,
+    which moved every byte through a shuffle just to spread 8 KiB frames
+    (measured at sf0.1: 0.48 s shuffled chunks, 0.30 s ranged reads).
+    Needs the path visible from executors (local FS here, shared FS/NFS on
+    a cluster); object-store deployments use the binaryFile chunk path
+    (``_chunked_file_frames`` + ``decode_auction_frame_col_arrow``)."""
+    import numpy as np  # noqa: F401  (imported for the worker closure)
+    import pyarrow as pa
+
+    if n_chunks is None:
+        n_chunks = spark.sparkContext.defaultParallelism
+    size = os.path.getsize(path)
+    n_frames = size // FRAME_SIZE
+    chunk_frames = max(1, -(-n_frames // n_chunks))
+    chunk_bytes = chunk_frames * FRAME_SIZE
+    n_chunks = max(1, -(-n_frames // chunk_frames))
+
+    decode_chunks = _make_auction_chunk_decoder()
+
+    def _read_ranges(batches):
+        for batch in batches:
+            raws = []
+            with open(path, "rb") as f:
+                for idx in batch.column(0):
+                    i = idx.as_py()
+                    f.seek(i * chunk_bytes)
+                    raws.append(f.read(chunk_bytes))
+            yield decode_chunks(raws)
+
+    rng = spark.range(0, n_chunks, numPartitions=n_chunks)
+    return rng.mapInArrow(_read_ranges, _AUCTION_SPARK_SCHEMA)

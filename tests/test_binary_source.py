@@ -154,3 +154,26 @@ def test_ieee754_full_domain_decode(spark, tmp_path):
     assert len(got) == len(vals)
     for i, v in enumerate(vals):
         assert struct.pack(">d", got[i]) == struct.pack(">d", v), (i, v, got[i])
+
+
+def test_auction_arrow_decode_matches_column_plan(spark, sf_dir, tmp_path):
+    """The Arrow (numpy structured-dtype) auction decoder and the pure
+    column-expression plan are row-identical — the column plan stays the
+    oracle-shared reference path, the Arrow path is the hot path."""
+    from nexmark_vanilla_flink_spark.sources.binary import (
+        decode_auction_frames,
+        decode_auction_frames_arrow,
+        write_auction_frames,
+    )
+
+    path = str(tmp_path / "auctions.bin")
+    write_auction_frames(sf_dir, path)
+    col = decode_auction_frames(spark, path)
+    arrow = decode_auction_frames_arrow(spark, path)
+    assert [f.name for f in arrow.schema.fields] == [
+        f.name for f in col.schema.fields
+    ]
+    a = sorted([tuple(r) for r in arrow.collect()])
+    c = sorted([tuple(r) for r in col.collect()])
+    assert a == c
+    assert len(a) > 0
