@@ -8,9 +8,9 @@ strings, DECIMAL-exact ratios rounded at the end, integer counts everywhere
 else.
 
 Scale notes (the 100 TB postures):
-  * decontamination broadcasts the EVAL side (eval sets are MBs even when the
-    corpus is 100 TB), so the training corpus is scanned once and only
-    matching n-gram rows ever shuffle;
+  * decontamination scans the training corpus once and only matching n-gram
+    rows ever shuffle; the eval side carries no broadcast hint (the synthetic
+    stand-in is a corpus fraction) — AQE broadcasts it while small;
   * chunk dedup shuffles md5 digests — uniform keys, no skew — twice (digest
     agg + join back), both map-side combinable;
   * mixing weights aggregate to one row per (lang, source) before any
@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 from ..operators.parallelism import ensure_parallelism
 from ..sources.tables import load_table
@@ -75,10 +74,12 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shared shingles — the rows a curation pipeline drops before
     training so eval numbers stay honest.
 
-    Scale: the eval side is tiny relative to the corpus (benchmarks are MBs
-    at 100 TB corpus scale) → its distinct shingle digests are BROADCAST;
-    the corpus is scanned once, the join filters non-matching shingles
-    map-side, and only hit rows reach the per-doc count shuffle."""
+    Scale: a real eval side is tiny relative to the corpus (benchmarks are
+    MBs at 100 TB corpus scale), so its distinct shingle digests broadcast
+    and the join filters map-side. The SYNTHETIC stand-in here is a corpus
+    FRACTION (doc_id % 17), which grows with the corpus — so no broadcast
+    hint: AQE broadcasts while the eval side is under the threshold and
+    falls back to a shuffled join when the stand-in outgrows it."""
     docs = load_table(spark, sf_dir, "documents")
     ws = ensure_parallelism(docs).select(
         "doc_id", F.split("text", " ").alias("ws")
@@ -100,11 +101,11 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
-    # cross-doc distinct on the (small) eval side only — it's broadcast anyway
+    # cross-doc distinct on the (small) eval side only
     eval_g = g.filter(is_eval).select("h").distinct()
     train_g = g.filter(~is_eval)
     return (
-        train_g.join(broadcast(eval_g), "h")
+        train_g.join(eval_g, "h")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
@@ -472,8 +473,13 @@ def incremental_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFra
     """The production arrival path UNDER STREAMING EXECUTION: newly
     ingested documents arrive as a STREAM and are checked against the
     static corpus dedup index (digests + MinHash band signatures) by
-    stream-static broadcast joins — the exact deployment shape (index in a
-    table, arrivals through Kafka/files). Same oracle as the batch
+    stream-static joins — the exact deployment shape (index in a
+    table, arrivals through Kafka/files). The corpus-index side carries NO
+    broadcast hint: it scales with the corpus, so a hint would ship an
+    unbounded frame to every executor at 100 TB — AQE broadcasts per
+    micro-batch only while the index is actually small, and the join
+    degrades gracefully to a shuffled hash join past the threshold (a
+    stream-static equi-join plans fine either way). Same oracle as the batch
     `incremental_dedup`, so the streaming engine's execution of the
     identical semantics sits under the hash gate.
 
@@ -557,7 +563,7 @@ def incremental_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFra
 
     exact_hits = (
         new.select("doc_id", "dg")
-        .join(F.broadcast(corpus_digests), "dg")
+        .join(corpus_digests, "dg")
         .select("doc_id", "c_id", F.lit("exact").alias("tag"))
     )
     near_hits = (
@@ -567,7 +573,7 @@ def incremental_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFra
                 F.array(*[F.col(f"sig{b}") for b in range(_N_HASHES // _BAND_ROWS)])
             ).alias("band", "sig"),
         )
-        .join(F.broadcast(corpus_bands), ["band", "sig"])
+        .join(corpus_bands, ["band", "sig"])
         .select("doc_id", "c_id", F.lit("near").alias("tag"))
     )
     self_rows = new.select(

@@ -1009,7 +1009,11 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidates are tiny relative to the corpus; the shingle frames
     semi-join down to candidate docs before the co-count; error rows sum
-    through DECIMAL so the mean is order-insensitive."""
+    through DECIMAL so the mean is order-insensitive. The candidate-doc and
+    candidate-pair frames get NO broadcast hint: they scale with corpus
+    size (a hint would ship an unbounded frame to every executor at
+    100 TB) — AQE picks broadcast at small SF and a shuffled hash join
+    once the frame outgrows the threshold."""
     from .pipeline import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1037,12 +1041,12 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    hdc = hd.join(broadcast(cand_docs), "doc_id", "left_semi")
+    hdc = hd.join(cand_docs, "doc_id", "left_semi")
     sizes = hdc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     co = (
         hdc.select(F.col("doc_id").alias("doc_a"), "h")
         .join(hdc.select(F.col("doc_id").alias("doc_b"), "h"), "h")
-        .join(broadcast(pairs.select("doc_a", "doc_b")), ["doc_a", "doc_b"])
+        .join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("co"))
     )
