@@ -11,3 +11,4 @@ from . import streaming_entries  # noqa: F401,E402
 from . import binary  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
 from . import similarity2  # noqa: F401,E402
+from . import generated  # noqa: F401,E402

@@ -32,31 +32,54 @@ HOT_RATIO = 100  # hot id = (id/100)*100
 MAX_PRICE = 10_000_000.0
 
 
+def _u32(id_col, seed: int, field: str):
+    """Deterministic uniform 32-bit draw for (id, seed, field), identical in
+    Spark and ANSI SQL: the first 8 hex chars of
+    ``md5('<id>:<seed>:<field>')`` as a BIGINT. DuckDB computes the SAME
+    value as ``('0x' || substr(md5(...), 1, 8))::BIGINT`` — this is what
+    puts generated-data queries under the cross-engine oracle gate, which
+    Spark's murmur3 ``hash()`` (no SQL twin) cannot do. All generator
+    randomness goes through this one function."""
+    s = F.concat(id_col.cast("string"), F.lit(f":{seed}:{field}"))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def _u32_sql(id_expr: str, seed: int, field: str) -> str:
+    """The DuckDB twin of ``_u32`` (same md5 preimage, same 8-hex-char
+    slice) — used by oracle SQL for generated-data registry entries."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || "
+        f"':{seed}:{field}'), 1, 8)) AS BIGINT)"
+    )
+
+
 def _event_columns(df: DataFrame, events_per_sec: int, seed: int) -> DataFrame:
     """Map a monotonically increasing ``id`` column to an interleaved,
-    skewed Nexmark event row. Deterministic given (id, seed)."""
+    skewed Nexmark event row. Deterministic given (id, seed) — and
+    reproducible in ANSI SQL via ``_u32``/``_u32_sql``."""
     slot = F.col("id") % EPOCH
     epoch = F.expr(f"id DIV {EPOCH}")
     # event-time advances events_per_sec per second of stream time
     ts_ns = (F.col("id") * F.lit(1_000_000_000) / F.lit(events_per_sec)).cast(
         "long"
     )
+    id_col = F.col("id")
     # hot-key selection mirrors NexmarkBidSource.java:47-63
-    is_hot = (F.pmod(F.hash(F.col("id"), F.lit(seed)), 100) > HOT_PROB_PCT).cast(
+    is_hot = (F.pmod(_u32(id_col, seed, "hot"), F.lit(100)) > HOT_PROB_PCT).cast(
         "boolean"
     )
-    uniform_person = F.pmod(F.hash(F.col("id"), F.lit(seed + 1)), epoch + 1)
+    uniform_person = F.pmod(_u32(id_col, seed, "person"), epoch + 1)
     hot_person = F.expr(f"(id DIV {EPOCH} DIV {HOT_RATIO}) * {HOT_RATIO}")
     person_key = F.when(is_hot, hot_person).otherwise(uniform_person)
     uniform_auction = F.pmod(
-        F.hash(F.col("id"), F.lit(seed + 2)), (epoch + 1) * AUCTIONS_PER_EPOCH
+        _u32(id_col, seed, "auction"), (epoch + 1) * AUCTIONS_PER_EPOCH
     )
     hot_auction = F.expr(
         f"(id DIV {EPOCH} * {AUCTIONS_PER_EPOCH} DIV {HOT_RATIO}) * {HOT_RATIO}"
     )
     auction_key = F.when(is_hot, hot_auction).otherwise(uniform_auction)
     price = (
-        F.pmod(F.hash(F.col("id"), F.lit(seed + 3)), 1_000_000_0).cast("double")
+        F.pmod(_u32(id_col, seed, "price"), F.lit(10_000_000)).cast("double")
         / F.lit(1_000_000_0)
         * F.lit(MAX_PRICE)
     )
@@ -109,13 +132,79 @@ def generate_events_stream(
     return _event_columns(rate, rows_per_second, seed)
 
 
-def split_streams(events: DataFrame) -> dict[str, DataFrame]:
+def person_attributes(
+    df: DataFrame, id_col: str = "person_id", seed: int = 42
+) -> DataFrame:
+    """Attach the reference's dictionary-sampled person string attributes
+    (S1 — beans/NewPersonEvent0.java:72-82): city/country/email drawn
+    uniformly from dictionary tables, name = firstname + ' ' + lastname,
+    and the reference's quirks kept verbatim — province drawn from the
+    EMAILS table, homepage from FIRSTNAMES, creditcard/zipcode fixed
+    ('00000000000' / '10587'). Sampling index = ``_u32`` md5 draw, so every
+    attribute is recomputable in DuckDB oracle SQL (``person_attrs_sql``).
+
+    ``element_at`` over an array literal: the dictionaries are tiny
+    constants folded into the plan — no join, no shuffle, scales with the
+    scan."""
+    from . import dictionaries as D
+
+    c = F.col(id_col)
+
+    def pick(words, field):
+        return F.element_at(
+            F.array(*[F.lit(w) for w in words]),
+            (F.pmod(_u32(c, seed, field), F.lit(len(words))) + 1).cast("int"),
+        )
+
+    return (
+        df.withColumn(
+            "name",
+            F.concat(
+                pick(D.FIRSTNAMES, "first"), F.lit(" "), pick(D.LASTNAMES, "last")
+            ),
+        )
+        .withColumn("email", pick(D.EMAILS, "email"))
+        .withColumn("city", pick(D.CITIES, "city"))
+        .withColumn("country", pick(D.COUNTRIES, "country"))
+        .withColumn("province", pick(D.EMAILS, "province"))
+        .withColumn("homepage", pick(D.FIRSTNAMES, "homepage"))
+        .withColumn("creditcard", F.lit(D.CREDITCARD))
+        .withColumn("zipcode", F.lit(D.ZIPCODE))
+    )
+
+
+def person_attrs_sql(id_expr: str, seed: int = 42) -> dict[str, str]:
+    """DuckDB SQL expressions reproducing ``person_attributes`` draw-for-
+    draw (shared md5 preimages via ``_u32_sql``); keys are column names."""
+    from . import dictionaries as D
+
+    def pick(words, field):
+        arr = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
+        return f"{arr}[({_u32_sql(id_expr, seed, field)} % {len(words)}) + 1]"
+
+    return {
+        "name": f"{pick(D.FIRSTNAMES, 'first')} || ' ' || {pick(D.LASTNAMES, 'last')}",
+        "email": pick(D.EMAILS, "email"),
+        "city": pick(D.CITIES, "city"),
+        "country": pick(D.COUNTRIES, "country"),
+        "province": pick(D.EMAILS, "province"),
+        "homepage": pick(D.FIRSTNAMES, "homepage"),
+        "creditcard": f"'{D.CREDITCARD}'",
+        "zipcode": f"'{D.ZIPCODE}'",
+    }
+
+
+def split_streams(events: DataFrame, seed: int = 42) -> dict[str, DataFrame]:
     """Event-type dispatch of the unified stream (P2,
-    NexmarkQuery5b.java:129-136): persons / auctions / bids views."""
-    persons = events.filter(F.col("event_type") == 2).select(
-        F.col("person_id"),
-        F.col("ts").alias("p_ts"),
-        F.col("ts_ns").alias("p_ts_ns"),
+    NexmarkQuery5b.java:129-136): persons / auctions / bids views. Persons
+    carry the dictionary-sampled string attributes (S1)."""
+    persons = person_attributes(
+        events.filter(F.col("event_type") == 2).select(
+            F.col("person_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("ts_ns").alias("p_ts_ns"),
+        ),
+        seed=seed,
     )
     auctions = events.filter(F.col("event_type") == 0).select(
         F.col("event_id").alias("auction_id"),

@@ -61,3 +61,37 @@ def test_zipf_keys_heavy_tail(spark):
     a = with_zipf_keys(generate_events_batch(spark, 1000)).collect()
     b = with_zipf_keys(generate_events_batch(spark, 1000)).collect()
     assert a == b
+
+
+def test_person_attributes_dictionary_draws(spark):
+    """S1 dictionary attributes (NewPersonEvent0.java:72-82): every value
+    comes from its dictionary, the reference's quirks hold (province from
+    EMAILS, homepage from FIRSTNAMES, fixed creditcard/zipcode), and the
+    draws are deterministic by (person_id, seed)."""
+    from nexmark_vanilla_flink_spark.sources import dictionaries as D
+
+    persons = split_streams(generate_events_batch(spark, 9_000))["persons"]
+    rows = persons.collect()
+    assert len(rows) == 1_000
+    first = set(D.FIRSTNAMES)
+    last = set(D.LASTNAMES)
+    for r in rows:
+        fn, ln = r["name"].split(" ", 1)
+        assert fn in first and ln in last
+        assert r["email"] in D.EMAILS
+        assert r["city"] in D.CITIES
+        assert r["country"] in D.COUNTRIES
+        assert r["province"] in D.EMAILS  # reference quirk
+        assert r["homepage"] in D.FIRSTNAMES  # reference quirk
+        assert r["creditcard"] == D.CREDITCARD
+        assert r["zipcode"] == D.ZIPCODE
+    # uniform draws should hit most of each dictionary at 1000 persons
+    assert len({r["city"] for r in rows}) > len(D.CITIES) * 3 // 4
+    # deterministic: same seed, same attributes
+    again = split_streams(generate_events_batch(spark, 9_000))["persons"].collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # different seed, different draws (spot check)
+    other = split_streams(generate_events_batch(spark, 9_000, seed=7), seed=7)[
+        "persons"
+    ].collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
