@@ -49,10 +49,27 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--rate", type=int, default=50_000, help="events/s for --soak"
     )
+    ap.add_argument(
+        "--q5b",
+        action="store_true",
+        help="Q5b processing-time flush demo (kernel/Main.java:58-60): "
+        "drives the applyInPandasWithState flush logic under a virtual "
+        "clock — accumulate, re-arm, timer fires, emit+clear",
+    )
+    ap.add_argument(
+        "--debug",
+        action="store_true",
+        help="sample + count of all three Nexmark streams "
+        "(kernel/Main.java:31-33 runNexmarkQ8Debug)",
+    )
     args = ap.parse_args(argv)
 
     if args.soak:
         return _run_soak(args.soak, args.rate)
+    if args.q5b:
+        return _run_q5b_demo(args.sf_dir, args.show)
+    if args.debug:
+        return _run_debug(args.sf_dir, args.show)
 
     from .plans import REGISTRY
 
@@ -142,6 +159,106 @@ def _run_soak(seconds: int, rate: int) -> int:
         f"{spark.table('soak').count()} agg rows emitted{note}"
     )
     spark.stop()
+    return 0
+
+
+def _run_q5b_demo(sf_dir: str, show: int) -> int:
+    """--q5b (kernel/Main.java:58-60 → NexmarkQuery5b.java:204): the
+    processing-time flush is nondeterministic under a wall clock by design,
+    so the CLI demo drives the SAME applyInPandasWithState function with a
+    VIRTUAL clock (the harness decides when the timer fires): batch 1
+    accumulates + arms the timer, batch 2 accumulates more, then the
+    timeout fires and the flush emits + clears — printed step by step over
+    real bids from ``sf_dir``."""
+    from .session import get_session
+    from .sources.tables import nexmark_streams
+    from .streaming import stateful
+
+    spark = get_session("nexmark-q5b-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    captured = {}
+
+    class _Grab:
+        def withColumn(self, *a, **k):
+            return self
+
+        def groupBy(self, *a, **k):
+            return self
+
+        def applyInPandasWithState(self, fn, **k):
+            captured["fn"] = fn
+            return self
+
+    stateful.q5b_proc_time_flush(_Grab(), flush_interval_ms=10_000)
+    fn = captured["fn"]
+
+    class _State:
+        def __init__(self):
+            self._value, self.hasTimedOut, self.timeout_ms = None, False, None
+
+        @property
+        def exists(self):
+            return self._value is not None
+
+        @property
+        def get(self):
+            return self._value
+
+        def update(self, v):
+            self._value = tuple(v)
+
+        def remove(self):
+            self._value = None
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    bids = (
+        nexmark_streams(spark, sf_dir)["bids"]
+        .select("item_id", "bid", "b_ts_ns")
+        .limit(2_000)
+        .toPandas()
+    )
+    top = bids["item_id"].value_counts().index[:show]
+    print(f"== q5b virtual-clock flush demo ({len(top)} hottest items) ==")
+    for item in top:
+        pdf = bids[bids["item_id"] == item].rename(columns={"item_id": "auction_id"})
+        half = len(pdf) // 2 or 1
+        st = _State()
+        list(fn((int(item),), iter([pdf.iloc[:half]]), st))
+        print(
+            f"item {item}: batch1 {half} bids accumulated, "
+            f"timer armed (+{st.timeout_ms} ms), state={st.get[:2]}"
+        )
+        list(fn((int(item),), iter([pdf.iloc[half:]]), st))
+        print(f"item {item}: batch2 {len(pdf) - half} bids, state={st.get[:2]}")
+        st.hasTimedOut = True
+        out = list(fn((int(item),), iter([]), st))
+        row = out[0].iloc[0]
+        print(
+            f"item {item}: TIMER FIRED -> emit max_bid={row['max_bid']:.2f} "
+            f"bid_count={int(row['bid_count'])}, state cleared={not st.exists}"
+        )
+    # no spark.stop(): getOrCreate may have returned a shared session
+    # (pytest fixture); the CLI process exit tears the JVM down anyway
+    return 0
+
+
+def _run_debug(sf_dir: str, show: int) -> int:
+    """--debug (kernel/Main.java:31-33 runNexmarkQ8Debug): inspect the three
+    Nexmark streams — row count + sample of persons/auctions/bids."""
+    from .session import get_session
+    from .sources.tables import nexmark_streams
+
+    spark = get_session("nexmark-debug")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name, df in nexmark_streams(spark, sf_dir).items():
+        if name == "events":
+            continue
+        print(f"== {name}: {df.count()} rows ==")
+        df.show(show, truncate=False)
+    # no spark.stop(): see _run_q5b_demo
     return 0
 
 
