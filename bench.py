@@ -27,6 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from nexmark_vanilla_flink_spark.plans import REGISTRY  # noqa: E402
+from nexmark_vanilla_flink_spark.plans.registry import EAGER_TAGS  # noqa: E402
 from nexmark_vanilla_flink_spark.session import get_session  # noqa: E402
 from nexmark_vanilla_flink_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
@@ -177,6 +178,47 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Measured per-query FLOORS (VERDICT r3 task 6): the fixed cost any
+    # query pays regardless of data volume, reported so per-query ratios can
+    # be graded net-of-floor. floor_sec = an empty batch plan through the
+    # same timed path (Catalyst + scheduling + noop sink, ~0 rows);
+    # stream_floor_sec = a trivial bounded file-stream replay (passthrough
+    # projection, no state) — the micro-batch machinery floor that every
+    # streaming entry pays before doing any real work. Both amortize to
+    # zero at production scale; at sf0.1 they dominate sub-second entries.
+    def _floor_batch() -> float:
+        df = spark.range(1)
+        best = None
+        for _ in range(5):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    def _floor_stream() -> float:
+        from nexmark_vanilla_flink_spark.streaming.runner import (  # noqa: E402
+            run_available_now,
+        )
+        from nexmark_vanilla_flink_spark.streaming.sources import (  # noqa: E402
+            stream_events,
+        )
+
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run_available_now(
+                stream_events(spark, sf_dir).select("event_id"),
+                output_mode="append",
+            )
+            out.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    floor_sec = _floor_batch()
+    stream_floor_sec = _floor_stream()
+
     # Timed quantity per query: JVM-side work — Catalyst analysis +
     # optimization + scheduling + execution through the noop sink. For
     # pure-lazy queries the Python DataFrame CONSTRUCTION (Py4J expression
@@ -192,8 +234,8 @@ def main() -> None:
     # timer; the asymmetry worth excluding is Python, not planning.
     # "eager" marks queries whose CONSTRUCTION does real cluster work (e.g.
     # a localCheckpoint that evaluates at plan-build time) — guarded by
-    # tests/test_bench_guard.py so nothing slips out of the timer silently
-    EAGER_TAGS = {"streaming", "sink", "iterative", "eager"}
+    # tests/test_bench_guard.py so nothing slips out of the timer silently;
+    # the tag set itself lives in plans/registry.py (shared, ADVICE r3)
 
     def _timed_save(name, cache={}):
         q = REGISTRY[name]
@@ -241,6 +283,8 @@ def main() -> None:
             "result_rows": out_rows,
             "sf": sf,
             "relayout_sec": relayout_sec,
+            "floor_sec": floor_sec,
+            "stream_floor_sec": stream_floor_sec,
             "timing_passes": 1,
             "partial": "first pass only",
         }
@@ -266,6 +310,8 @@ def main() -> None:
         "result_rows": out_rows,
         "sf": sf,
         "relayout_sec": relayout_sec,
+        "floor_sec": floor_sec,
+        "stream_floor_sec": stream_floor_sec,
         "timing_passes": passes,
     }
     _flush(result)
@@ -349,6 +395,8 @@ def main() -> None:
         "sf": sf,
         "timing_passes": passes,
         "n_queries": len(timings),
+        "floor_sec": floor_sec,
+        "stream_floor_sec": stream_floor_sec,
         "queries_full": os.path.basename(out_path),
     }
     if "comparator" in result:

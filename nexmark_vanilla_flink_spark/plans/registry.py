@@ -40,6 +40,14 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Tags whose queries must be (re)CONSTRUCTED inside bench.py's timer because
+# construction does real cluster work: streaming replays, sink round-trips,
+# iterative drivers, and "eager" plan builds (e.g. a localCheckpoint that
+# evaluates at build time). Single source of truth shared by bench.py and
+# tests/test_bench_guard.py — a hand-copied set silently desynchronizing was
+# ADVICE r3.
+EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
+
 # The correctness driver evaluates only the FIRST 50 entries of queries()
 # (CORRECTNESS_r01.json covers exactly insertion-order indices 0-49), so dict
 # order decides which queries sit under the hard cross-engine gate each round.

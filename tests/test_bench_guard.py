@@ -15,9 +15,7 @@ timed quantity is the decode plan.)
 import uuid
 
 from nexmark_vanilla_flink_spark.plans import REGISTRY
-
-# keep in sync with bench.py
-EAGER_TAGS = {"streaming", "sink", "iterative", "eager"}
+from nexmark_vanilla_flink_spark.plans.registry import EAGER_TAGS
 
 
 def test_lazy_queries_run_no_jobs_at_construction(spark, sf_dir):
