@@ -32,6 +32,15 @@ def salted_join(
     route the same row to a different sub-key — harmless for batch
     aggregation but wrong under streaming exactly-once. A row hash is
     retry-stable and spreads a hot key's (non-identical) rows just as well.
+
+    LIMITATION (ADVICE r3): fully IDENTICAL duplicate rows of a hot key all
+    hash to ONE salt bucket, so a duplicate-heavy hot key is not spread at
+    all. If the big side can carry byte-identical duplicates, add a stable
+    per-row discriminator COLUMN before calling (a source row id / file
+    offset — NOT ``monotonically_increasing_id``, which is not
+    retry-stable); the whole-row hash then includes it. The repo's call
+    sites (bid streams keyed by unique ``bid_id``) cannot produce identical
+    duplicates, which is why the plain row hash suffices there.
     """
     big_s = big.withColumn(
         "_salt",

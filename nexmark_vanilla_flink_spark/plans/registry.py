@@ -57,78 +57,76 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # this round. The remainder follows in module-import order. Entries that fall
 # past the cap are still oracled every CI run by tests/test_oracle_parity.py
 # and were driver-green in a prior round's CORRECTNESS_r*.json.
-# Round-3 head (rotation policy: COVERAGE.md "Driver-gate rotation").
-# Tier 1 — the 12 entries never driver-checked in any round (r1/r2 cap
-# casualties; closing VERDICT r2 ask #2). Tier 2 — new this round.
-# Tier 3 — implementation or oracle changed this round. Tier 4 — regression
-# rotation: entries green in r1 but not re-checked in r2 (oldest signal
-# first). approx_user_stats (structurally no_oracle) is demoted past the cap
-# so it stops burning a head slot. Everything below the cap stays
-# pytest-oracle-locked every CI run (tests/test_oracle_parity.py).
+# Round-4 head (rotation policy: COVERAGE.md "Driver-gate rotation").
+# Tier 1 — never driver-checked: empty this round (only approx_user_stats,
+# structurally no_oracle, permanently below the cap). Tier 2 — new this
+# round. Tier 3 — implementation changed this round (the streaming runner
+# rework re-gates every bounded replay). Tier 4 — regression rotation:
+# oldest-green entries (last green r1), honoring the VERDICT r3 queue.
+# Everything below the cap stays pytest-oracle-locked every CI run
+# (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
-    # --- tier 1: never driver-checked ---
-    "nexmark_q0_passthrough",
-    "nexmark_q1_currency",
-    "nexmark_q2_selection",
-    "nexmark_q3_local_suggest",
-    "nexmark_q7_highest_bid",
-    "nexmark_q13_side_input_join",
-    "nexmark_q18_last_bid",
-    "nexmark_q19_auction_top10",
-    "nexmark_q20_bid_auction",
-    "nexmark_q21_channel_id",
-    "nexmark_q22_url_dirs",
-    "stratified_sample",
-    # --- tier 2: added in round 3 ---
-    "exactly_once_sink_replay",
-    "ngram_containment_pairs",
-    "pq_codes",
-    "incremental_dedup_stream_replay",
-    "multimodal_audio_windows",
-    "histogram_quantiles",
-    "bottomk_consistent_sample",
-    "source_dup_matrix",
-    "mixture_rebalanced_sample",
-    "text_normalize_fingerprints",
-    "countmin_sketch_table",
-    "leakage_safe_splits",
-    "stream_dedup_replay",
-    "curation_funnel",
+    # --- tier 2: added in round 4 ---
+    "generated_q3_person_join",   # generator dictionary attributes, md5 oracle
+    # --- tier 3: implementation changed in round 4 ---
+    # streaming runner changed execution for every bounded replay (default
+    # state partitions, tmpfs scratch checkpoints, append-mode file sink) —
+    # all 13 replays re-gate:
+    "q5_hot_items_stream_replay",
+    "sessions_stream_replay",
+    "q8_union_join_lowlevel",
+    "q8_join_stream_replay",
+    "qx_interval_join_stream_replay",
+    "q5_sliding_stream_replay",
+    "q7_highest_bid_stream_replay",
+    "cm_stream_replay",
     "sessions_dynamic_gap_stream_replay",
-    "kmeans_refine_once",
-    "minhash_estimate_error",
-    # --- tier 3: implementation/oracle changed in round 3 ---
-    "chunk_dedup_stats",       # oracle typing fix (r2 hash-fail)
-    "domain_mixing_weights",   # oracle typing fix (r2 hash-fail)
-    "doc_bigram_rarity",       # oracle typing fix (r2 hash-fail)
-    "chunk_dedup_rewrite",     # oracle typing fix (r2 hash-fail)
-    "simhash_neardup_pairs",   # oversized-bucket re-banding guard
-    "hot_items_salted_join",   # deterministic row-hash salt
-    "dedup_clusters",          # graph.py probe/semi-join changes
-    "person_binary_decode",    # shared frame-column decode refactor
-    "bid_binary_decode",       # full-domain IEEE-754 decoder
-    "auction_binary_decode",   # shared frame-column decode refactor
-    # --- tier 4: r1-green, not re-checked since ---
-    "q5_hot_items",
-    "q5_sliding",
-    "q8_new_users_auctions",
-    "q11_user_bids",
-    "qx_winning_bids",
-    "sessions_by_bidder",
-    "cm_load_per_job",
-    "highest_bid_per_window",
-    "event_type_stats",
-    "union_tagged_daily",
-    "sessions_dynamic_gap",
-    # (q8_left_outer, grouped_median_pandas, q5_hot_items_sql, tpch_q1, tpch_q3, tpch_q5_local_volume, tpch_q4, tpch_q6, tpch_q12 and tpch_q14 join the queued
-    # tier-4 rotations — slots yielded to the round-3 additions)
-    # (tpch_q2_min_cost_supplier and tpch_q10_returned_items join the other
-    # ever-green tier-4 rotations queued for next round — slots yielded to
-    # the new round-3 entries)
-    # (tpch_q18_volume_customers, tpch_q22_global_acctbal,
-    # tpch_q16_part_suppliers and dedup_exact_docs — all ever-green —
-    # yield their tier-4 slots to the new round-3 entries; they queue
-    # first for the next round's rotation)
+    "stream_dedup_replay",
+    "exactly_once_sink_replay",
+    "stream_static_enrich",
+    "incremental_dedup_stream_replay",
+    "auction_binary_decode",      # ranged-read numpy mapInArrow hot path
+    "minhash_estimate_error",     # de-broadcast candidate frames
+    "eval_decontamination",       # de-broadcast eval shingle set
+    # --- tier 4: oldest-green rotation (last green r1; VERDICT r3 task 5
+    # queue honored: q8_left_outer, grouped_median_pandas, q5_hot_items_sql,
+    # dedup_exact_docs + the queued TPC-H entries) ---
+    "q8_left_outer",
+    "grouped_median_pandas",
+    "q5_hot_items_sql",
+    "dedup_exact_docs",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q12_shipmode_buckets",
+    "tpch_q14_promo_share",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q10_returned_items",
+    "tpch_q18_volume_customers",
+    "tpch_q22_global_acctbal",
+    "tpch_q16_part_suppliers",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+    "simhash_fingerprints",
+    "text_quality_scores",
+    "lang_guess",
+    "token_counts",
+    "doc_fingerprints",
+    "cosine_topk_bruteforce",
+    "multimodal_meta",
+    "ann_ivf_topk",
+    "label_centroids",
+    "vocab_top_tokens",
+    "multimodal_frame_extract",
+    "corpus_curation",
+    "deterministic_splits",
+    "scalar_quantize_embeddings",
+    # (srp_lsh_buckets, multimodal_resize, doc_chunks_udtf, orders_rollup,
+    # top_customers_per_nation — the five remaining r1-green entries — queue
+    # first for the r5 rotation; the 50-slot cap is full)
 ]
 
 

@@ -730,11 +730,18 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter — exact associative sums make `revenue = max(revenue)` a safe
     cross-engine equality (doubles would tie-break differently per partition
     order). The scalar max rides an unpartitioned window OVER THE AGGREGATED
-    frame (one row per supplier — tiny at any SF), so the revenue view is
-    derived exactly once in one lazy plan: no self-referencing broadcast
-    join, no lineage-cut checkpoint (whose lazy form still executes at
-    plan-build under AQE — tests/test_bench_guard.py), no driver collect;
-    supplier is broadcast for the name join."""
+    frame, so the revenue view is derived exactly once in one lazy plan: no
+    self-referencing broadcast join, no lineage-cut checkpoint (whose lazy
+    form still executes at plan-build under AQE — tests/test_bench_guard.py),
+    no driver collect; supplier is broadcast for the name join.
+
+    Scale tradeoff (ADVICE r3, stated honestly): the unpartitioned window
+    plans as Exchange SinglePartition over the per-supplier aggregate — one
+    row per supplier, funneled through one task. That frame grows with SF
+    (TPC-H suppliers = 10K x SF), so at extreme SF the alternatives trade a
+    single-partition pass of the agg against a SECOND lineitem scan+agg
+    (separate scalar agg + crossJoin(broadcast)): the window form wins while
+    the agg frame is << one task's memory; past that, take the second scan."""
     t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
     li = t["lineitem"]
     ship_type = dict(li.dtypes)["l_shipdate"]
@@ -901,10 +908,17 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (price has ≤2 decimals, so round(price*100) is exact) — ``pc*1000 > tc``
     is the division-free form of ``pc > 0.001*tc``; no decimal-width
     overflow, no double-rounding divergence. The global total rides an
-    unpartitioned window over the per-part AGGREGATE (tiny at any SF), so
-    the lineitem join+agg derives once in one lazy plan — no checkpoint
-    (whose lazy form executes at plan-build under AQE), no broadcast
-    self-reference. At 100 TB the per-part agg is the only shuffle."""
+    unpartitioned window over the per-part AGGREGATE, so the lineitem
+    join+agg derives once in one lazy plan — no checkpoint (whose lazy form
+    executes at plan-build under AQE), no broadcast self-reference.
+
+    Scale tradeoff (ADVICE r3, stated honestly): the unpartitioned window
+    plans as Exchange SinglePartition over the per-part aggregate (~200K
+    rows x SF — grows with SF), funneled through one task. The alternative
+    (separate scalar agg + crossJoin(broadcast)) avoids the funnel at the
+    cost of a SECOND scan of the filtered lineitem join. The window form
+    wins while the per-part frame fits one task comfortably; at extreme SF
+    take the second scan."""
     t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
     nat_supp = (
         t["supplier"]

@@ -44,21 +44,39 @@ def _runtime_confs() -> dict[str, str]:
     return confs
 
 
+# runtime-conf marker: set the first time configure_runtime touches a
+# session, so repeat calls can tell "stock 200 default" from "a caller
+# deliberately set 200 after we configured" (ADVICE r3: value-matching
+# alone stomped exactly that case)
+_CONFIGURED_MARKER = "spark.nexmarkVanillaFlinkSpark.runtimeConfigured"
+
+
 def configure_runtime(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (driver-owned or ours).
 
-    ``spark.sql.shuffle.partitions`` is only touched when the session still
-    carries Spark's stock 200 default: callers that tuned it (bench.py's
-    SF-sized value, a test, a per-query pin) must keep their choice — this
-    function runs on EVERY streaming-source construction, and an
-    unconditional reset silently stomped the session tuning mid-sweep
-    (found in r3: every bench streaming entry reset the remaining sweep,
-    and the stream-stream join replays ran 3× slower at the reset value —
-    8 state partitions: 2.6 s, 32: 6.3 s on the QX replay at sf0.1)."""
+    ``spark.sql.shuffle.partitions`` is only resized on the FIRST call per
+    session, and then only when it still carries Spark's stock 200 default:
+    callers that tuned it (bench.py's SF-sized value, a test, a per-query
+    pin) must keep their choice — this function runs on EVERY
+    streaming-source construction, and an unconditional reset silently
+    stomped the session tuning mid-sweep (found in r3: every bench
+    streaming entry reset the remaining sweep, and the stream-stream join
+    replays ran 3× slower at the reset value — 8 state partitions: 2.6 s,
+    32: 6.3 s on the QX replay at sf0.1). After the first call a marker
+    conf records that this session was configured, so a caller that LATER
+    deliberately sets 200 is never mistaken for the stock default.
+    Residual edge (documented): a session tuned to exactly 200 BEFORE our
+    first touch is indistinguishable from the stock default and gets
+    resized once — such a caller should set the value after construction
+    or pass ``shuffle_partitions`` explicitly."""
+    try:
+        already = spark.conf.get(_CONFIGURED_MARKER, "0") == "1"
+    except Exception:
+        already = False
     for key, value in _runtime_confs().items():
         if key == "spark.sql.shuffle.partitions":
             try:
-                if spark.conf.get("spark.sql.shuffle.partitions") != "200":
+                if already or spark.conf.get(key) != "200":
                     continue
             except Exception:
                 pass
@@ -67,6 +85,10 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
         except Exception:
             # immutable in this session build; trust the session default
             pass
+    try:
+        spark.conf.set(_CONFIGURED_MARKER, "1")
+    except Exception:
+        pass
     return spark
 
 

@@ -106,15 +106,29 @@ def write_person_frames(sf_dir: str, out_path: str) -> str:
 
 def _cache_tag(sf_dir: str, table: str) -> str:
     """Cache key for the encoded frames: SF basename PLUS a content
-    fingerprint (mtime+size) of the source parquet, so regenerating the
-    testdata under the same directory name — or two sf dirs sharing a
-    basename — can never silently reuse stale encoded bytes."""
+    fingerprint of the source parquet, so regenerating the testdata under
+    the same directory name — or two sf dirs sharing a basename — can never
+    silently reuse stale encoded bytes.
+
+    For a Spark-written table DIRECTORY the top-level stat is too weak
+    (1-second mtime granularity, entry-table size), so the fingerprint
+    walks the LEAF data files: max(mtime_ns) + sum(size) across them
+    (ADVICE r3). Raises FileNotFoundError when the source table is absent —
+    the ``*_frames_path`` helpers therefore stat the source (they are not
+    pure path computations), which is what a content-addressed cache path
+    requires."""
     src = f"{sf_dir.rstrip('/')}/{table}.parquet"
-    st = os.stat(src)
-    return (
-        f"{os.path.basename(sf_dir.rstrip('/'))}-"
-        f"{int(st.st_mtime)}-{st.st_size}"
-    )
+    if os.path.isdir(src):
+        mt, sz = 0, 0
+        for root, _dirs, files in os.walk(src):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                mt = max(mt, st.st_mtime_ns)
+                sz += st.st_size
+    else:
+        st = os.stat(src)
+        mt, sz = st.st_mtime_ns, st.st_size
+    return f"{os.path.basename(sf_dir.rstrip('/'))}-{mt}-{sz}"
 
 
 def person_frames_path(sf_dir: str) -> str:

@@ -98,19 +98,31 @@ def test_watermark_drops_late_rows(spark):
 
 
 def test_configure_runtime_preserves_session_tuning(spark):
-    """Regression lock for the r3 conf-stomp bug: configure_runtime runs on
-    every streaming-source construction and must NOT override a session's
-    tuned shuffle-partition count (it silently reset the whole bench sweep
-    and forced wrong state partition counts onto streaming joins)."""
-    from nexmark_vanilla_flink_spark.session import configure_runtime
+    """Regression lock for the r3 conf-stomp bug + the r3 ADVICE refinement:
+    configure_runtime runs on every streaming-source construction and must
+    NOT override a session's tuned shuffle-partition count — including a
+    caller that deliberately tunes to exactly 200 AFTER the session was
+    first configured (the marker conf distinguishes that from the stock
+    default). Only a never-configured session carrying the stock 200 gets
+    resized."""
+    from nexmark_vanilla_flink_spark.session import (
+        _CONFIGURED_MARKER,
+        configure_runtime,
+    )
 
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         configure_runtime(spark)
         assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
-        # the stock 200 default IS replaced (that's the function's job)
+        # deliberate 200 on an ALREADY-configured session is preserved
+        # (pre-fix this was stomped — the one value the guard missed)
         spark.conf.set("spark.sql.shuffle.partitions", "200")
+        configure_runtime(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        # a never-configured session carrying the stock 200 IS resized
+        # (that's the function's job) — simulate by clearing the marker
+        spark.conf.unset(_CONFIGURED_MARKER)
         configure_runtime(spark)
         assert spark.conf.get("spark.sql.shuffle.partitions") != "200"
     finally:
