@@ -601,7 +601,11 @@ def incremental_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFra
         .otherwise("unique")
         .alias("verdict"),
     )
-    return run_available_now(out, output_mode="complete")
+    return run_available_now(
+        out,
+        output_mode="complete",
+        no_data_batch=False,  # complete mode: full state re-emitted per batch
+    )
 
 
 # ---------------------------------------------------------------------------

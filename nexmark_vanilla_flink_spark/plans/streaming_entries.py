@@ -33,7 +33,11 @@ def q5_hot_items_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sources import stream_nexmark
 
     s = stream_nexmark(spark, sf_dir)
-    return run_available_now(q5_hot_items_stream(s["bids"]), output_mode="complete")
+    return run_available_now(
+        q5_hot_items_stream(s["bids"]),
+        output_mode="complete",
+        no_data_batch=False,  # complete mode: full state re-emitted per batch
+    )
 
 
 @register(
@@ -48,7 +52,11 @@ def sessions_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sources import stream_nexmark
 
     s = stream_nexmark(spark, sf_dir)
-    return run_available_now(sessions_stream(s["bids"]), output_mode="complete")
+    return run_available_now(
+        sessions_stream(s["bids"]),
+        output_mode="complete",
+        no_data_batch=False,  # complete mode: full state re-emitted per batch
+    )
 
 
 @register(
@@ -72,7 +80,9 @@ def q8_union_join_lowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = stream_nexmark(spark, sf_dir)
     return run_available_now(
-        union_join_stateful(s["persons"], s["auctions"]), output_mode="append"
+        union_join_stateful(s["persons"], s["auctions"]),
+        output_mode="append",
+        no_data_batch=False,  # NoTimeout stateful fn: emits on arrival only
     )
 
 
@@ -109,7 +119,9 @@ def q8_join_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = stream_nexmark(spark, sf_dir)
     out = run_available_now(
-        q8_join_stream(s["persons"], s["auctions"]), output_mode="append"
+        q8_join_stream(s["persons"], s["auctions"]),
+        output_mode="append",
+        no_data_batch=False,  # inner stream-stream join: emits on arrival
     )
     # raw nanos differ across engines (DuckDB reads nano-parquet at µs
     # precision); µs is the exact shared precision
@@ -142,7 +154,9 @@ def qx_interval_join_stream_replay(spark: SparkSession, sf_dir: str) -> DataFram
 
     s = stream_nexmark(spark, sf_dir)
     out = run_available_now(
-        qx_winning_bids_stream(s["auctions"], s["bids"]), output_mode="append"
+        qx_winning_bids_stream(s["auctions"], s["bids"]),
+        output_mode="append",
+        no_data_batch=False,  # inner stream-stream join: emits on arrival
     )
     return out.withColumn("b_ts_us", F.expr("b_ts_ns DIV 1000")).drop("b_ts_ns")
 
@@ -177,7 +191,11 @@ def q5_sliding_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bid_count",
         )
     )
-    return run_available_now(agg, output_mode="complete")
+    return run_available_now(
+        agg,
+        output_mode="complete",
+        no_data_batch=False,  # complete mode: full state re-emitted per batch
+    )
 
 
 REGISTRY["q5_sliding_stream_replay"].oracle = _batch_oracle("q5_sliding")
@@ -198,7 +216,9 @@ def q7_highest_bid_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = stream_nexmark(spark, sf_dir)
     return run_available_now(
-        q7_highest_bid_stream(s["bids"]), output_mode="complete"
+        q7_highest_bid_stream(s["bids"]),
+        output_mode="complete",
+        no_data_batch=False,  # complete mode: full state re-emitted per batch
     )
 
 
@@ -220,7 +240,9 @@ def cm_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sources import stream_events
 
     return run_available_now(
-        cm_stream(stream_events(spark, sf_dir)), output_mode="complete"
+        cm_stream(stream_events(spark, sf_dir)),
+        output_mode="complete",
+        no_data_batch=False,  # complete mode: full state re-emitted per batch
     )
 
 
@@ -262,7 +284,11 @@ def sessions_dynamic_gap_stream_replay(spark: SparkSession, sf_dir: str) -> Data
             "max_bid",
         )
     )
-    return run_available_now(agg, output_mode="complete")
+    return run_available_now(
+        agg,
+        output_mode="complete",
+        no_data_batch=False,  # complete mode: full state re-emitted per batch
+    )
 
 
 REGISTRY["sessions_dynamic_gap_stream_replay"].oracle = _batch_oracle(
@@ -300,7 +326,11 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .drop("ts")
     )
-    return run_available_now(deduped, output_mode="append")
+    return run_available_now(
+        deduped,
+        output_mode="append",
+        no_data_batch=False,  # dropDuplicatesWithinWatermark emits on arrival
+    )
 
 
 @register(
@@ -408,4 +438,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bids.join(
         F.broadcast(dim), bids.bidder_id == dim.user_id, "inner"
     ).select("bid_id", "bidder_id", "bid", "first_signup_id", "n_signups")
-    return run_available_now(joined, output_mode="append")
+    return run_available_now(
+        joined,
+        output_mode="append",
+        no_data_batch=False,  # stateless stream-static join
+    )

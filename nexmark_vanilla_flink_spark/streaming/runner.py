@@ -72,6 +72,7 @@ def run_available_now(
     name: str | None = None,
     checkpoint_dir: str | None = None,
     shuffle_partitions: int | None = None,
+    no_data_batch: bool = True,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion on the currently-available
     data and return the result as a (batch) DataFrame from the memory sink.
@@ -99,6 +100,19 @@ def run_available_now(
     This is also the 100 TB shape — a real deployment lands results in a
     table, never in driver memory. Complete/update modes keep the memory
     sink (the file sink is append-only by contract).
+
+    ``no_data_batch=False`` disables the trailing no-data micro-batch for
+    this query. For a BOUNDED replay whose operators emit on arrival —
+    inner stream-stream joins, dropDuplicatesWithinWatermark, stateless
+    stream-static joins, applyInPandasWithState with NoTimeout, and
+    complete-mode aggregations (full state re-emitted every batch) — that
+    batch only evicts state that the discarded checkpoint never needs,
+    yet costs real time (QX join at sf0.1: 3.0 s with vs 2.0 s without,
+    byte-identical 381 K output rows, min-of-3 alternating). It MUST stay
+    on (the default) for event-time timers and append-mode windowed
+    aggregations: the watermark-advancing batch is what fires final
+    timers/windows there. Callers opt out per query; the session conf is
+    restored after completion.
     """
     spark = sdf.sparkSession
     qname = name or f"q_{uuid.uuid4().hex[:8]}"
@@ -109,6 +123,11 @@ def run_available_now(
     if shuffle_partitions is not None:
         saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    _ND_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
+    saved_nd = None
+    if not no_data_batch:
+        saved_nd = spark.conf.get(_ND_CONF, "true")
+        spark.conf.set(_ND_CONF, "false")
     out_dir = None
     try:
         if output_mode == "append":
@@ -128,6 +147,8 @@ def run_available_now(
     finally:
         if saved_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        if saved_nd is not None:
+            spark.conf.set(_ND_CONF, saved_nd)
     if q.isActive:
         q.stop()
         raise TimeoutError(f"streaming query {qname} did not finish in {timeout_s}s")
