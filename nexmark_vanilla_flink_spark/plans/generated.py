@@ -96,3 +96,119 @@ def generated_q3_person_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(auctions, persons.person_id == auctions.seller_id)
         .select("name", "city", "province", "person_id", "auction_id")
     )
+
+
+def _generated_mix_oracle() -> str:
+    return f"""
+WITH ids AS (SELECT range AS id FROM range(0, {_N_EVENTS})),
+ev AS (
+  SELECT id,
+         id % {EPOCH} AS slot,
+         {_u32_sql('id', _SEED, 'price')} % 10000000 AS price_units
+  FROM ids
+)
+SELECT CASE WHEN slot < 1 THEN 'person'
+            WHEN slot < 5 THEN 'auction'
+            ELSE 'bid' END AS kind,
+       count(*) AS n,
+       min(price_units) AS min_price_units,
+       max(price_units) AS max_price_units,
+       sum(price_units) AS sum_price_units
+FROM ev
+GROUP BY 1
+"""
+
+
+@register(
+    "generated_event_mix_stats",
+    oracle=_generated_mix_oracle(),
+    tags=("nexmark", "generator", "source"),
+)
+def generated_event_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaved 1:4:4 event mix (S4 —
+    generator/GeneratorPipeline.java:93-180, ratio constants
+    common/NexmarkCommon.java:9-12) and the uniform price draw (S3,
+    price U[0, 1e7) — NexmarkBidSource.java:34-70) under the cross-engine
+    oracle: per-kind counts and exact integer price-unit stats (the price's
+    integer numerator — order-insensitive BIGINT sums, no float
+    accumulation). The DuckDB side regenerates the stream from range()."""
+    from ..sources.generator import _u32
+
+    ev = generate_events_batch(spark, _N_EVENTS, seed=_SEED)
+    slot = F.col("event_id") % EPOCH
+    price_units = F.pmod(
+        _u32(F.col("event_id"), _SEED, "price"), F.lit(10_000_000)
+    )
+    return (
+        ev.select(
+            F.when(slot < 1, "person")
+            .when(slot < 5, "auction")
+            .otherwise("bid")
+            .alias("kind"),
+            price_units.alias("price_units"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("price_units").alias("min_price_units"),
+            F.max("price_units").alias("max_price_units"),
+            F.sum("price_units").alias("sum_price_units"),
+        )
+    )
+
+
+def _generated_skew_oracle() -> str:
+    return f"""
+WITH ids AS (SELECT range AS id FROM range(0, {_N_EVENTS})),
+ev AS (
+  SELECT id,
+         id % {EPOCH} AS slot,
+         id // {EPOCH} AS epoch,
+         ({_u32_sql('id', _SEED, 'hot')} % 100) > {HOT_PROB_PCT} AS is_hot
+  FROM ids
+),
+bids AS (
+  SELECT CASE WHEN is_hot
+              THEN (epoch * 4 // {HOT_RATIO}) * {HOT_RATIO}
+              ELSE {_u32_sql('id', _SEED, 'auction')} % ((epoch + 1) * 4)
+         END AS auction_key
+  FROM ev WHERE slot >= 5
+)
+SELECT CASE WHEN auction_key % {HOT_RATIO} = 0 THEN 'hot_aligned'
+            ELSE 'uniform' END AS bucket,
+       count(*) AS n_bids,
+       count(DISTINCT auction_key) AS n_keys
+FROM bids
+GROUP BY 1
+"""
+
+
+@register(
+    "generated_hot_seller_histogram",
+    oracle=_generated_skew_oracle(),
+    tags=("nexmark", "generator", "source", "skew"),
+)
+def generated_hot_seller_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 15% hot-key skew (S2/S3 — NexmarkAuctionSource.java:34-72
+    ``rand(100) > 85 -> (id/100)*100``, HOT_AUCTIONS_PROB
+    common/NexmarkCommon.java:24) under the cross-engine oracle: bid
+    traffic split into hot-aligned keys (multiples of HOT_RATIO) vs the
+    uniform remainder, with per-bucket bid and distinct-key counts — the
+    exact numbers the skew tooling (AQE skew split, salted_join) exists
+    for, now hash-gated instead of pytest-threshold-checked."""
+    ev = generate_events_batch(spark, _N_EVENTS, seed=_SEED)
+    s = split_streams(ev, seed=_SEED)
+    bids = s["bids"].select(F.col("auction_id").alias("auction_key"))
+    return (
+        bids.select(
+            F.when(F.col("auction_key") % HOT_RATIO == 0, "hot_aligned")
+            .otherwise("uniform")
+            .alias("bucket"),
+            "auction_key",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_bids"),
+            F.count_distinct("auction_key").alias("n_keys"),
+        )
+    )

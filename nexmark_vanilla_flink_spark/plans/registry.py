@@ -68,6 +68,8 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 DRIVER_HEAD: list[str] = [
     # --- tier 2: added in round 4 ---
     "generated_q3_person_join",   # generator dictionary attributes, md5 oracle
+    "generated_event_mix_stats",  # 1:4:4 mix + price draw, oracle-gated
+    "generated_hot_seller_histogram",  # 15% hot-key skew, oracle-gated
     # --- tier 3: implementation changed in round 4 ---
     # streaming runner changed execution for every bounded replay (default
     # state partitions, tmpfs scratch checkpoints, append-mode file sink) —
@@ -122,11 +124,10 @@ DRIVER_HEAD: list[str] = [
     "vocab_top_tokens",
     "multimodal_frame_extract",
     "corpus_curation",
-    "deterministic_splits",
-    "scalar_quantize_embeddings",
-    # (srp_lsh_buckets, multimodal_resize, doc_chunks_udtf, orders_rollup,
-    # top_customers_per_nation — the five remaining r1-green entries — queue
-    # first for the r5 rotation; the 50-slot cap is full)
+    # (deterministic_splits, scalar_quantize_embeddings, srp_lsh_buckets,
+    # multimodal_resize, doc_chunks_udtf, orders_rollup,
+    # top_customers_per_nation — the seven remaining r1-green entries —
+    # queue first for the r5 rotation; the 50-slot cap is full)
 ]
 
 
