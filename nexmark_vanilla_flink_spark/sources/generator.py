@@ -32,14 +32,25 @@ HOT_RATIO = 100  # hot id = (id/100)*100
 MAX_PRICE = 10_000_000.0
 
 
-def _u32(id_col, seed: int, field: str):
-    """Deterministic uniform 32-bit draw for (id, seed, field), identical in
-    Spark and ANSI SQL: the first 8 hex chars of
-    ``md5('<id>:<seed>:<field>')`` as a BIGINT. DuckDB computes the SAME
-    value as ``('0x' || substr(md5(...), 1, 8))::BIGINT`` — this is what
-    puts generated-data queries under the cross-engine oracle gate, which
-    Spark's murmur3 ``hash()`` (no SQL twin) cannot do. All generator
-    randomness goes through this one function."""
+def _u32(id_col, seed: int, field: str, draw: str = "md5"):
+    """Deterministic uniform non-negative draw for (id, seed, field). All
+    generator randomness goes through this one function, in one of two
+    modes:
+
+    ``draw="md5"`` (default): the first 8 hex chars of
+    ``md5('<id>:<seed>:<field>')`` as a BIGINT — identical in ANSI SQL
+    (DuckDB: ``('0x' || substr(md5(...), 1, 8))::BIGINT``), which is what
+    puts generated-data queries under the cross-engine oracle gate. Costs
+    one md5 per draw (~6 M events/s generate-only at 32 cores).
+
+    ``draw="fast"``: murmur3 ``F.hash(id, seed, field)`` — the throughput
+    path (~65 M events/s), matching the reference's cheap per-event PRNG
+    (ThreadLocalRandom). No SQL twin, so fast-mode streams are pinned by
+    pytest (mix/skew/determinism), not the DuckDB oracle; the two modes
+    share every downstream expression (skew, ratio, price scaling), so the
+    oracle on the md5 mode gates the SHAPE logic for both."""
+    if draw == "fast":
+        return F.abs(F.hash(id_col, F.lit(seed), F.lit(field)))
     s = F.concat(id_col.cast("string"), F.lit(f":{seed}:{field}"))
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
@@ -53,10 +64,13 @@ def _u32_sql(id_expr: str, seed: int, field: str) -> str:
     )
 
 
-def _event_columns(df: DataFrame, events_per_sec: int, seed: int) -> DataFrame:
+def _event_columns(
+    df: DataFrame, events_per_sec: int, seed: int, draw: str = "md5"
+) -> DataFrame:
     """Map a monotonically increasing ``id`` column to an interleaved,
-    skewed Nexmark event row. Deterministic given (id, seed) — and
-    reproducible in ANSI SQL via ``_u32``/``_u32_sql``."""
+    skewed Nexmark event row. Deterministic given (id, seed, draw) — and,
+    in the default md5 mode, reproducible in ANSI SQL via
+    ``_u32``/``_u32_sql``."""
     slot = F.col("id") % EPOCH
     epoch = F.expr(f"id DIV {EPOCH}")
     # event-time advances events_per_sec per second of stream time
@@ -65,21 +79,21 @@ def _event_columns(df: DataFrame, events_per_sec: int, seed: int) -> DataFrame:
     )
     id_col = F.col("id")
     # hot-key selection mirrors NexmarkBidSource.java:47-63
-    is_hot = (F.pmod(_u32(id_col, seed, "hot"), F.lit(100)) > HOT_PROB_PCT).cast(
+    is_hot = (F.pmod(_u32(id_col, seed, "hot", draw), F.lit(100)) > HOT_PROB_PCT).cast(
         "boolean"
     )
-    uniform_person = F.pmod(_u32(id_col, seed, "person"), epoch + 1)
+    uniform_person = F.pmod(_u32(id_col, seed, "person", draw), epoch + 1)
     hot_person = F.expr(f"(id DIV {EPOCH} DIV {HOT_RATIO}) * {HOT_RATIO}")
     person_key = F.when(is_hot, hot_person).otherwise(uniform_person)
     uniform_auction = F.pmod(
-        _u32(id_col, seed, "auction"), (epoch + 1) * AUCTIONS_PER_EPOCH
+        _u32(id_col, seed, "auction", draw), (epoch + 1) * AUCTIONS_PER_EPOCH
     )
     hot_auction = F.expr(
         f"(id DIV {EPOCH} * {AUCTIONS_PER_EPOCH} DIV {HOT_RATIO}) * {HOT_RATIO}"
     )
     auction_key = F.when(is_hot, hot_auction).otherwise(uniform_auction)
     price = (
-        F.pmod(_u32(id_col, seed, "price"), F.lit(10_000_000)).cast("double")
+        F.pmod(_u32(id_col, seed, "price", draw), F.lit(10_000_000)).cast("double")
         / F.lit(1_000_000_0)
         * F.lit(MAX_PRICE)
     )
@@ -103,6 +117,7 @@ def generate_events_batch(
     events_per_sec: int = 10_000,
     seed: int = 42,
     num_partitions: int | None = None,
+    draw: str = "md5",
 ) -> DataFrame:
     """Bounded interleaved event stream as a batch DataFrame.
 
@@ -110,13 +125,14 @@ def generate_events_batch(
     (beans/NexmarkEvent.java:41-43,88-90,131-133): 0 auction, 1 bid, 2 person.
     """
     rng = spark.range(0, n_events, 1, num_partitions or spark.sparkContext.defaultParallelism)
-    return _event_columns(rng, events_per_sec, seed)
+    return _event_columns(rng, events_per_sec, seed, draw)
 
 
 def generate_events_stream(
     spark: SparkSession,
     rows_per_second: int = 10_000,
     seed: int = 42,
+    draw: str = "md5",
 ) -> DataFrame:
     """Unbounded interleaved event stream on the rate source — the streaming
     twin of the reference's rate-limited sources (Guava RateLimiter,
@@ -129,11 +145,11 @@ def generate_events_stream(
         .withColumnRenamed("value", "id")
         .drop("timestamp")
     )
-    return _event_columns(rate, rows_per_second, seed)
+    return _event_columns(rate, rows_per_second, seed, draw)
 
 
 def person_attributes(
-    df: DataFrame, id_col: str = "person_id", seed: int = 42
+    df: DataFrame, id_col: str = "person_id", seed: int = 42, draw: str = "md5"
 ) -> DataFrame:
     """Attach the reference's dictionary-sampled person string attributes
     (S1 — beans/NewPersonEvent0.java:72-82): city/country/email drawn
@@ -153,7 +169,7 @@ def person_attributes(
     def pick(words, field):
         return F.element_at(
             F.array(*[F.lit(w) for w in words]),
-            (F.pmod(_u32(c, seed, field), F.lit(len(words))) + 1).cast("int"),
+            (F.pmod(_u32(c, seed, field, draw), F.lit(len(words))) + 1).cast("int"),
         )
 
     return (
@@ -194,7 +210,9 @@ def person_attrs_sql(id_expr: str, seed: int = 42) -> dict[str, str]:
     }
 
 
-def split_streams(events: DataFrame, seed: int = 42) -> dict[str, DataFrame]:
+def split_streams(
+    events: DataFrame, seed: int = 42, draw: str = "md5"
+) -> dict[str, DataFrame]:
     """Event-type dispatch of the unified stream (P2,
     NexmarkQuery5b.java:129-136): persons / auctions / bids views. Persons
     carry the dictionary-sampled string attributes (S1)."""
@@ -205,6 +223,7 @@ def split_streams(events: DataFrame, seed: int = 42) -> dict[str, DataFrame]:
             F.col("ts_ns").alias("p_ts_ns"),
         ),
         seed=seed,
+        draw=draw,
     )
     auctions = events.filter(F.col("event_type") == 0).select(
         F.col("event_id").alias("auction_id"),

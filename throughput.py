@@ -49,8 +49,14 @@ def main() -> None:
         }
 
     def fresh():
-        ev = generate_events_batch(spark, n, events_per_sec=1_000_000)
-        return ev, split_streams(ev)
+        # fast (murmur3) draw: the soak measures OPERATOR throughput, and
+        # the md5 oracle draw caps generation at ~6 M events/s — the fast
+        # mode matches the reference's cheap per-event PRNG. The md5 mode's
+        # generate-only rate is reported separately below for honesty.
+        ev = generate_events_batch(
+            spark, n, events_per_sec=1_000_000, draw="fast"
+        )
+        return ev, split_streams(ev, draw="fast")
 
     # warm up codegen on a small run
     generate_events_batch(spark, 100_000).write.format("noop").mode(
@@ -59,6 +65,11 @@ def main() -> None:
 
     ev, s = fresh()
     run("generate_only", ev)
+
+    run(
+        "generate_only_md5_oracle_draw",  # the cross-engine-reproducible mode
+        generate_events_batch(spark, n, events_per_sec=1_000_000, draw="md5"),
+    )
 
     ev, s = fresh()
     run(
