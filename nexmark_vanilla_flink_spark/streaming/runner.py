@@ -161,6 +161,44 @@ def run_available_now(
     return spark.table(qname)
 
 
+def with_latency_probes(
+    sdf: DataFrame, id_col: str, every: int = 200_000
+) -> DataFrame:
+    """[P6] Tag 1-in-``every`` records as latency probes — the reference
+    samples every 200,000th record inside its join operators and emits a
+    marker row carrying the event's create/ingestion timestamps so the sink
+    can track in-pipeline latency without paying for every record
+    (NexmarkQuery8.java:635-644, NexmarkQueryX.java:681-683, marker =
+    negated person id). The Spark-first form is a stateless deterministic
+    filter on the unique event id (``id % every == 0``) rather than a
+    per-subtask arrival counter: same 1-in-N density, but retry-stable and
+    independent of partitioning — a counter-based sample would tag
+    different records after a task retry. Probes stay IN the stream
+    (downstream operators see them like any record); ``probe_latency_sink``
+    peels them off at the sink."""
+    return sdf.withColumn(
+        "is_probe", F.pmod(F.col(id_col), F.lit(every)) == 0
+    )
+
+
+def probe_latency_sink(
+    sdf: DataFrame,
+    ts_col: str,
+    out_dir: str,
+    trigger_seconds: int | None = None,
+):
+    """[P6+K1] Latency stats over ONLY the probe-tagged records (the
+    reference's sink reads its 1-in-200k marker rows) — same CSV schema and
+    10-minute outlier drop as ``latency_stats_sink``, at 1/200000th the
+    sink-side cost."""
+    return latency_stats_sink(
+        sdf.filter(F.col("is_probe")).drop("is_probe"),
+        ts_col,
+        out_dir,
+        trigger_seconds,
+    )
+
+
 def latency_stats_sink(
     sdf: DataFrame,
     ts_col: str,
