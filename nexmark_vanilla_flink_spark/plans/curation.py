@@ -737,3 +737,113 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).alias("n_kept"),
         F.md5(kept_text).alias("rewritten_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (emails / phone numbers / IPv4) — training-data redaction
+# ---------------------------------------------------------------------------
+
+# regex subset chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, literal escapes only
+_PII_EMAIL = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
+_PII_PHONE = "\\+1-555-[0-9]{4}"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+_PII_ORACLE = f"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || CASE doc_id % 3
+           WHEN 0 THEN ' reach u' || doc_id || '@mail.example soon'
+           WHEN 1 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE ' from 10.' || (doc_id % 256) || '.' || ((doc_id // 256) % 256)
+                || '.' || (doc_id % 250 + 1)
+         END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g')) AS scrub_fp
+FROM enriched
+"""
+
+
+@register(
+    "pii_scrub",
+    oracle=_PII_ORACLE,
+    tags=("pipeline", "text", "curation"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the pre-training scrub pass every large-scale text
+    pipeline runs: count and replace emails, NANP-style phone numbers, and
+    IPv4 addresses with typed placeholder tokens, emitting per-doc match
+    counts plus an md5 fingerprint of the scrubbed text (so the oracle
+    hash-checks the REDACTED BYTES, not just the counts).
+
+    The synthetic documents are PII-free word salad, so the fixture
+    deterministically injects one PII item per document (kind = doc_id % 3)
+    identically in Spark and the oracle SQL — a non-hollow gate at every
+    SF. The regex subset (char classes, bounded repetition, literal
+    escapes) behaves identically under Java regex and RE2; no backrefs, no
+    lookaround.
+
+    Scale: one scan, zero shuffles — pure codegen regexp projections; the
+    per-doc output keys on the scan's own partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" reach u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example soon"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") / 256).cast("long") % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 250 + 1).cast("string"),
+            )
+        ),
+    )
+    enriched = ensure_parallelism(docs).select("doc_id", t.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    # function form (not F.expr): a SQL string literal would re-process the
+    # backslash escapes, mangling the \+ in the phone pattern
+    return enriched.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_IP), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.md5(scrubbed).alias("scrub_fp"),
+    )

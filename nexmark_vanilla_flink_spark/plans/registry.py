@@ -70,6 +70,7 @@ DRIVER_HEAD: list[str] = [
     "generated_q3_person_join",   # generator dictionary attributes, md5 oracle
     "generated_event_mix_stats",  # 1:4:4 mix + price draw, oracle-gated
     "generated_hot_seller_histogram",  # 15% hot-key skew, oracle-gated
+    "pii_scrub",                  # PII redaction with scrubbed-bytes hash
     # --- tier 3: implementation changed in round 4 ---
     # streaming runner changed execution for every bounded replay (default
     # state partitions, tmpfs scratch checkpoints, append-mode file sink) —
@@ -123,10 +124,9 @@ DRIVER_HEAD: list[str] = [
     "label_centroids",
     "vocab_top_tokens",
     "multimodal_frame_extract",
-    "corpus_curation",
-    # (deterministic_splits, scalar_quantize_embeddings, srp_lsh_buckets,
-    # multimodal_resize, doc_chunks_udtf, orders_rollup,
-    # top_customers_per_nation — the seven remaining r1-green entries —
+    # (corpus_curation, deterministic_splits, scalar_quantize_embeddings,
+    # srp_lsh_buckets, multimodal_resize, doc_chunks_udtf, orders_rollup,
+    # top_customers_per_nation — the eight remaining r1-green entries —
     # queue first for the r5 rotation; the 50-slot cap is full)
 ]
 
