@@ -1017,6 +1017,10 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
+    # NOTE: a localCheckpoint lineage cut on `pairs` was tried (the subtree
+    # feeds three consumers) and measured SLOWER (1.89 s vs 1.71 s
+    # construction+exec, min-of-3): at this size the re-derived subtree is
+    # cheaper than materializing the checkpoint and losing scan reuse.
     pairs = minhash_lsh_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", "jaccard_est"
     )
