@@ -43,6 +43,11 @@ QUERIES = [
     "dedup_clusters",
     "corpus_curation",
     "ngram_containment_pairs",
+    # r4 additions / changed plans
+    "pii_scrub",  # scan-only: must scale ~linearly with zero shuffle
+    "incremental_dedup",  # new-vs-corpus joins (de-broadcast path at scale)
+    "text_normalize_fingerprints",
+    "minhash_estimate_error",  # candidate-bounded exact-Jaccard telemetry
 ]
 
 
