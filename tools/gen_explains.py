@@ -64,6 +64,19 @@ FLAGSHIPS = {
     "tpch_q15_top_supplier": "scalar-threshold pattern (r3): the max rides "
     "an unpartitioned window over the per-supplier AGGREGATE — one lineitem "
     "scan, one lazy plan, no checkpoint, no broadcast self-reference.",
+    "generated_q3_person_join": "r4: no input relation at all — both sides "
+    "project off spark.range (the md5-oracle'd generator); one shuffle on "
+    "seller_id where AQE's skew split handles the deliberate hot keys; "
+    "dictionary attributes are constant-folded element_at array literals.",
+    "pii_scrub": "r4: one documents scan; the only exchange is the "
+    "parallelism-guard round-robin (the tiny single-file table would "
+    "otherwise run the CPU-dense regex chain on one task — a no-op at "
+    "production split counts); the injection concat, three regexp counters, "
+    "and the scrub-chain md5 all ride one projection in codegen.",
+    "auction_binary_decode": "r4 hot path: spark.range gives one "
+    "frame-aligned byte range per task (mmap-per-subtask shape); each task "
+    "reads only its range and numpy-decodes in one structured-dtype pass — "
+    "no shuffle, no JVM per-frame explode (which alone cost ~1 s at sf0.1).",
 }
 
 
