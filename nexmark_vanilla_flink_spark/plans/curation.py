@@ -470,27 +470,32 @@ def _corpus_index_dir(spark: SparkSession, sf_dir: str) -> str:
     parquet directory, once per corpus state — the "index in a table" half
     of the incremental-dedup deployment shape. Fingerprint = the same
     leaf-file (mtime_ns, size) walk the binary frame cache uses, so a
-    regenerated documents table can never reuse a stale index."""
+    regenerated documents table can never reuse a stale index. Built in a
+    private staging dir and published with an atomic rename, so a
+    concurrent builder (driver run + local test) can never observe — or
+    clobber — a half-written index; the rename loser just discards its
+    staging copy."""
     import os
+    import shutil
     import tempfile
+    import uuid
 
     from ..sources.binary import _cache_tag
     from .pipeline import _BAND_ROWS, _N_HASHES, _minhash_wide
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    out = os.path.join(
-        base, "spark_graft_dedup_index", _cache_tag(sf_dir, "documents")
-    )
-    done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
+    root = os.path.join(base, "spark_graft_dedup_index")
+    out = os.path.join(root, _cache_tag(sf_dir, "documents"))
+    if os.path.exists(os.path.join(out, "_DONE")):
         return out
+    stage = os.path.join(root, f".stage_{uuid.uuid4().hex[:8]}")
     is_new = F.col("doc_id") % _NEW_MOD == _NEW_MOD - 1
     docs_b = load_table(spark, sf_dir, "documents")
     (
         docs_b.filter(~is_new)
         .select(F.col("doc_id").alias("c_id"), F.md5("text").alias("dg"))
         .write.mode("overwrite")
-        .parquet(f"{out}/digests")
+        .parquet(f"{stage}/digests")
     )
     (
         _minhash_wide(spark, sf_dir)
@@ -502,9 +507,14 @@ def _corpus_index_dir(spark: SparkSession, sf_dir: str) -> str:
             ).alias("band", "sig"),
         )
         .write.mode("overwrite")
-        .parquet(f"{out}/bands")
+        .parquet(f"{stage}/bands")
     )
-    open(done, "w").close()
+    open(os.path.join(stage, "_DONE"), "w").close()
+    try:
+        os.rename(stage, out)
+    except OSError:
+        # another builder published first; its index is complete — use it
+        shutil.rmtree(stage, ignore_errors=True)
     return out
 
 
