@@ -374,11 +374,20 @@ def exactly_once_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    in_dir = os.path.join(
-        shm, "spark_graft_eos_in", _cache_tag(sf_dir, "events")
-    )
+    in_root = os.path.join(shm, "spark_graft_eos_in")
+    in_dir = os.path.join(in_root, _cache_tag(sf_dir, "events"))
     if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
-        src.repartition(3).write.mode("overwrite").parquet(in_dir)
+        # stage + atomic rename: a concurrent builder can never clobber a
+        # replay that is mid-read (mode=overwrite deletes first)
+        import shutil
+        import uuid
+
+        stage = os.path.join(in_root, f".stage_{uuid.uuid4().hex[:8]}")
+        src.repartition(3).write.parquet(stage)
+        try:
+            os.rename(stage, in_dir)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
 
     def _stream():
         return (
