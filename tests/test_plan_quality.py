@@ -210,9 +210,11 @@ def test_simhash_pairs_no_cartesian(spark, sf_dir):
 
 
 def test_decontamination_broadcasts_eval_side(spark, sf_dir):
-    # the eval shingle set must broadcast (eval sets are MBs at 100 TB
-    # corpus scale); a shuffle join here would shuffle the whole corpus's
-    # shingle stream
+    # no broadcast HINT since r4 (the synthetic eval side is a corpus
+    # fraction, unbounded at scale) — but at test SF the frame sits under
+    # the threshold, so AQE must still PICK a broadcast join here; the
+    # x64 scaling curve covers the shuffled-join switchover (non-monotone
+    # timing in docs/scaling_r4.json)
     plan = _plan(spark, sf_dir, "eval_decontamination")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -314,3 +316,32 @@ def test_runtime_bloom_filter_reduces_fact_fact_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pii_scrub_single_scan_no_agg_shuffle(spark, sf_dir):
+    # the scrub is scan + projection; the only exchange allowed is the
+    # parallelism-guard round robin on the tiny single-file table
+    plan = _plan(spark, sf_dir, "pii_scrub")
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_generated_q3_is_pure_range_projection(spark, sf_dir):
+    # both join sides derive from spark.range — no file scan anywhere;
+    # one hash exchange pair for the seller join is the only shuffle
+    plan = _plan(spark, sf_dir, "generated_q3_person_join")
+    assert "Scan parquet" not in plan
+    assert "Range (" in plan
+
+
+def test_generated_skew_histogram_is_single_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "generated_hot_seller_histogram")
+    assert "Scan parquet" not in plan
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+
+
+def test_auction_arrow_decode_no_shuffle(spark, sf_dir):
+    # ranged-read hot path: spark.range -> mapInArrow, zero exchanges
+    plan = _plan(spark, sf_dir, "auction_binary_decode")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInArrow" in plan or "PythonMapInArrow" in plan
