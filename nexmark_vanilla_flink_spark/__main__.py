@@ -266,19 +266,42 @@ def _run_stream(spark, name: str, sf_dir: str):
     from .streaming.queries import (
         cm_stream,
         q5_hot_items_stream,
+        q7_highest_bid_stream,
+        q8_join_stream,
+        q11_join_stream,
+        qx_winning_bids_stream,
         sessions_stream,
     )
     from .streaming.runner import run_available_now
     from .streaming.sources import stream_events, stream_nexmark
 
-    if name == "q5_hot_items":
-        s = stream_nexmark(spark, sf_dir)
-        return run_available_now(q5_hot_items_stream(s["bids"]), "complete")
-    if name == "sessions_by_bidder":
-        s = stream_nexmark(spark, sf_dir)
-        return run_available_now(sessions_stream(s["bids"]), "complete")
     if name == "cm_load_per_job":
         return run_available_now(cm_stream(stream_events(spark, sf_dir)), "complete")
+    s = stream_nexmark(spark, sf_dir)
+    if name == "q5_hot_items":
+        return run_available_now(q5_hot_items_stream(s["bids"]), "complete")
+    if name == "sessions_by_bidder":
+        return run_available_now(sessions_stream(s["bids"]), "complete")
+    if name == "event_type_stats":  # canonical q7 window on the bid stream
+        return run_available_now(q7_highest_bid_stream(s["bids"]), "complete")
+    if name == "q8_new_users_auctions":
+        return run_available_now(
+            q8_join_stream(s["persons"], s["auctions"]),
+            "append",
+            no_data_batch=False,  # inner stream-stream join: emits on arrival
+        )
+    if name == "q11_user_bids":
+        return run_available_now(
+            q11_join_stream(s["persons"], s["bids"]),
+            "append",
+            no_data_batch=False,
+        )
+    if name == "qx_winning_bids":
+        return run_available_now(
+            qx_winning_bids_stream(s["auctions"], s["bids"]),
+            "append",
+            no_data_batch=False,
+        )
     raise SystemExit(f"no streaming twin wired for {name}")
 
 
