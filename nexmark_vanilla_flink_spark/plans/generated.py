@@ -113,7 +113,7 @@ SELECT CASE WHEN slot < 1 THEN 'person'
        count(*) AS n,
        min(price_units) AS min_price_units,
        max(price_units) AS max_price_units,
-       sum(price_units) AS sum_price_units
+       CAST(sum(price_units) AS BIGINT) AS sum_price_units
 FROM ev
 GROUP BY 1
 """

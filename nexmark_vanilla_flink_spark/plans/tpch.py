@@ -729,19 +729,16 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue per supplier stays DECIMAL(38,4) until after the max-equality
     filter — exact associative sums make `revenue = max(revenue)` a safe
     cross-engine equality (doubles would tie-break differently per partition
-    order). The scalar max rides an unpartitioned window OVER THE AGGREGATED
-    frame, so the revenue view is derived exactly once in one lazy plan: no
-    self-referencing broadcast join, no lineage-cut checkpoint (whose lazy
-    form still executes at plan-build under AQE — tests/test_bench_guard.py),
-    no driver collect; supplier is broadcast for the name join.
+    order); supplier is broadcast for the name join.
 
-    Scale tradeoff (ADVICE r3, stated honestly): the unpartitioned window
-    plans as Exchange SinglePartition over the per-supplier aggregate — one
-    row per supplier, funneled through one task. That frame grows with SF
-    (TPC-H suppliers = 10K x SF), so at extreme SF the alternatives trade a
-    single-partition pass of the agg against a SECOND lineitem scan+agg
-    (separate scalar agg + crossJoin(broadcast)): the window form wins while
-    the agg frame is << one task's memory; past that, take the second scan."""
+    Scale posture (VERDICT r4 task 4): the scalar max is a separate global
+    aggregate cross-joined back as a broadcast — NOT an unpartitioned
+    window, which would funnel the whole per-supplier frame (10K x SF rows)
+    through one Exchange SinglePartition task. The scalar-agg form's only
+    SinglePartition exchange carries one partial-max row per task (bounded
+    by task count, not SF), and the revenue subtree in both branches shares
+    its shuffle via ReusedExchange — no second lineitem scan in the
+    executed plan (docs/EXPLAINS.md)."""
     t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
     li = t["lineitem"]
     ship_type = dict(li.dtypes)["l_shipdate"]
@@ -749,6 +746,10 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.expr(f"CAST('1996-04-01 00:00:00' AS {ship_type})")
     revenue = (
         li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        # explicit isnotnull matches the filter the supplier join infers on
+        # the OTHER branch — with both branches canonically identical, the
+        # lineitem shuffle is shared via ReusedExchange (one scan, not two)
+        .filter(F.col("l_suppkey").isNotNull())
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
             F.sum(
@@ -759,9 +760,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_dec")
         )
     )
-    w = Window.partitionBy()  # over the per-supplier aggregate only
+    mx = revenue.agg(F.max("rev_dec").alias("max_rev"))
     return (
-        revenue.withColumn("max_rev", F.max("rev_dec").over(w))
+        revenue.crossJoin(broadcast(mx))
         .filter(F.col("rev_dec") == F.col("max_rev"))
         .join(broadcast(t["supplier"]), F.col("s_suppkey") == F.col("supplier_no"))
         .select(
@@ -907,18 +908,17 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine discipline: the share test runs entirely in BIGINT cents
     (price has ≤2 decimals, so round(price*100) is exact) — ``pc*1000 > tc``
     is the division-free form of ``pc > 0.001*tc``; no decimal-width
-    overflow, no double-rounding divergence. The global total rides an
-    unpartitioned window over the per-part AGGREGATE, so the lineitem
-    join+agg derives once in one lazy plan — no checkpoint (whose lazy form
-    executes at plan-build under AQE), no broadcast self-reference.
+    overflow, no double-rounding divergence.
 
-    Scale tradeoff (ADVICE r3, stated honestly): the unpartitioned window
-    plans as Exchange SinglePartition over the per-part aggregate (~200K
-    rows x SF — grows with SF), funneled through one task. The alternative
-    (separate scalar agg + crossJoin(broadcast)) avoids the funnel at the
-    cost of a SECOND scan of the filtered lineitem join. The window form
-    wins while the per-part frame fits one task comfortably; at extreme SF
-    take the second scan."""
+    Scale posture (VERDICT r4 task 4): the global total is a separate
+    scalar aggregate cross-joined back as a broadcast — NOT an
+    unpartitioned window, whose plan funnels the ENTIRE per-part frame
+    (~200K rows x SF) through one Exchange SinglePartition task. The
+    scalar-agg form's only SinglePartition exchange carries one partial-agg
+    row per task (bounded by task count, not SF), and the per-part
+    aggregate subtree appearing in both branches shares its shuffle via
+    ReusedExchange — no second lineitem scan in the executed plan
+    (docs/EXPLAINS.md)."""
     t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
     nat_supp = (
         t["supplier"]
@@ -936,9 +936,9 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("pc")
         )
     )
-    w = Window.partitionBy()  # over the per-part aggregate only
+    tot = per_part.agg(F.sum("pc").alias("tc"))
     return (
-        per_part.withColumn("tc", F.sum("pc").over(w))
+        per_part.crossJoin(broadcast(tot))
         .filter(F.col("pc") * 1000 > F.col("tc"))
         .select(
             "l_partkey", (F.col("pc").cast("double") / 100).alias("part_value")

@@ -106,15 +106,53 @@ def test_q16_null_aware_anti_join(spark, sf_dir):
 
 def test_q15_q17_single_lazy_plan(spark, sf_dir):
     # scalar thresholds (max revenue, per-part avg) must live inside the
-    # plan (q15: window over the aggregate + broadcast supplier join;
+    # plan (q15: scalar-agg broadcast cross join + broadcast supplier join;
     # q17: broadcast threshold join), never a driver-side collect
     for name in ("tpch_q15_top_supplier", "tpch_q17_small_qty_revenue"):
         plan = _plan(spark, sf_dir, name)
         assert "Broadcast" in plan, name
-    # the window rewrite derives the revenue view exactly once: a single
-    # lineitem scan in the q15 plan
-    q15 = _plan(spark, sf_dir, "tpch_q15_top_supplier")
-    assert q15.count("Scan parquet") == 2  # lineitem once + supplier once
+
+
+def test_q11_q15_no_full_frame_funnel(spark, sf_dir):
+    # VERDICT r4 task 4: the global threshold must NOT be an unpartitioned
+    # window (Exchange SinglePartition over the whole growing aggregate
+    # frame). The scalar-agg + crossJoin(broadcast) form's only
+    # SinglePartition exchange sits above a partial aggregate (one row per
+    # task crosses it), and AQE shares the base shuffle between the two
+    # branches via ReusedExchange — runtime-only, so execute first.
+    for name, reused_sf in (
+        ("tpch_q11_important_parts", "/root/testdata/sf0.01"),
+        ("tpch_q15_top_supplier", sf_dir),
+    ):
+        df = REGISTRY[name].spark(spark, sf_dir)
+        df.collect()
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "Window" not in final, name
+        # every SinglePartition exchange is fed by a partial (map-side)
+        # aggregate, never the raw per-key frame
+        for chunk in final.split("Exchange SinglePartition")[1:]:
+            first_agg = chunk.split("HashAggregate", 1)[1][:200]
+            assert "partial_" in first_agg, (name, first_agg)
+    # ReusedExchange needs a non-empty frame (q11 is empty at sf0.001 and
+    # AQE collapses it to EmptyRelation) — assert at sf0.01 for q11
+    for name, rsf in (
+        ("tpch_q11_important_parts", "/root/testdata/sf0.01"),
+        ("tpch_q15_top_supplier", sf_dir),
+    ):
+        df = REGISTRY[name].spark(spark, rsf)
+        df.collect()
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "ReusedExchange" in final, name
 
 
 def test_q20_semi_join(spark, sf_dir):

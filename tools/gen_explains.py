@@ -61,9 +61,18 @@ FLAGSHIPS = {
     "through 16 distance folds per subvector; one argmin window + one pivot "
     "aggregate — a 100 TB embedding table is one scan + two uniform "
     "exchanges.",
-    "tpch_q15_top_supplier": "scalar-threshold pattern (r3): the max rides "
-    "an unpartitioned window over the per-supplier AGGREGATE — one lineitem "
-    "scan, one lazy plan, no checkpoint, no broadcast self-reference.",
+    "tpch_q15_top_supplier": "scalar-threshold pattern (r5, VERDICT r4 "
+    "task 4): the max is a separate scalar aggregate cross-joined back as "
+    "a broadcast — the only SinglePartition exchange carries ONE "
+    "partial-max row per task (bounded by task count, not SF), never the "
+    "per-supplier frame; at runtime AQE shares the revenue shuffle between "
+    "the two branches (ReusedExchange — one lineitem scan, verified in "
+    "tests/test_plan_quality.py::test_q11_q15_no_full_frame_funnel).",
+    "tpch_q11_important_parts": "scalar-threshold pattern (r5, VERDICT r4 "
+    "task 4): the global total is a scalar agg cross-joined back as a "
+    "broadcast, not an unpartitioned window — no Exchange SinglePartition "
+    "over the growing per-part frame; the per-part aggregate shuffle is "
+    "shared via runtime ReusedExchange (single lineitem scan).",
     "generated_q3_person_join": "r4: no input relation at all — both sides "
     "project off spark.range (the md5-oracle'd generator); one shuffle on "
     "seller_id where AQE's skew split handles the deliberate hot keys; "
