@@ -265,6 +265,7 @@ def _run_debug(sf_dir: str, show: int) -> int:
 def _run_stream(spark, name: str, sf_dir: str):
     from .streaming.queries import (
         cm_stream,
+        event_type_stats_stream,
         q5_hot_items_stream,
         q7_highest_bid_stream,
         q8_join_stream,
@@ -277,12 +278,16 @@ def _run_stream(spark, name: str, sf_dir: str):
 
     if name == "cm_load_per_job":
         return run_available_now(cm_stream(stream_events(spark, sf_dir)), "complete")
+    if name == "event_type_stats":  # a true twin of itself (ADVICE r4)
+        return run_available_now(
+            event_type_stats_stream(stream_events(spark, sf_dir)), "complete"
+        )
     s = stream_nexmark(spark, sf_dir)
     if name == "q5_hot_items":
         return run_available_now(q5_hot_items_stream(s["bids"]), "complete")
     if name == "sessions_by_bidder":
         return run_available_now(sessions_stream(s["bids"]), "complete")
-    if name == "event_type_stats":  # canonical q7 window on the bid stream
+    if name == "nexmark_q7_highest_bid":  # canonical q7 window, bid stream
         return run_available_now(q7_highest_bid_stream(s["bids"]), "complete")
     if name == "q8_new_users_auctions":
         return run_available_now(

@@ -480,12 +480,14 @@ def _corpus_index_dir(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
     import uuid
 
-    from ..sources.binary import _cache_tag
+    from ..sources.binary import _cache_tag, prune_stale_cache
     from .pipeline import _BAND_ROWS, _N_HASHES, _minhash_wide
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     root = os.path.join(base, "spark_graft_dedup_index")
-    out = os.path.join(root, _cache_tag(sf_dir, "documents"))
+    tag = _cache_tag(sf_dir, "documents")
+    prune_stale_cache(root, os.path.basename(sf_dir.rstrip("/")), {tag})
+    out = os.path.join(root, tag)
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
     stage = os.path.join(root, f".stage_{uuid.uuid4().hex[:8]}")

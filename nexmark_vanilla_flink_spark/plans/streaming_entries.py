@@ -367,15 +367,20 @@ def exactly_once_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # content (the same leaf-file fingerprint the binary frame cache uses) —
     # re-deriving it per call re-times a fixture write, not sink semantics.
     # out/ck dirs stay FRESH per call: the crash + resume must start clean.
-    from ..sources.binary import _cache_tag
+    from ..sources.binary import _cache_tag, prune_stale_cache
+    from ..streaming.runner import track_ephemeral_dir
 
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    base = tempfile.mkdtemp(prefix="eos_", dir=shm)
+    # out/ck scratch is removed at process exit (ADVICE r4 — tmpfs outlives
+    # the process); the crash+resume inside THIS call is unaffected
+    base = track_ephemeral_dir(tempfile.mkdtemp(prefix="eos_", dir=shm))
     src = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
     in_root = os.path.join(shm, "spark_graft_eos_in")
-    in_dir = os.path.join(in_root, _cache_tag(sf_dir, "events"))
+    tag = _cache_tag(sf_dir, "events")
+    prune_stale_cache(in_root, os.path.basename(sf_dir.rstrip("/")), {tag})
+    in_dir = os.path.join(in_root, tag)
     if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
         # stage + atomic rename: a concurrent builder can never clobber a
         # replay that is mid-read (mode=overwrite deletes first)

@@ -24,6 +24,7 @@ splits per file; frames per file are exploded inside the task).
 from __future__ import annotations
 
 import os
+import shutil
 import struct
 import tempfile
 
@@ -131,11 +132,54 @@ def _cache_tag(sf_dir: str, table: str) -> str:
     return f"{os.path.basename(sf_dir.rstrip('/'))}-{mt}-{sz}"
 
 
+def prune_stale_cache(root: str, sf_basename: str, keep_tags: set[str]) -> None:
+    """Bound a content-keyed cache root (ADVICE r4: fingerprint-keyed
+    entries accumulate unboundedly when the source regenerates — on tmpfs
+    that RAM competes with the Spark heap): remove entries for the SAME sf
+    basename whose fingerprint is no longer live, plus abandoned staging
+    dirs older than an hour (a fresh ``.stage_`` may belong to a concurrent
+    builder mid-publish). Entries for OTHER sf dirs stay — they are live
+    for whoever works at that scale. Best-effort by design: a racing
+    deletion loses nothing but a rebuild."""
+    import time
+
+    if not os.path.isdir(root):
+        return
+    for name in os.listdir(root):
+        path = os.path.join(root, name)
+        try:
+            if name.startswith(".stage_"):
+                if time.time() - os.path.getmtime(path) > 3600:
+                    shutil.rmtree(path, ignore_errors=True)
+            elif name.startswith(f"{sf_basename}-") and name not in keep_tags:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass
+
+
+def _bin_cache_root() -> str:
+    return os.path.join(tempfile.gettempdir(), "spark_graft_person_bin")
+
+
+def _prune_bin_cache(sf_dir: str) -> None:
+    # the shared frame-cache root holds tags keyed on customer (persons)
+    # AND events (bids/auctions) — keep both live fingerprints
+    keep = set()
+    for t in ("customer", "events"):
+        try:
+            keep.add(_cache_tag(sf_dir, t))
+        except FileNotFoundError:
+            pass
+    prune_stale_cache(
+        _bin_cache_root(), os.path.basename(sf_dir.rstrip("/")), keep
+    )
+
+
 def person_frames_path(sf_dir: str) -> str:
     """Deterministic per-SF, content-fingerprinted cache path."""
+    _prune_bin_cache(sf_dir)
     return os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_person_bin",
+        _bin_cache_root(),
         _cache_tag(sf_dir, "customer"),
         "persons.bin",
     )
@@ -254,9 +298,9 @@ def write_bid_frames(sf_dir: str, out_path: str) -> str:
 
 
 def bid_frames_path(sf_dir: str) -> str:
+    _prune_bin_cache(sf_dir)
     return os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_person_bin",
+        _bin_cache_root(),
         _cache_tag(sf_dir, "events"),
         "bids.bin",
     )
@@ -380,9 +424,9 @@ def write_auction_frames(sf_dir: str, out_path: str) -> str:
 
 
 def auction_frames_path(sf_dir: str) -> str:
+    _prune_bin_cache(sf_dir)
     return os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_person_bin",
+        _bin_cache_root(),
         _cache_tag(sf_dir, "events"),
         "auctions.bin",
     )

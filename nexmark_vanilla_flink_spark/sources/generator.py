@@ -50,7 +50,10 @@ def _u32(id_col, seed: int, field: str, draw: str = "md5"):
     share every downstream expression (skew, ratio, price scaling), so the
     oracle on the md5 mode gates the SHAPE logic for both."""
     if draw == "fast":
-        return F.abs(F.hash(id_col, F.lit(seed), F.lit(field)))
+        # cast BEFORE abs: murmur3 can yield Integer.MIN_VALUE, whose
+        # 32-bit abs overflows back to itself (negative) — widening to
+        # long first keeps the documented non-negative contract (ADVICE r4)
+        return F.abs(F.hash(id_col, F.lit(seed), F.lit(field)).cast("long"))
     s = F.concat(id_col.cast("string"), F.lit(f":{seed}:{field}"))
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 

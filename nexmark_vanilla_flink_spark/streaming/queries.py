@@ -154,6 +154,23 @@ def sessions_stream(bids: DataFrame, gap: str = "1 hour") -> DataFrame:
     )
 
 
+def event_type_stats_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``event_type_stats`` (per-type counts +
+    value stats over the unified stream — the S6 dispatch surface). A
+    global unwindowed aggregation, so complete-mode output; the decimal
+    sum keeps the avg order-insensitive exactly as the batch plan does
+    (ADVICE r4: the CLI previously ran the q7 windowed arg-max under this
+    name — a different query entirely)."""
+    sum_dec = F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        sum_dec.cast("double").alias("sum_value"),
+        (sum_dec.cast("double") / F.count(F.lit(1))).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
 def cm_stream(events: DataFrame, window: str = "10 minutes") -> DataFrame:
     """Streaming CM windowed sum [A4]: tumbling sum(value) per job key."""
     return (

@@ -8,7 +8,9 @@ NexmarkQuery8.java:155-217).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -43,15 +45,48 @@ def replay_state_partitions(spark) -> int | None:
     return None
 
 
+# Every ephemeral dir ever handed out, removed at process exit (ADVICE r4:
+# /dev/shm is tmpfs that outlives the process — without cleanup, repeated
+# bench/test sweeps accumulate checkpoints + sink output in RAM-backed
+# storage and compete with the Spark heap). Checkpoints are additionally
+# removed EAGERLY once their replay completes (run_available_now); sink
+# out_dirs must wait for atexit because the returned DataFrame reads them
+# lazily.
+_EPHEMERAL_DIRS: list[str] = []
+
+
+def _cleanup_ephemeral_dirs() -> None:
+    while _EPHEMERAL_DIRS:
+        shutil.rmtree(_EPHEMERAL_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_ephemeral_dirs)
+
+
+def track_ephemeral_dir(path: str) -> str:
+    """Register a scratch dir for removal at process exit (shared with the
+    replay entries that stage sink/crash dirs on tmpfs themselves)."""
+    _EPHEMERAL_DIRS.append(path)
+    return path
+
+
 def _ephemeral_checkpoint_dir(prefix: str) -> str:
     """Scratch checkpoint for a run-to-completion replay whose results live
     in a memory/noop sink: tmpfs (/dev/shm) when present — the state store's
-    per-batch file commits are the dominant replay cost locally and the
-    checkpoint is discarded with the process anyway. Durable checkpoints
-    (caller-passed ``checkpoint_dir``) are never redirected: crash-resume
-    needs a real filesystem."""
+    per-batch file commits are the dominant replay cost locally, and the
+    dir is rmtree'd eagerly after the replay (plus atexit as a backstop).
+    Durable checkpoints (caller-passed ``checkpoint_dir``) are never
+    redirected: crash-resume needs a real filesystem."""
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    return track_ephemeral_dir(tempfile.mkdtemp(prefix=prefix, dir=base))
+
+
+def _discard_ephemeral_dir(path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        _EPHEMERAL_DIRS.remove(path)
+    except ValueError:
+        pass
 
 
 def use_rocksdb_state(spark) -> None:
@@ -79,7 +114,13 @@ def run_available_now(
 
     Pass ``checkpoint_dir`` to resume from (or establish) a durable
     checkpoint — restarting with the same dir continues exactly-once from
-    the recorded offsets.
+    the recorded offsets. In append mode the file sink then lives at
+    ``<checkpoint_dir>/out`` (stable across restarts, ADVICE r4): a
+    resumed replay appends NEW batches to the SAME directory, so the
+    returned DataFrame always covers every committed batch, not just the
+    post-resume ones. Ephemeral (no ``checkpoint_dir``) replays use tmpfs
+    scratch instead, with the checkpoint removed eagerly on completion and
+    the sink directory at process exit.
 
     ``shuffle_partitions`` pins the STATE partition count for this query
     (set around .start(), restored after completion — the streaming planner
@@ -131,7 +172,10 @@ def run_available_now(
     out_dir = None
     try:
         if output_mode == "append":
-            out_dir = _ephemeral_checkpoint_dir(f"out_{qname}_")
+            if checkpoint_dir is not None:
+                out_dir = os.path.join(checkpoint_dir, "out")
+            else:
+                out_dir = _ephemeral_checkpoint_dir(f"out_{qname}_")
             writer = sdf.writeStream.format("parquet").option("path", out_dir)
         else:
             writer = sdf.writeStream.format("memory").queryName(qname)
@@ -154,6 +198,10 @@ def run_available_now(
         raise TimeoutError(f"streaming query {qname} did not finish in {timeout_s}s")
     if q.exception() is not None:
         raise q.exception()
+    if checkpoint_dir is None:
+        # scratch checkpoint served its purpose — free the tmpfs bytes now
+        # (the returned DataFrame reads only out_dir, never the checkpoint)
+        _discard_ephemeral_dir(ckpt)
     if out_dir is not None:
         # explicit schema: a 0-row replay leaves only _spark_metadata, where
         # schema inference would fail; the sink wrote exactly sdf.schema
@@ -325,6 +373,8 @@ def run_foreach_batch(
         raise TimeoutError(f"foreachBatch sink did not finish in {timeout_s}s")
     if q.exception() is not None:
         raise q.exception()
+    if checkpoint_dir is None:
+        _discard_ephemeral_dir(ckpt)
     return q
 
 
@@ -338,4 +388,6 @@ def run_noop(sdf: DataFrame, timeout_s: int = 300):
         .start()
     )
     q.awaitTermination(timeout_s)
+    if not q.isActive:
+        _discard_ephemeral_dir(ckpt)
     return q

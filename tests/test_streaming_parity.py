@@ -114,3 +114,21 @@ def test_observed_metrics_and_progress(spark, sf_dir):
     out = run_available_now(observed, output_mode="append", name="obs")
     n = out.count()
     assert n > 0
+
+
+def test_event_type_stats_stream_matches_batch(spark, sf_dir):
+    """ADVICE r4: the CLI's --stream twin for event_type_stats must be a
+    twin of ITSELF (per-type stats), not the q7 windowed arg-max."""
+    from nexmark_vanilla_flink_spark.plans.nexmark import event_type_stats
+    from nexmark_vanilla_flink_spark.streaming.queries import (
+        event_type_stats_stream,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    out = run_available_now(
+        event_type_stats_stream(ev), output_mode="complete", name="etss"
+    )
+    batch = event_type_stats(spark, sf_dir)
+    assert _rows(out.select(*sorted(out.columns))) == _rows(
+        batch.select(*sorted(batch.columns))
+    )
