@@ -57,24 +57,37 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # this round. The remainder follows in module-import order. Entries that fall
 # past the cap are still oracled every CI run by tests/test_oracle_parity.py
 # and were driver-green in a prior round's CORRECTNESS_r*.json.
-# Round-4 head (rotation policy: COVERAGE.md "Driver-gate rotation").
-# Tier 1 — never driver-checked: empty this round (only approx_user_stats,
-# structurally no_oracle, permanently below the cap). Tier 2 — new this
-# round. Tier 3 — implementation changed this round (the streaming runner
-# rework re-gates every bounded replay). Tier 4 — regression rotation:
-# oldest-green entries (last green r1), honoring the VERDICT r3 queue.
-# Everything below the cap stays pytest-oracle-locked every CI run
+# Round-5 head (rotation policy: COVERAGE.md "Driver-gate rotation").
+# Tier 1 — never independently re-checked since r1 (the VERDICT r4 task 3
+# queue, all eight taken). Tier 2 — new this round: none. Tier 3 —
+# implementation changed in r5: the mix-stats oracle CAST, the q11/q15
+# de-funnel, the embedding block guard, the doc_top_terms zero-shuffle tf,
+# and all 13 bounded replays (replay_state_partitions default 8 → 4 +
+# eager checkpoint cleanup change execution for every replay). Tier 4 —
+# regression rotation: oldest-green entries (last driver-checked r2,
+# computed from CORRECTNESS_r0{1..4}.json); events_variant_props and
+# incremental_dedup are the two r2-green entries the cap defers to r6;
+# approx_user_stats is structurally no_oracle and stays below the cap by
+# design. Everything below the cap stays pytest-oracle-locked every CI run
 # (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
-    # --- tier 2: added in round 4 ---
-    "generated_q3_person_join",   # generator dictionary attributes, md5 oracle
-    "generated_event_mix_stats",  # 1:4:4 mix + price draw, oracle-gated
-    "generated_hot_seller_histogram",  # 15% hot-key skew, oracle-gated
-    "pii_scrub",                  # PII redaction with scrubbed-bytes hash
-    # --- tier 3: implementation changed in round 4 ---
-    # streaming runner changed execution for every bounded replay (default
-    # state partitions, tmpfs scratch checkpoints, append-mode file sink) —
-    # all 13 replays re-gate:
+    # --- tier 1: last driver-checked in r1 ---
+    "corpus_curation",
+    "deterministic_splits",
+    "scalar_quantize_embeddings",
+    "srp_lsh_buckets",
+    "multimodal_resize",
+    "doc_chunks_udtf",
+    "orders_rollup",
+    "top_customers_per_nation",
+    # --- tier 3: implementation changed in round 5 ---
+    "generated_event_mix_stats",  # oracle typing fix (CAST sum AS BIGINT)
+    "tpch_q11_important_parts",   # scalar-agg + broadcast cross join
+    "tpch_q15_top_supplier",      # scalar-agg + broadcast cross join
+    "embedding_neardup_pairs",    # oversized-block IVF-refinement guard
+    "doc_top_terms",              # per-row run-length tf, corpus shuffle cut
+    # state-partition default 8 -> 4 + eager ckpt cleanup: all replays
+    # re-gate under the new execution shape
     "q5_hot_items_stream_replay",
     "sessions_stream_replay",
     "q8_union_join_lowlevel",
@@ -88,46 +101,31 @@ DRIVER_HEAD: list[str] = [
     "exactly_once_sink_replay",
     "stream_static_enrich",
     "incremental_dedup_stream_replay",
-    "auction_binary_decode",      # ranged-read numpy mapInArrow hot path
-    "minhash_estimate_error",     # de-broadcast candidate frames
-    "eval_decontamination",       # de-broadcast eval shingle set
-    # --- tier 4: oldest-green rotation (last green r1; VERDICT r3 task 5
-    # queue honored: q8_left_outer, grouped_median_pandas, q5_hot_items_sql,
-    # dedup_exact_docs + the queued TPC-H entries) ---
-    "q8_left_outer",
-    "grouped_median_pandas",
-    "q5_hot_items_sql",
-    "dedup_exact_docs",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_order_priority",
-    "tpch_q12_shipmode_buckets",
-    "tpch_q14_promo_share",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q10_returned_items",
-    "tpch_q18_volume_customers",
-    "tpch_q22_global_acctbal",
-    "tpch_q16_part_suppliers",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "embedding_neardup_pairs",
-    "simhash_fingerprints",
-    "text_quality_scores",
-    "lang_guess",
-    "token_counts",
-    "doc_fingerprints",
-    "cosine_topk_bruteforce",
-    "multimodal_meta",
-    "ann_ivf_topk",
-    "label_centroids",
-    "vocab_top_tokens",
-    "multimodal_frame_extract",
-    # (corpus_curation, deterministic_splits, scalar_quantize_embeddings,
-    # srp_lsh_buckets, multimodal_resize, doc_chunks_udtf, orders_rollup,
-    # top_customers_per_nation — the eight remaining r1-green entries —
-    # queue first for the r5 rotation; the 50-slot cap is full)
+    # --- tier 4: oldest-green rotation (last driver-checked r2) ---
+    "bids_asof_profile",
+    "nexmark_q4_category_avg",
+    "nexmark_q6_seller_avg",
+    "nexmark_q9_winning_bid_rows",
+    "nexmark_q10_log_partitioned",
+    "nexmark_q14_calculation",
+    "nexmark_q15_bidding_stats",
+    "nexmark_q16_channel_stats",
+    "nexmark_q17_auction_stats",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_national_share",
+    "tpch_q9_product_profit",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q13_order_distribution",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_suppliers",
+    "doc_repetition_scores",
+    "token_budget_packing",
+    "events_cube",
+    "nation_distinct_segments",
+    "events_semi_anti_join",
+    "user_event_gaps",
+    "user_event_pivot",
 ]
 
 

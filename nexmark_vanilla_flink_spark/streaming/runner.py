@@ -28,11 +28,15 @@ def replay_state_partitions(spark) -> int | None:
 
     Local-mode rule (measured, QX interval join at sf0.1, drift-cancelled
     A/B): per-partition state-store commit overhead dominates, so bounded
-    local replays want FEW, large state partitions — 8: 2.6 s vs 32: 6.3 s.
+    local replays want FEW, large state partitions — 8: 2.6 s vs 32: 6.3 s
+    (r4); the r5 sweep over all 13 replays pushed the default down to 4
+    (every declarative stateful replay gained 0.1-0.25 s vs 8; only the
+    Python applyInPandasWithState replica loses Arrow-batch worker
+    parallelism below 8 and pins its own count via ``shuffle_partitions``).
     At 100 TB the same bytes-per-task rule points the OTHER way: size the
     count UP from state volume (state_bytes / ~100-200 MB per store), and
     the checkpoint bakes the choice in per query. So: honor
-    SPARK_GRAFT_REPLAY_STATE_PARTITIONS if set, default to 8 under a
+    SPARK_GRAFT_REPLAY_STATE_PARTITIONS if set, default to 4 under a
     local[*] master, and return None (= keep the session's tuned value) on
     a real cluster where the session owner sized it to the data.
     """
@@ -41,7 +45,7 @@ def replay_state_partitions(spark) -> int | None:
         return int(env)
     master = spark.conf.get("spark.master", "")
     if master.startswith("local"):
-        return 8
+        return 4
     return None
 
 

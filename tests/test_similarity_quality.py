@@ -54,3 +54,45 @@ def test_lsh_candidate_recall_vs_exact_jaccard(spark, sf_dir):
     assert truth, "fixture has no high-similarity pairs; test is vacuous"
     recall = len(truth & candidates) / len(truth)
     assert recall >= 0.8, f"LSH candidate recall too low: {recall:.2f} of {len(truth)}"
+
+
+def test_embedding_guard_pair_retention(spark):
+    """The oversized-block guard (r5) trades sub-block-boundary recall for
+    bounded candidates — pin the tradeoff so a future cap/seed change can't
+    silently destroy it. At sf0.01 both paths run (blocks straddle the
+    cap); the guarded output must retain most of the unguarded pair set
+    and never invent pairs."""
+    from nexmark_vanilla_flink_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    guarded = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["embedding_neardup_pairs"].spark(spark, sf).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    unguarded = set(
+        map(
+            tuple,
+            con.execute(
+                """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, label, v,
+        sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e)
+SELECT a.vec_id, b.vec_id
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_aggregate(list_transform(list_zip(a.v, b.v),
+        s -> s[1] * s[2]), 'sum') / (a.nrm * b.nrm), 6) >= 0.30
+"""
+            ).fetchall(),
+        )
+    )
+    assert unguarded, "fixture has no intra-label near-dups; test is vacuous"
+    assert guarded <= unguarded, "guard must never invent pairs"
+    retention = len(guarded) / len(unguarded)
+    assert retention >= 0.75, f"guard retention too low: {retention:.2f}"
