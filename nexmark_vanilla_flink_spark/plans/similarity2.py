@@ -1004,73 +1004,67 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard and report pair count + mean/max absolute error — the number
     that justifies (or indicts) the sketch width before anyone trusts the
     dedup threshold at 100 TB. Exact Jaccard is computed only on the
-    CANDIDATE pairs (inverted-index co-count, sub-quadratic), never
-    all-pairs.
+    CANDIDATE pairs (per-pair array_intersect over the two docs' 3-gram
+    digest arrays), never all-pairs.
 
-    Scale: candidates are tiny relative to the corpus; the shingle frames
-    semi-join down to candidate docs before the co-count; error rows sum
-    through DECIMAL so the mean is order-insensitive. The candidate-doc and
-    candidate-pair frames get NO broadcast hint: they scale with corpus
-    size (a hint would ship an unbounded frame to every executor at
-    100 TB) — AQE picks broadcast at small SF and a shuffled hash join
-    once the frame outgrows the threshold."""
+    Scale (r5 rewrite): the LSH candidate subtree derives exactly once;
+    candidates join the raw text of both sides, and the digest arrays are
+    built on the MATCHED rows only — shingle compute scales with the
+    candidate count, not the corpus. The remaining corpus-sized work is
+    two pruned (doc_id, text) scans. Error rows sum through DECIMAL so the
+    mean is order-insensitive; the candidate-pair frame gets NO broadcast
+    hint (it scales with corpus size — a hint would ship an unbounded
+    frame to every executor at 100 TB): AQE picks broadcast at small SF
+    and a shuffled hash join once the frame outgrows the threshold."""
     from .pipeline import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    # NOTE: a localCheckpoint lineage cut on `pairs` was tried (the subtree
-    # feeds three consumers) and measured SLOWER (1.89 s vs 1.71 s
-    # construction+exec, min-of-3): at this size the re-derived subtree is
-    # cheaper than materializing the checkpoint and losing scan reuse.
+    # The LSH candidate subtree is derived exactly ONCE (r5 — the previous
+    # shape consumed `pairs` three times: candidate-doc semi-join, co-count
+    # gate, and the estimate join, re-deriving the whole LSH pipeline each
+    # time; a lineage-cut checkpoint was measured slower, see git history).
+    # Exact Jaccard now comes from per-pair array_intersect: candidates
+    # join the raw text of both sides and the 3-gram digest arrays are
+    # computed on the MATCHED rows only — shingle work scales with the
+    # candidate count, not the corpus, and the only corpus-sized work left
+    # is two pruned (doc_id, text) scans that AQE joins against the small
+    # candidate frame (no broadcast hint: candidates grow with the corpus).
     pairs = minhash_lsh_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", "jaccard_est"
     )
-    ws = ensure_parallelism(docs).select(
-        "doc_id", F.split("text", " ").alias("ws")
-    )
-    hd = ws.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "CASE WHEN size(ws) >= 3 THEN "
-                    "transform(sequence(0, size(ws) - 3), "
-                    "j -> md5(concat_ws(' ', ws[j], ws[j+1], ws[j+2]))) "
-                    "ELSE CAST(array() AS ARRAY<STRING>) END"
-                )
-            )
-        ).alias("h"),
-    )
-    cand_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    hdc = hd.join(cand_docs, "doc_id", "left_semi")
-    sizes = hdc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    co = (
-        hdc.select(F.col("doc_id").alias("doc_a"), "h")
-        .join(hdc.select(F.col("doc_id").alias("doc_b"), "h"), "h")
-        .join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("co"))
-    )
-    exact = (
-        pairs.join(co, ["doc_a", "doc_b"])
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .select(
-            F.round(
-                F.abs(
-                    F.col("jaccard_est")
-                    - F.round(
-                        F.col("co")
-                        / (F.col("na") + F.col("nb") - F.col("co")).cast("double"),
-                        6,
-                    )
-                ),
-                6,
-            ).alias("e")
+
+    def _sh(col: str) -> str:
+        return (
+            f"array_distinct(CASE WHEN size(split({col}, ' ')) >= 3 THEN "
+            f"transform(sequence(0, size(split({col}, ' ')) - 3), "
+            f"j -> md5(concat_ws(' ', element_at(split({col}, ' '), j + 1), "
+            f"element_at(split({col}, ' '), j + 2), "
+            f"element_at(split({col}, ' '), j + 3)))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END)"
         )
+
+    txt = ensure_parallelism(docs).select("doc_id", "text")
+    a = txt.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    b = txt.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    joined = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("ha", F.expr(_sh("text_a")))
+        .withColumn("hb", F.expr(_sh("text_b")))
+        .withColumn("co", F.size(F.array_intersect("ha", "hb")))
+    )
+    exact = joined.select(
+        F.round(
+            F.abs(
+                F.col("jaccard_est")
+                - F.round(
+                    F.col("co")
+                    / (F.size("ha") + F.size("hb") - F.col("co")).cast("double"),
+                    6,
+                )
+            ),
+            6,
+        ).alias("e")
     )
     return exact.agg(
         F.count(F.lit(1)).alias("n_pairs"),
