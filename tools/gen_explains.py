@@ -86,6 +86,19 @@ FLAGSHIPS = {
     "frame-aligned byte range per task (mmap-per-subtask shape); each task "
     "reads only its range and numpy-decodes in one structured-dtype pass — "
     "no shuffle, no JVM per-frame explode (which alone cost ~1 s at sf0.1).",
+    "doc_top_terms": "r5: per-document tf is a run-length pass over the "
+    "sorted token array inside ONE projection (array_sort + boundary "
+    "indices), exploding straight to distinct (doc, tok, tf) rows — the "
+    "corpus-sized (doc, tok) aggregation exchange is gone; only the df "
+    "count window (tok key) and the top-3 rank window (doc key) shuffle, "
+    "both over the already-distinct token frame.",
+    "embedding_neardup_pairs": "r5 oversized-block guard: labels over "
+    "EMB_BLOCK_CAP sub-cluster one IVF level deeper (ceil(B/cap) "
+    "deterministic seeds, nearest-seed assignment via a BIGINT-packed "
+    "argmax that ties identically in the DuckDB oracle); pairs form only "
+    "within (label, seed) sub-blocks — candidates linear in B for "
+    "balanced sub-blocks (docs/scaling_r5.json: x17 candidates at x16 "
+    "data vs x172 unguarded).",
 }
 
 
