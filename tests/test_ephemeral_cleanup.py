@@ -75,6 +75,36 @@ def test_durable_append_resume_keeps_output(spark, tmp_path):
     assert again.count() == n1
 
 
+def test_durable_append_resume_appends_new_batches(spark, tmp_path):
+    """Resume with NEW input: the second run must process only the new
+    file (exactly-once from the recorded offsets) and the stable out dir
+    must then cover BOTH runs' committed output."""
+    ckpt = str(tmp_path / "ckpt2")
+    in_dir = str(tmp_path / "in2")
+
+    def _write(ids):
+        spark.createDataFrame([(i,) for i in ids], "id long").select(
+            "id",
+            F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id")).alias("ts"),
+        ).write.mode("append").parquet(in_dir)
+
+    def _stream():
+        static = spark.read.parquet(in_dir)
+        return (
+            spark.readStream.schema(static.schema)
+            .parquet(in_dir)
+            .select("id", "ts")
+        )
+
+    _write(range(10))
+    first = run_available_now(_stream(), "append", checkpoint_dir=ckpt)
+    assert first.count() == 10
+    _write(range(100, 105))
+    second = run_available_now(_stream(), "append", checkpoint_dir=ckpt)
+    got = sorted(r.id for r in second.collect())
+    assert got == sorted(list(range(10)) + list(range(100, 105)))
+
+
 def test_prune_stale_cache_evicts_only_same_sf(tmp_path):
     root = str(tmp_path / "cache")
     live = os.path.join(root, "sf0.001-123-456")
