@@ -3,6 +3,8 @@ generator→parquet round trip, RocksDB state provider."""
 
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from nexmark_vanilla_flink_spark.operators.skew import salted_join
@@ -107,3 +109,70 @@ def test_compact_parquet_bounds_file_count(spark, sf_dir):
         big = glob.glob(f"{d}/big/*.parquet")
         assert len(big) <= 3, big
         assert spark.read.parquet(f"{d}/big").count() == 50_000
+
+
+def test_stateful_resume_after_midstream_crash(spark, tmp_path):
+    """Crash BETWEEN micro-batches of a stateful windowed aggregation, then
+    resume from the durable checkpoint: batch 0's window state must be
+    RESTORED (not recomputed) and the ledgered output must equal the batch
+    answer for every watermark-closed window — the state-recovery half of
+    exactly-once that test_checkpoint_recovery (nothing-left-to-do resume)
+    and exactly_once_sink_replay (stateless pipeline) do not cover."""
+    from nexmark_vanilla_flink_spark.streaming.runner import (
+        idempotent_batch_writer,
+        read_committed,
+        run_foreach_batch,
+    )
+
+    in_dir = str(tmp_path / "in")
+    # 3 files, 300 rows each; one event per second from a fixed epoch so
+    # 10-second windows span file (= micro-batch) boundaries
+    for part in range(3):
+        spark.range(part * 300, (part + 1) * 300).select(
+            F.col("id"),
+            F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id")).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+    static = spark.read.parquet(in_dir)
+
+    def _stream():
+        return (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .withWatermark("ts", "5 seconds")
+            .groupBy(F.window("ts", "10 seconds").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_timestamp("w.start").alias("w_start_s"), "n")
+        )
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    boom = {"armed": True}
+
+    def _hook(batch_id):
+        if batch_id == 1 and boom["armed"]:
+            raise RuntimeError("injected crash before batch-1 ledger commit")
+
+    writer = idempotent_batch_writer(out, pre_commit_hook=_hook)
+    with pytest.raises(Exception, match="injected crash"):
+        run_foreach_batch(_stream(), writer, checkpoint_dir=ck)
+    boom["armed"] = False
+    run_foreach_batch(_stream(), writer, checkpoint_dir=ck)
+
+    got = {
+        (r.w_start_s, r.n) for r in read_committed(spark, out).collect()
+    }
+    # batch truth, restricted to windows the final watermark closed
+    max_ts = 1_600_000_000 + 899
+    wm = max_ts - 5
+    expected = {
+        (r.w_start_s, r.n)
+        for r in (
+            static.groupBy(F.window("ts", "10 seconds").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_timestamp("w.start").alias("w_start_s"), "n")
+            .filter(F.unix_timestamp(F.col("w.end")) <= wm)
+            .collect()
+        )
+    }
+    assert expected, "no closed windows; fixture broken"
+    assert got == expected
