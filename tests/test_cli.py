@@ -17,3 +17,22 @@ def test_debug_flag(spark, sf_dir, capsys):
     out = capsys.readouterr().out
     for stream in ("persons", "auctions", "bids"):
         assert f"== {stream}:" in out
+
+
+def test_stream_twin_wiring(spark, sf_dir):
+    """ADVICE r4: --stream for event_type_stats must run a twin of ITSELF
+    (per-type stats schema), the q7 arg-max lives under its own name, and
+    unknown names still error."""
+    import pytest
+
+    from nexmark_vanilla_flink_spark.__main__ import _run_stream
+
+    out = _run_stream(spark, "event_type_stats", sf_dir)
+    assert set(out.columns) == {
+        "event_type", "n", "sum_value", "avg_value", "min_value", "max_value"
+    }
+    assert out.count() > 0
+    q7 = _run_stream(spark, "nexmark_q7_highest_bid", sf_dir)
+    assert "bid" in q7.columns and q7.count() > 0  # arg-max row per window
+    with pytest.raises(SystemExit):
+        _run_stream(spark, "no_such_query", sf_dir)
