@@ -473,3 +473,129 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         no_data_batch=False,  # stateless stream-static join
     )
+
+
+@register(
+    "ann_ivf_topk_stream_replay",
+    tags=("streaming", "similarity", "ann"),
+)
+def ann_ivf_topk_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The similarity-search serving path UNDER STREAMING EXECUTION: query
+    vectors ARRIVE as a stream and probe the static IVF index — the online
+    ANN deployment shape (index built offline, queries through Kafka/files).
+    Same oracle as the batch ``ann_ivf_topk``, so the streaming engine's
+    execution of identical semantics sits under the hash gate.
+
+    Streaming-plan notes: everything is STATELESS. The centroid table is
+    tiny (nlist vectors), so it rides the stream as ONE broadcast array row
+    and each arriving query picks its 2 probe centroids with an in-row
+    array_sort over (-cos, c_id) structs — identical tie-breaking to the
+    batch rank window, no streaming aggregation needed. Candidate lookup
+    and scoring are stream-static equi-joins against the offline
+    assignment/corpus frames (inverted lists in a table — at 100 TB those
+    joins prune to ~nprobe/nlist of the corpus per query). The final top-5
+    rank is applied by the caller on the replayed result, the same
+    caller-side-reduction contract as ``qx_winning_bids_stream``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from ..sources.tables import load_table
+    from ..streaming.runner import run_available_now
+    from ..streaming.sources import cached_parquet_schema, configure_runtime
+
+    configure_runtime(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            )
+        ),
+    )
+    c = n.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    dot_vc = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    ac = n.crossJoin(broadcast(c)).select(
+        "vec_id",
+        "c_id",
+        F.round(dot_vc / (F.col("nrm") * F.col("cnrm")), 6).alias("cs"),
+    )
+    w_vc = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("c_id"))
+    assign = (
+        ac.withColumn("rn", F.row_number().over(w_vc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "c_id")
+    )
+    c_arr = c.agg(
+        F.collect_list(F.struct("c_id", "cv", "cnrm")).alias("cs_arr")
+    ).withColumn("one", F.lit(1))
+
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    schema = cached_parquet_schema(spark, path)
+    q = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("qv"),
+        )
+        .withColumn(
+            "qn",
+            F.sqrt(
+                F.expr(
+                    "aggregate(transform(qv, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+                )
+            ),
+        )
+        .withColumn("one", F.lit(1))
+    )
+    # in-row probe selection: sort (-cos, c_id) structs, take 2 — identical
+    # ordering to the batch rank window (desc cs, asc c_id)
+    probes = (
+        q.join(broadcast(c_arr), "one")
+        .select(
+            "q_id",
+            "qv",
+            "qn",
+            F.explode(
+                F.expr(
+                    "slice(array_sort(transform(cs_arr, c -> struct("
+                    "-round(aggregate(zip_with(qv, c.cv, (x, y) -> x * y), "
+                    "CAST(0.0 AS DOUBLE), (a, x) -> a + x) / (qn * c.cnrm), 6)"
+                    " AS ncs, c.c_id AS c_id))), 1, 2)"
+                )
+            ).alias("p"),
+        )
+        .select("q_id", "qv", "qn", F.col("p.c_id").alias("c_id"))
+    )
+    cand = probes.join(assign, "c_id").filter(F.col("vec_id") != F.col("q_id"))
+    dot_qd = F.expr(
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    scored = cand.join(n, "vec_id").select(
+        "q_id",
+        "vec_id",
+        F.round(dot_qd / (F.col("qn") * F.col("nrm")), 6).alias("cos_sim"),
+    )
+    out = run_available_now(
+        scored,
+        output_mode="append",
+        no_data_batch=False,  # stateless stream-static joins
+    )
+    w_q = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return out.withColumn("rn", F.row_number().over(w_q)).filter(F.col("rn") <= 5)
+
+
+REGISTRY["ann_ivf_topk_stream_replay"].oracle = _batch_oracle("ann_ivf_topk")
