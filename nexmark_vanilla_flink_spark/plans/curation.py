@@ -784,28 +784,11 @@ FROM enriched
 """
 
 
-@register(
-    "pii_scrub",
-    oracle=_PII_ORACLE,
-    tags=("pipeline", "text", "curation"),
-)
-def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction — the pre-training scrub pass every large-scale text
-    pipeline runs: count and replace emails, NANP-style phone numbers, and
-    IPv4 addresses with typed placeholder tokens, emitting per-doc match
-    counts plus an md5 fingerprint of the scrubbed text (so the oracle
-    hash-checks the REDACTED BYTES, not just the counts).
-
-    The synthetic documents are PII-free word salad, so the fixture
-    deterministically injects one PII item per document (kind = doc_id % 3)
-    identically in Spark and the oracle SQL — a non-hollow gate at every
-    SF. The regex subset (char classes, bounded repetition, literal
-    escapes) behaves identically under Java regex and RE2; no backrefs, no
-    lookaround.
-
-    Scale: one scan, zero shuffles — pure codegen regexp projections; the
-    per-doc output keys on the scan's own partitioning."""
-    docs = load_table(spark, sf_dir, "documents")
+def _pii_scrub_project(frame: DataFrame) -> DataFrame:
+    """The whole PII pass as ONE projection over (doc_id, text) — shared
+    verbatim by the batch entry and its streaming arrival-path twin, so
+    both sit under the identical oracle expressions. Streaming-safe:
+    stateless, no aggregation, no window."""
     t = F.concat(
         F.col("text"),
         F.when(
@@ -834,7 +817,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    enriched = ensure_parallelism(docs).select("doc_id", t.alias("t"))
+    enriched = frame.select("doc_id", t.alias("t"))
     scrubbed = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
@@ -859,3 +842,28 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         F.md5(scrubbed).alias("scrub_fp"),
     )
+
+
+@register(
+    "pii_scrub",
+    oracle=_PII_ORACLE,
+    tags=("pipeline", "text", "curation"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the pre-training scrub pass every large-scale text
+    pipeline runs: count and replace emails, NANP-style phone numbers, and
+    IPv4 addresses with typed placeholder tokens, emitting per-doc match
+    counts plus an md5 fingerprint of the scrubbed text (so the oracle
+    hash-checks the REDACTED BYTES, not just the counts).
+
+    The synthetic documents are PII-free word salad, so the fixture
+    deterministically injects one PII item per document (kind = doc_id % 3)
+    identically in Spark and the oracle SQL — a non-hollow gate at every
+    SF. The regex subset (char classes, bounded repetition, literal
+    escapes) behaves identically under Java regex and RE2; no backrefs, no
+    lookaround.
+
+    Scale: one scan, zero shuffles — pure codegen regexp projections; the
+    per-doc output keys on the scan's own partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _pii_scrub_project(ensure_parallelism(docs).select("doc_id", "text"))

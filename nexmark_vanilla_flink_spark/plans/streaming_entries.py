@@ -599,3 +599,38 @@ def ann_ivf_topk_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["ann_ivf_topk_stream_replay"].oracle = _batch_oracle("ann_ivf_topk")
+
+
+@register(
+    "pii_scrub_stream_replay",
+    tags=("streaming", "text", "curation"),
+)
+def pii_scrub_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII scrub pass UNDER STREAMING EXECUTION — the ingest-time
+    redaction shape (documents scrubbed as they arrive, before anything
+    lands in the training corpus). The whole pass is the SAME single
+    projection the batch entry runs (`curation._pii_scrub_project`), so
+    the shared batch oracle hash-checks the scrubbed bytes produced by the
+    streaming engine. Stateless: no watermark, no state store; at 100 TB
+    this is the shape where scrubbing cost scales with ingest rate, not
+    corpus size."""
+    from ..streaming.runner import run_available_now
+    from ..streaming.sources import cached_parquet_schema, configure_runtime
+    from .curation import _pii_scrub_project
+
+    configure_runtime(spark)
+    path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    schema = cached_parquet_schema(spark, path)
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .select("doc_id", "text")
+    )
+    return run_available_now(
+        _pii_scrub_project(docs),
+        output_mode="append",
+        no_data_batch=False,  # stateless projection: emits on arrival
+    )
+
+
