@@ -492,8 +492,12 @@ def ann_ivf_topk_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_sort over (-cos, c_id) structs — identical tie-breaking to the
     batch rank window, no streaming aggregation needed. Candidate lookup
     and scoring are stream-static equi-joins against the offline
-    assignment/corpus frames (inverted lists in a table — at 100 TB those
-    joins prune to ~nprobe/nlist of the corpus per query). The final top-5
+    assignment/corpus frames; the coarse assignment is MATERIALIZED to a
+    content-fingerprinted table once per corpus (the deployment shape —
+    an IVF index is built offline and served from storage, same pattern
+    as the corpus dedup index), so each serving replay pays lookup cost,
+    not index-build cost. At 100 TB those joins prune to ~nprobe/nlist
+    of the corpus per query. The final top-5
     rank is applied by the caller on the replayed result, the same
     caller-side-reduction contract as ``qx_winning_bids_stream``."""
     from pyspark.sql import Window
@@ -536,6 +540,30 @@ def ann_ivf_topk_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "c_id")
     )
+    # offline index in a TABLE (the deployment shape, same pattern as the
+    # corpus dedup index): the coarse assignment is materialized once per
+    # corpus content and read back, so each serving replay pays lookup
+    # cost, not index-build cost
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources.binary import _cache_tag, prune_stale_cache
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    root = os.path.join(base, "spark_graft_ivf_assign")
+    tag = _cache_tag(sf_dir, "embeddings")
+    prune_stale_cache(root, os.path.basename(sf_dir.rstrip("/")), {tag})
+    out_tbl = os.path.join(root, tag)
+    if not os.path.exists(os.path.join(out_tbl, "_SUCCESS")):
+        stage = os.path.join(root, f".stage_{uuid.uuid4().hex[:8]}")
+        assign.write.parquet(stage)
+        try:
+            os.rename(stage, out_tbl)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    assign = spark.read.parquet(out_tbl)
     c_arr = c.agg(
         F.collect_list(F.struct("c_id", "cv", "cnrm")).alias("cs_arr")
     ).withColumn("one", F.lit(1))
