@@ -120,6 +120,59 @@ def main() -> None:
         .agg(F.count(F.lit(1)), F.max("bid")),
     )
 
+    # ---- STREAMING sustained-rate soak (the reference's offered loads are
+    # STREAMING rates — 1-10 M events/s, BASELINE.md): offer events on the
+    # rate source at STREAM_OFFERED_PER_SEC and report the engine's
+    # processedRowsPerSecond over STREAM_SOAK_SECONDS of micro-batches.
+    # processed ≈ offered → the pipeline sustains the load; processed <
+    # offered → that IS the sustained capacity.
+    soak_s = int(os.environ.get("STREAM_SOAK_SECONDS", 8))
+    offered = int(os.environ.get("STREAM_OFFERED_PER_SEC", 10_000_000))
+    stream_results: dict[str, dict] = {}
+    if soak_s > 0:
+        import statistics
+        import tempfile
+
+        from nexmark_vanilla_flink_spark.sources.generator import (
+            generate_events_stream,
+        )
+
+        def soak(name: str, build) -> None:
+            ev = generate_events_stream(
+                spark, rows_per_second=offered, draw="fast"
+            )
+            q = (
+                build(ev)
+                .writeStream.format("noop")
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix=f"soak_{name}_", dir="/dev/shm"),
+                )
+                .outputMode("update")
+                .start()
+            )
+            time.sleep(soak_s)
+            rates = [
+                p["processedRowsPerSecond"]
+                for p in q.recentProgress
+                if p["numInputRows"] > 0
+            ][1:]  # drop the cold first batch
+            q.stop()
+            stream_results[name] = {
+                "offered_per_sec": offered,
+                "processed_per_sec": int(statistics.mean(rates)) if rates else 0,
+                "n_batches": len(rates),
+            }
+
+        soak("stream_passthrough", lambda ev: ev.select("event_id", "event_type"))
+        soak(
+            "stream_q5_shape",
+            lambda ev: split_streams(ev, draw="fast")["bids"]
+            .withWatermark("b_ts", "2 seconds")
+            .groupBy(F.window("b_ts", "1 hour"), "auction_id")
+            .agg(F.max("bid"), F.count(F.lit(1))),
+        )
+
     print(
         json.dumps(
             {
@@ -127,6 +180,7 @@ def main() -> None:
                 "n_events": n,
                 "mix": "1:4:4 person:auction:bid, 15% hot keys",
                 "operators": results,
+                "streaming_sustained": stream_results,
             }
         )
     )
