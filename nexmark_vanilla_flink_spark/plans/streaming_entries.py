@@ -654,6 +654,10 @@ def pii_scrub_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir.rstrip("/"))
         .select("doc_id", "text")
+        # single-file micro-batches arrive as ONE partition; the regex
+        # chain is CPU-dense, so spread it (r4 incremental-dedup lesson —
+        # measured 1.05 s → 0.87 s at sf0.1)
+        .repartition(8)
     )
     return run_available_now(
         _pii_scrub_project(docs),

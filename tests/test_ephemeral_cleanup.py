@@ -35,21 +35,24 @@ def _toy_stream(spark, tmp_path, n=20, subdir="in"):
 
 def test_ephemeral_checkpoint_removed_eagerly(spark, tmp_path):
     scratch_base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    # match only THIS query's checkpoint (a concurrent test process may be
+    # running its own replays against the same tmpfs)
+    qname = "eagerckpt"
 
     def _ckpts():
         return {
             d
             for d in os.listdir(scratch_base)
-            if d.startswith("ckpt_") and os.path.isdir(os.path.join(scratch_base, d))
+            if d.startswith(f"ckpt_{qname}_")
+            and os.path.isdir(os.path.join(scratch_base, d))
         }
 
     sdf = _toy_stream(spark, tmp_path)
-    before_ckpts = _ckpts()
     before_tracked = set(_EPHEMERAL_DIRS)
-    out = run_available_now(sdf, output_mode="append")
+    out = run_available_now(sdf, output_mode="append", name=qname)
     assert out.count() > 0
     # the scratch checkpoint is gone the moment the replay completes
-    assert _ckpts() - before_ckpts == set()
+    assert _ckpts() == set()
     # the sink out_dir stays (the returned frame reads it lazily) and is
     # registered for atexit removal
     created = [d for d in _EPHEMERAL_DIRS if d not in before_tracked]
