@@ -86,6 +86,12 @@ FLAGSHIPS = {
     "frame-aligned byte range per task (mmap-per-subtask shape); each task "
     "reads only its range and numpy-decodes in one structured-dtype pass — "
     "no shuffle, no JVM per-frame explode (which alone cost ~1 s at sf0.1).",
+    "minhash_estimate_error": "r5: the LSH candidate subtree derives "
+    "exactly once (was three consumers re-deriving the whole MinHash "
+    "pipeline); candidates join the raw text of both sides and exact "
+    "Jaccard is a per-pair array_intersect over 3-gram digest arrays "
+    "computed on MATCHED rows only — shingle work scales with candidates, "
+    "not the corpus.",
     "doc_top_terms": "r5: per-document tf is a run-length pass over the "
     "sorted token array inside ONE projection (array_sort + boundary "
     "indices), exploding straight to distinct (doc, tok, tf) rows — the "
