@@ -48,6 +48,8 @@ QUERIES = [
     "incremental_dedup",  # new-vs-corpus joins (de-broadcast path at scale)
     "text_normalize_fingerprints",
     "minhash_estimate_error",  # candidate-bounded exact-Jaccard telemetry
+    # r5 changed plans
+    "doc_top_terms",  # per-row run-length tf: must scale ~linearly
 ]
 
 
