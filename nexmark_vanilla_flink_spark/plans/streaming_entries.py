@@ -10,6 +10,8 @@ correctness gate, not just under pytest.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import EV_CTE, PERSONS_CTE, AUCTIONS_CTE, BIDS_CTE, with_ctes
@@ -85,8 +87,11 @@ def q8_union_join_lowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         no_data_batch=False,  # NoTimeout stateful fn: emits on arrival only
         # Python-stateful replica: Arrow-batch worker parallelism beats the
         # store-commit savings of fewer partitions (r5 A/B: 2.0 s @8 vs
-        # 2.6 s @4 vs 3.1 s @2) — pin 8 instead of the local replay default
-        shuffle_partitions=8,
+        # 2.6 s @4 vs 3.1 s @2) — default 8 instead of the local replay
+        # default of 4, but still honor an explicit operator-level override
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")
+        ),
     )
 
 
