@@ -956,6 +956,157 @@ def kmeans_refine_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Iterative k-means training: three Lloyd iterations, one lazy plan
+# ---------------------------------------------------------------------------
+
+_KMT_ITERS = 3
+_KMT_DIMS = 64
+
+
+def _kmt_oracle() -> str:
+    """Chained-CTE oracle: each iteration assigns by L2-argmin against the
+    previous centroids and rebuilds centroids as round-6 per-dim decimal
+    means — the SAME rounded handoff the Spark plan uses, so the engines
+    agree bit-for-bit at every iteration boundary."""
+    d2 = (
+        "list_aggregate(list_transform(list_zip(e.v, c.cv), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+    )
+
+    def assign(src_cent: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT e.vec_id, e.v, d.k AS cluster_id
+  FROM e JOIN (
+    SELECT e.vec_id, c.k,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.k) AS rn
+    FROM e CROSS JOIN {src_cent} c
+  ) d ON d.vec_id = e.vec_id AND d.rn = 1
+)"""
+
+    def cents(src_assign: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT cluster_id AS k, list(cval ORDER BY dim) AS cv FROM (
+    SELECT cluster_id, t.dim AS dim,
+           CAST(round(sum(CAST(v[t.dim + 1] AS DECIMAL(38, 12))) / count(*), 6)
+                AS DOUBLE) AS cval
+    FROM {src_assign} CROSS JOIN range(0, {_KMT_DIMS}) t(dim)
+    GROUP BY cluster_id, t.dim
+  ) GROUP BY cluster_id
+)"""
+
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS k, v AS cv FROM e WHERE vec_id < {_KM_K})",
+    ]
+    for t in range(1, _KMT_ITERS + 1):
+        parts.append(assign(f"c{t - 1}", f"a{t}"))
+        if t < _KMT_ITERS:
+            parts.append(cents(f"a{t}", f"c{t}"))
+    body = ",\n".join(parts)
+    return f"""{body},
+comp AS (
+  SELECT cluster_id, t.dim AS dim, v[t.dim + 1] AS x
+  FROM a{_KMT_ITERS} CROSS JOIN range(0, {_KMT_DIMS}) t(dim)
+)
+SELECT cluster_id, dim,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(round(sum(CAST(x AS DECIMAL(38, 12))) / count(*), 6) AS DOUBLE)
+           AS centroid_val
+FROM comp GROUP BY cluster_id, dim
+"""
+
+
+@register(
+    "kmeans_train",
+    oracle=_kmt_oracle(),
+    # still ONE pure-lazy plan: the iteration count is fixed, so the loop
+    # unrolls declaratively at construction — no driver-side actions, no
+    # checkpoint (cf. kmeans_refine_once's note; the UNBOUNDED-iteration
+    # form with a convergence test is the operators/graph.py pattern)
+    tags=("pipeline", "similarity", "ml"),
+)
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Lloyd iterations of k-means — the codebook TRAINING loop the
+    IVF/PQ serving path consumes (`kmeans_refine_once` is one step; this
+    chains three in a single lazy plan). Centroids hand off between
+    iterations as round-6 per-dim DECIMAL means cast to double — exact and
+    order-insensitive, so the DuckDB oracle replays every iteration
+    bit-for-bit (a raw float mean would diverge in the 3rd iteration's
+    argmin ties).
+
+    Scale: per iteration, centroids are a K-row aggregate (broadcast) and
+    the corpus makes one pass — a scan + K-way broadcast argmin + one
+    (cluster_id)-keyed exchange of 64 partial decimal sums per group. The
+    corpus is re-scanned per iteration (3 scans) rather than cached:
+    at 100 TB a cached corpus would not fit executor storage anyway, and
+    the scan is the cheap part of the pass. Empty clusters drop out of the
+    next iteration's centroid table identically in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    cent = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("k"), F.col("v").alias("cv")
+    )
+    # FLAT left-associated (+) chain for the distance — reproduces the
+    # DuckDB list_aggregate fold's summation order exactly, so the oracle
+    # matches bit-for-bit. (Measured equivalent to the zip_with HOF fold
+    # at sf0.1: the per-pass cost here is corpus × K × 64 scalar math plus
+    # ~3 local stage floors per iteration, which dominates at toy scale
+    # and amortizes at real scale; a BLAS-style mapInArrow assignment
+    # would win locally but trades the fold's exact summation order away.)
+    sq = [
+        (F.element_at("v", i + 1) - F.element_at("cv", i + 1)) for i in range(_KMT_DIMS)
+    ]
+    d2 = sq[0] * sq[0]
+    for t_ in sq[1:]:
+        d2 = d2 + t_ * t_
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy(d2, "k")
+        return (
+            e.crossJoin(broadcast(cent_df))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("k").alias("cluster_id"), "v")
+        )
+
+    def cents(assigned: DataFrame) -> DataFrame:
+        aggs = [
+            F.round(
+                F.sum(F.element_at("v", i + 1).cast("decimal(38,12)"))
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias(f"c{i}")
+            for i in range(_KMT_DIMS)
+        ]
+        return (
+            assigned.groupBy("cluster_id")
+            .agg(*aggs)
+            .select(
+                F.col("cluster_id").alias("k"),
+                F.array(*[F.col(f"c{i}") for i in range(_KMT_DIMS)]).alias("cv"),
+            )
+        )
+
+    assigned = assign(cent)
+    for _ in range(_KMT_ITERS - 1):
+        assigned = assign(cents(assigned))
+    comp = assigned.select("cluster_id", F.posexplode("v").alias("dim", "x"))
+    return comp.groupBy("cluster_id", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum(F.col("x").cast("decimal(38,12)")) / F.count(F.lit(1)), 6
+        )
+        .cast("double")
+        .alias("centroid_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sketch-quality telemetry: MinHash estimate error vs exact Jaccard
 # ---------------------------------------------------------------------------
 
