@@ -273,7 +273,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMB_BLOCK_CAP = int(os.environ.get("EMB_BLOCK_CAP", "48"))
 
-_EMB_NEARDUP_ORACLE = f"""
+# CTE prefix shared between embedding_neardup_pairs and semdedup_prune (the
+# latter appends centroid-similarity CTEs and a keep/drop verdict on top of
+# the identical guarded candidate-pair relation).
+_EMB_NEARDUP_CTES = f"""
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
@@ -318,7 +321,9 @@ pairs AS (
   FROM assigned a
   JOIN assigned b
     ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
-)
+)"""
+
+_EMB_NEARDUP_ORACLE = _EMB_NEARDUP_CTES + """
 SELECT vec_a, vec_b, label, cos_sim FROM pairs WHERE cos_sim >= 0.30
 """
 
@@ -438,6 +443,138 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _pairs(small, []).unionAll(_pairs(assigned, ["sub"]))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-based semantic pruning (keep/drop verdict per vector)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_ORACLE = _EMB_NEARDUP_CTES + """
+, cx AS (
+  SELECT label, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS val FROM e
+),
+cmean AS (
+  SELECT label, pos,
+         round(CAST(sum(CAST(val AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS cval
+  FROM cx GROUP BY 1, 2
+),
+carr AS (
+  SELECT label, list(cval ORDER BY pos) AS cv FROM cmean GROUP BY 1
+),
+csim AS (
+  SELECT n.vec_id, n.label,
+         round(
+           list_aggregate(list_transform(list_zip(n.v, c.cv), z -> z[1] * z[2]), 'sum')
+           / (n.nrm * sqrt(list_aggregate(list_transform(c.cv, x -> x * x), 'sum'))),
+           6) AS centroid_sim
+  FROM n JOIN carr c ON n.label = c.label
+),
+dup AS (SELECT vec_a, vec_b FROM pairs WHERE cos_sim >= 0.30),
+losers AS (
+  SELECT DISTINCT
+         CASE WHEN b.centroid_sim >= a.centroid_sim THEN d.vec_b ELSE d.vec_a END
+           AS vec_id
+  FROM dup d
+  JOIN csim a ON a.vec_id = d.vec_a
+  JOIN csim b ON b.vec_id = d.vec_b
+)
+SELECT s.vec_id, s.label, s.centroid_sim, l.vec_id IS NULL AS kept
+FROM csim s LEFT JOIN losers l ON l.vec_id = s.vec_id
+"""
+
+
+@register(
+    "semdedup_prune",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("pipeline", "dedup", "similarity", "curation"),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    pruning within embedding clusters — for every near-duplicate pair
+    inside a cluster, DROP the member closer to the cluster centroid (the
+    paper's keep-low-centroid-similarity rule: of two semantically
+    interchangeable examples, the one farther from the prototype adds more
+    diversity to the training mix). Emits the full per-vector verdict table
+    (vec_id, label, centroid_sim, kept) so downstream rewrites are a
+    single semi-join.
+
+    Composition, all previously-gated pieces: the candidate-pair relation
+    IS ``embedding_neardup_pairs`` (same oversized-block guard, same
+    threshold — the oracle textually shares its CTE prefix); centroids use
+    ``label_centroids``' decimal-exact mean (DECIMAL(18,8) sums are
+    associative, so Spark's and DuckDB's different aggregation orders
+    cannot diverge, then both engines round to 1e-6 before the cosine
+    fold). The drop rule is pairwise (non-transitive), so it is a pure
+    EXISTS — no iteration, cross-engine exact given equal centroid_sim
+    doubles; ties on centroid_sim drop the higher vec_id.
+
+    Scale: one (label, pos) shuffle for the centroid M-step; the centroid
+    table is k x dim (IVF codebook size, bounded by design) and is
+    broadcast; candidate pairs stay block-guarded (never all-pairs);
+    losers is DISTINCT over pair endpoints (<= |pairs|); the verdict is a
+    broadcast-able left join on vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            )
+        ),
+    )
+    x = e.select("label", F.posexplode("v").alias("pos", "val"))
+    cmean = x.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("cval")
+    )
+    carr = cmean.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s.cval
+        ).alias("cv")
+    )
+    cnrm = F.sqrt(
+        F.expr(
+            "aggregate(transform(cv, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        )
+    )
+    csim = e.join(broadcast(carr), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            )
+            / (F.col("nrm") * cnrm),
+            6,
+        ).alias("centroid_sim"),
+    )
+    dup = embedding_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    a = csim.select(F.col("vec_id").alias("vec_a"), F.col("centroid_sim").alias("sim_a"))
+    b = csim.select(F.col("vec_id").alias("vec_b"), F.col("centroid_sim").alias("sim_b"))
+    losers = (
+        dup.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            F.when(F.col("sim_b") >= F.col("sim_a"), F.col("vec_b"))
+            .otherwise(F.col("vec_a"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("is_loser", F.lit(True))
+    )
+    return csim.join(losers, "vec_id", "left").select(
+        "vec_id",
+        "label",
+        "centroid_sim",
+        F.col("is_loser").isNull().alias("kept"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1262,7 +1399,9 @@ def multimodal_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Duplicate-cluster formation: connected components over LSH candidate pairs
 # ---------------------------------------------------------------------------
 
-_DEDUP_CLUSTERS_ORACLE = _MINHASH_CTES.replace("WITH w AS", "WITH RECURSIVE w AS") + """
+# CTE prefix shared between dedup_clusters and dedup_cluster_rewrite: the
+# recursive reachability minimum over the MinHash-LSH candidate graph.
+_CC_CTES = _MINHASH_CTES.replace("WITH w AS", "WITH RECURSIVE w AS") + """
 , edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs
@@ -1271,7 +1410,9 @@ reach(doc_id, r) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
-)
+)"""
+
+_DEDUP_CLUSTERS_ORACLE = _CC_CTES + """
 SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
 """
 
@@ -1294,6 +1435,57 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         docs, pairs, vertex_col="doc_id", src_col="doc_a", dst_col="doc_b"
     ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+_CC_REWRITE_ORACLE = _CC_CTES + """
+, cc AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+m AS (
+  SELECT c.cluster_id, count(*) AS n_members,
+         CAST(sum(d.n_chars) AS BIGINT) AS cluster_chars
+  FROM cc c JOIN documents d ON d.doc_id = c.doc_id
+  GROUP BY 1
+)
+SELECT c.doc_id, d.lang, d.n_chars, m.n_members, m.cluster_chars
+FROM cc c
+JOIN documents d ON d.doc_id = c.doc_id
+JOIN m ON m.cluster_id = c.cluster_id
+WHERE c.doc_id = c.cluster_id
+"""
+
+
+@register(
+    "dedup_cluster_rewrite",
+    oracle=_CC_REWRITE_ORACLE,
+    tags=("pipeline", "dedup", "graph", "curation"),
+)
+def dedup_cluster_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rewrite from duplicate clusters: keep exactly ONE document per
+    near-duplicate connected component (the min-doc_id representative — the
+    cluster_id itself under the min-label convention), carrying cluster
+    provenance (member count, total chars absorbed) so downstream mixing
+    can up-weight consolidated documents. This is the end-to-end "what a
+    user actually ships" form of ``dedup_clusters``: pair-local keep rules
+    (``corpus_curation``'s NOT EXISTS) drop BOTH endpoints' transitive
+    friends unevenly, while the component rewrite guarantees one survivor
+    per equivalence class.
+
+    Scale: the component relation comes from the bounded/iterative CC
+    operator (operators/graph.py — distributed min-label with lineage
+    cuts); the provenance aggregate is one shuffle keyed cluster_id whose
+    cardinality only shrinks with dedup rate; the representative filter
+    doc_id = cluster_id is a pushed predicate, not a join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    cc = dedup_clusters(spark, sf_dir)
+    sized = cc.join(docs, "doc_id")
+    m = sized.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_chars").alias("cluster_chars"),
+    )
+    return (
+        sized.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(m, "cluster_id")
+        .select("doc_id", "lang", "n_chars", "n_members", "cluster_chars")
+    )
 
 
 # ---------------------------------------------------------------------------

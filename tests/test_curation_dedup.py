@@ -1,0 +1,51 @@
+"""Semantic invariants for the cluster-consolidating dedup surface:
+``dedup_cluster_rewrite`` (one survivor per connected component, exact
+provenance) and ``semdedup_prune`` (the SemDeDup keep-low-centroid-sim
+rule). The oracle-parity suite already locks cross-engine equality; these
+tests pin the *semantics* so a future rewrite can't drift while staying
+self-consistent with its own oracle."""
+
+from nexmark_vanilla_flink_spark.plans import REGISTRY
+
+
+def test_cluster_rewrite_one_survivor_with_exact_provenance(spark, sf_dir):
+    cc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in REGISTRY["dedup_clusters"].spark(spark, sf_dir).collect()
+    }
+    kept = REGISTRY["dedup_cluster_rewrite"].spark(spark, sf_dir).collect()
+    # exactly one representative per component, and it is the min-label rep
+    clusters = set(cc.values())
+    assert {r["doc_id"] for r in kept} == clusters
+    # provenance: member counts per cluster sum back to the whole corpus
+    sizes = {}
+    for cid in cc.values():
+        sizes[cid] = sizes.get(cid, 0) + 1
+    assert {r["doc_id"]: r["n_members"] for r in kept} == sizes
+    assert sum(r["n_members"] for r in kept) == len(cc)
+
+
+def test_semdedup_drop_rule(spark, sf_dir):
+    pairs = REGISTRY["embedding_neardup_pairs"].spark(spark, sf_dir).collect()
+    verdicts = {
+        r["vec_id"]: r for r in REGISTRY["semdedup_prune"].spark(spark, sf_dir).collect()
+    }
+    dropped = {v for v, r in verdicts.items() if not r["kept"]}
+    assert len(verdicts) > 0 and len(dropped) > 0, "no vectors / no drops"
+    for p in pairs:
+        a, b = verdicts[p["vec_a"]], verdicts[p["vec_b"]]
+        # every near-dup pair loses its closer-to-centroid member ...
+        loser = (
+            p["vec_b"]
+            if b["centroid_sim"] >= a["centroid_sim"]
+            else p["vec_a"]
+        )
+        assert loser in dropped, f"pair {p} kept its prototype-side member"
+    # ... and nothing else is ever dropped
+    losers = set()
+    for p in pairs:
+        a, b = verdicts[p["vec_a"]], verdicts[p["vec_b"]]
+        losers.add(
+            p["vec_b"] if b["centroid_sim"] >= a["centroid_sim"] else p["vec_a"]
+        )
+    assert dropped == losers
