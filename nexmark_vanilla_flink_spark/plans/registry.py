@@ -60,17 +60,18 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # Round-5 head (rotation policy: COVERAGE.md "Driver-gate rotation").
 # Tier 1 — never independently re-checked since r1 (the VERDICT r4 task 3
 # queue, all eight taken). Tier 2 — new this round: the streaming ANN
-# serving path, the streaming PII scrub, and the iterative k-means
-# trainer. Tier 3 —
+# serving path, the streaming PII scrub, the iterative k-means
+# trainer, the SemDeDup pruner, and the cluster-rewrite. Tier 3 —
 # implementation changed in r5: the mix-stats oracle CAST, the q11/q15
 # de-funnel, the embedding block guard, the doc_top_terms zero-shuffle tf,
 # and all 13 bounded replays (replay_state_partitions default 8 → 4 +
 # eager checkpoint cleanup change execution for every replay). Tier 4 —
 # regression rotation: oldest-green entries (last driver-checked r2,
 # computed from CORRECTNESS_r0{1..4}.json); events_variant_props,
-# incremental_dedup, user_event_gaps, user_event_pivot and
-# events_semi_anti_join are the five r2-green entries the cap defers to
-# r6; approx_user_stats is structurally
+# incremental_dedup, user_event_gaps, user_event_pivot,
+# events_semi_anti_join, events_cube and nation_distinct_segments are the
+# seven r2-green entries the cap defers to r6 (the last two gave their
+# slots to the two new curation entries); approx_user_stats is structurally
 # no_oracle and stays below the cap by design. Everything below the cap
 # stays pytest-oracle-locked every CI run (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
@@ -78,6 +79,8 @@ DRIVER_HEAD: list[str] = [
     "ann_ivf_topk_stream_replay",
     "pii_scrub_stream_replay",
     "kmeans_train",
+    "semdedup_prune",
+    "dedup_cluster_rewrite",
     # --- tier 1: last driver-checked in r1 ---
     "corpus_curation",
     "deterministic_splits",
@@ -128,8 +131,6 @@ DRIVER_HEAD: list[str] = [
     "tpch_q21_waiting_suppliers",
     "doc_repetition_scores",
     "token_budget_packing",
-    "events_cube",
-    "nation_distinct_segments",
 ]
 
 
