@@ -139,7 +139,19 @@ def main() -> None:
         t0 = time.monotonic()
         rows = q(spark, d).count()
         wall = round(time.monotonic() - t0, 3)
+        # semdedup consumes the SAME guarded pair relation; its extra work
+        # (centroid M-step, verdict join) must stay linear under the skew.
+        # Aggregate over `kept` (not count()) so the optimizer cannot prune
+        # the loser-join subtree out of a bare row count.
+        from pyspark.sql import functions as F
+
+        t0 = time.monotonic()
+        sd = REGISTRY["semdedup_prune"].spark(spark, d)
+        sd_rows = sd.agg(F.sum(sd["kept"].cast("int"))).collect()[0][0]
+        sd_wall = round(time.monotonic() - t0, 3)
         results[str(k)] = {
+            "semdedup_kept": sd_rows,
+            "semdedup_wall_sec": sd_wall,
             "n_vectors": con.execute("SELECT count(*) FROM embeddings").fetchone()[0],
             "unguarded_candidates": ung[0],
             "unguarded_max_block": ung[1],

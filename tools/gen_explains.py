@@ -105,6 +105,14 @@ FLAGSHIPS = {
     "within (label, seed) sub-blocks — candidates linear in B for "
     "balanced sub-blocks (docs/scaling_r5.json: x17 candidates at x16 "
     "data vs x172 unguarded).",
+    "semdedup_prune": "r5: candidate pairs are the guarded near-dup "
+    "relation (same plan subtree as embedding_neardup_pairs); the "
+    "centroid M-step is ONE (label, pos) exchange whose output (k x dim "
+    "rows, the IVF codebook size) broadcasts back onto the vector scan "
+    "for the cosine fold; the loser set is a DISTINCT over pair "
+    "endpoints (<= |pairs|) and the final verdict is a broadcast left "
+    "join on vec_id — nothing in the plan grows faster than the "
+    "pair relation itself.",
 }
 
 

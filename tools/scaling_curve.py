@@ -50,6 +50,8 @@ QUERIES = [
     "minhash_estimate_error",  # candidate-bounded exact-Jaccard telemetry
     # r5 changed plans
     "doc_top_terms",  # per-row run-length tf: must scale ~linearly
+    # r5 additions
+    "dedup_cluster_rewrite",  # CC + provenance agg: linear in docs+edges
 ]
 
 
