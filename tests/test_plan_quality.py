@@ -383,3 +383,20 @@ def test_auction_arrow_decode_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "auction_binary_decode")
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan or "MapInArrow" in plan or "PythonMapInArrow" in plan
+
+
+def test_semdedup_broadcasts_centroids_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "semdedup_prune")
+    assert "Cartesian" not in plan
+    # the k x dim centroid table must build the broadcast side of the
+    # cosine-fold join (codebook-sized by design), never shuffle the scan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cluster_rewrite_filter_before_provenance_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_cluster_rewrite")
+    assert "Cartesian" not in plan
+    # the representative predicate is a Filter feeding the provenance
+    # join, not a post-join subtraction over the full member frame
+    assert "(doc_id" in plan and "cluster_id" in plan
