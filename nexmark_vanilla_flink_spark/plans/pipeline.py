@@ -1456,7 +1456,9 @@ WHERE c.doc_id = c.cluster_id
 @register(
     "dedup_cluster_rewrite",
     oracle=_CC_REWRITE_ORACLE,
-    tags=("pipeline", "dedup", "graph", "curation"),
+    # "iterative": consumes the CC loop, which executes at plan-build —
+    # bench must time construction (same contract as dedup_clusters)
+    tags=("pipeline", "dedup", "graph", "curation", "iterative"),
 )
 def dedup_cluster_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rewrite from duplicate clusters: keep exactly ONE document per
