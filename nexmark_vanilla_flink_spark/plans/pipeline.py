@@ -1001,8 +1001,103 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Similarity search over embeddings
+# Winnowing fingerprints (MOSS)
 # ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # window of w consecutive k-gram hashes (k = 3 tokens)
+_WINNOW_SHIFT = 1 << 24  # position packing bound: per-DOC k-gram index < 16M
+
+_WINNOW_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, j,
+         ('0x' || substr(md5(ws[j + 1] || ' ' || ws[j + 2] || ' ' || ws[j + 3]), 1, 8))::BIGINT AS h,
+         greatest(len(ws) - 2, 0) AS n
+  FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 2, 0))) AS j FROM w)
+),
+o AS (
+  SELECT doc_id, j, n, h * {_WINNOW_SHIFT} + ({_WINNOW_SHIFT} - 1 - j) AS o
+  FROM g
+),
+sel AS (
+  SELECT doc_id, j, n,
+         min(o) OVER (PARTITION BY doc_id ORDER BY j
+                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS m
+  FROM o
+)
+SELECT DISTINCT doc_id,
+       CAST({_WINNOW_SHIFT} - 1 - (m % {_WINNOW_SHIFT}) AS BIGINT) AS fp_pos,
+       CAST(m // {_WINNOW_SHIFT} AS BIGINT) AS fp_hash
+FROM sel
+WHERE j <= greatest(n - {_WINNOW_W}, 0)
+"""
+
+
+@register(
+    "winnow_fingerprints",
+    oracle=_WINNOW_ORACLE,
+    tags=("pipeline", "text", "dedup"),
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-gram (k=3 tokens),
+    slide a window of w=4 consecutive hashes, and select each
+    window's MINIMUM (rightmost on ties). Guarantees every exact match of
+    length >= w+k-1 shares at least one selected fingerprint, while
+    keeping ~2/(w+1) of all hashes — the robust middle ground between
+    full k-gram inverted indexes (ngram_containment_pairs) and per-doc
+    digests (doc_fingerprints).
+
+    Cross-engine exactness: the u32 hash is the repo's md5-prefix draw
+    (identical in Spark conv() and DuckDB '0x' cast); min-with-rightmost-
+    tie packs (hash, position) into ONE BIGINT ordinal
+    (h * 2^24 + (2^24-1-j), so smaller hash wins and larger j wins ties)
+    and both engines evaluate the same ROWS-frame window minimum over
+    integers — no floats anywhere.
+
+    Scale: everything is keyed doc_id — the k-gram explode is map-side,
+    the window min shuffles (doc_id)-partitioned positions once, and the
+    DISTINCT is a map-side-combinable agg on the same key; no corpus-wide
+    key ever forms. Window starts are full windows only (a doc with fewer
+    than w k-grams contributes its global minimum), matching the paper's
+    truncation semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = ensure_parallelism(docs).select("doc_id", F.split("text", " ").alias("ws"))
+    g = ws.select(
+        "doc_id",
+        F.expr("greatest(size(ws) - 2, 0)").alias("n"),
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(ws) >= 3 THEN "
+                "transform(sequence(0, size(ws) - 3), "
+                "j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2])) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("j", "g"),
+    )
+    o = g.select(
+        "doc_id",
+        "j",
+        "n",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+            * F.lit(_WINNOW_SHIFT)
+            + (F.lit(_WINNOW_SHIFT - 1) - F.col("j").cast("long"))
+        ).alias("o"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("j").rowsBetween(0, _WINNOW_W - 1)
+    sel = o.withColumn("m", F.min("o").over(win)).filter(
+        F.col("j") <= F.greatest(F.col("n") - F.lit(_WINNOW_W), F.lit(0))
+    )
+    return sel.select(
+        "doc_id",
+        (F.lit(_WINNOW_SHIFT - 1) - F.col("m") % F.lit(_WINNOW_SHIFT)).alias(
+            "fp_pos"
+        ),
+        F.expr(f"CAST(m DIV {_WINNOW_SHIFT} AS BIGINT)").alias("fp_hash"),
+    ).distinct()
 
 _COSINE_ORACLE = """
 WITH e AS (

@@ -49,3 +49,36 @@ def test_semdedup_drop_rule(spark, sf_dir):
             p["vec_b"] if b["centroid_sim"] >= a["centroid_sim"] else p["vec_a"]
         )
     assert dropped == losers
+
+
+def test_winnowing_window_coverage_guarantee(spark, sf_dir):
+    """The defining winnowing property: every window of w consecutive
+    k-gram positions contains at least one selected fingerprint, so any
+    exact token overlap of length >= w+k-1 between two documents is
+    guaranteed to share a fingerprint."""
+    from nexmark_vanilla_flink_spark.plans.pipeline import _WINNOW_W
+
+    import pyarrow.parquet as pq
+
+    fps = REGISTRY["winnow_fingerprints"].spark(spark, sf_dir).collect()
+    sel = {}
+    for r in fps:
+        sel.setdefault(r["doc_id"], set()).add(r["fp_pos"])
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    checked = 0
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        n = max(len(text.split(" ")) - 2, 0)
+        if n == 0:
+            assert doc_id not in sel
+            continue
+        positions = sel[doc_id]
+        assert positions, f"doc {doc_id} has k-grams but no fingerprints"
+        for start in range(0, max(n - _WINNOW_W, 0) + 1):
+            window = set(range(start, min(start + _WINNOW_W, n)))
+            assert window & positions, (
+                f"doc {doc_id}: window at {start} has no selected fingerprint"
+            )
+        checked += 1
+    assert checked > 0
