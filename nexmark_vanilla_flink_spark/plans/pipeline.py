@@ -1007,7 +1007,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_W = 4  # window of w consecutive k-gram hashes (k = 3 tokens)
 _WINNOW_SHIFT = 1 << 24  # position packing bound: per-DOC k-gram index < 16M
 
-_WINNOW_ORACLE = f"""
+# CTE prefix shared with winnow_overlap_pairs (which appends an
+# inverted-index self-join over the selected fingerprints).
+_WINNOW_CTES = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
@@ -1026,13 +1028,53 @@ sel AS (
          min(o) OVER (PARTITION BY doc_id ORDER BY j
                       ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS m
   FROM o
-)
-SELECT DISTINCT doc_id,
-       CAST({_WINNOW_SHIFT} - 1 - (m % {_WINNOW_SHIFT}) AS BIGINT) AS fp_pos,
-       CAST(m // {_WINNOW_SHIFT} AS BIGINT) AS fp_hash
-FROM sel
-WHERE j <= greatest(n - {_WINNOW_W}, 0)
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         CAST({_WINNOW_SHIFT} - 1 - (m % {_WINNOW_SHIFT}) AS BIGINT) AS fp_pos,
+         CAST(m // {_WINNOW_SHIFT} AS BIGINT) AS fp_hash
+  FROM sel
+  WHERE j <= greatest(n - {_WINNOW_W}, 0)
+)"""
+
+_WINNOW_ORACLE = _WINNOW_CTES + """
+SELECT doc_id, fp_pos, fp_hash FROM fp
 """
+
+
+def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared winnowing subtree: per-position window minima (doc_id, m)
+    restricted to valid window starts — consumers project/distinct to
+    their own shape so no redundant exchange forms between the
+    fingerprint table and the overlap detector."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = ensure_parallelism(docs).select("doc_id", F.split("text", " ").alias("ws"))
+    g = ws.select(
+        "doc_id",
+        F.expr("greatest(size(ws) - 2, 0)").alias("n"),
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(ws) >= 3 THEN "
+                "transform(sequence(0, size(ws) - 3), "
+                "j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2])) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("j", "g"),
+    )
+    o = g.select(
+        "doc_id",
+        "j",
+        "n",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+            * F.lit(_WINNOW_SHIFT)
+            + (F.lit(_WINNOW_SHIFT - 1) - F.col("j").cast("long"))
+        ).alias("o"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("j").rowsBetween(0, _WINNOW_W - 1)
+    return o.withColumn("m", F.min("o").over(win)).filter(
+        F.col("j") <= F.greatest(F.col("n") - F.lit(_WINNOW_W), F.lit(0))
+    )
 
 
 @register(
@@ -1063,34 +1105,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     key ever forms. Window starts are full windows only (a doc with fewer
     than w k-grams contributes its global minimum), matching the paper's
     truncation semantics."""
-    docs = load_table(spark, sf_dir, "documents")
-    ws = ensure_parallelism(docs).select("doc_id", F.split("text", " ").alias("ws"))
-    g = ws.select(
-        "doc_id",
-        F.expr("greatest(size(ws) - 2, 0)").alias("n"),
-        F.posexplode(
-            F.expr(
-                "CASE WHEN size(ws) >= 3 THEN "
-                "transform(sequence(0, size(ws) - 3), "
-                "j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2])) "
-                "ELSE CAST(array() AS ARRAY<STRING>) END"
-            )
-        ).alias("j", "g"),
-    )
-    o = g.select(
-        "doc_id",
-        "j",
-        "n",
-        (
-            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
-            * F.lit(_WINNOW_SHIFT)
-            + (F.lit(_WINNOW_SHIFT - 1) - F.col("j").cast("long"))
-        ).alias("o"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("j").rowsBetween(0, _WINNOW_W - 1)
-    sel = o.withColumn("m", F.min("o").over(win)).filter(
-        F.col("j") <= F.greatest(F.col("n") - F.lit(_WINNOW_W), F.lit(0))
-    )
+    sel = _winnow_sel(spark, sf_dir)
     return sel.select(
         "doc_id",
         (F.lit(_WINNOW_SHIFT - 1) - F.col("m") % F.lit(_WINNOW_SHIFT)).alias(
@@ -1098,6 +1113,68 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(f"CAST(m DIV {_WINNOW_SHIFT} AS BIGINT)").alias("fp_hash"),
     ).distinct()
+
+
+_WINNOW_DF_CAP = 50  # stop-fingerprints: a hash shared by >cap docs is noise
+
+_WINNOW_PAIRS_ORACLE = _WINNOW_CTES + f"""
+, d AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+df AS (
+  SELECT doc_id, fp_hash,
+         count(*) OVER (PARTITION BY fp_hash) AS df
+  FROM d
+),
+keep AS (SELECT doc_id, fp_hash FROM df WHERE df <= {_WINNOW_DF_CAP})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM keep a JOIN keep b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+@register(
+    "winnow_overlap_pairs",
+    oracle=_WINNOW_PAIRS_ORACLE,
+    tags=("pipeline", "text", "dedup"),
+)
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate overlap pairs from winnowing fingerprints — the MOSS
+    detection step: documents sharing >= 2 selected fingerprints (after
+    dropping stop-fingerprints whose document frequency exceeds
+    _WINNOW_DF_CAP=50 — boilerplate k-grams that would otherwise fan a
+    single hot hash into df^2 pairs, the same df-cap guard as
+    ngram_containment_pairs' prefix filter). By the winnowing guarantee,
+    any pair sharing an exact token run >= w+k-1 inside non-stop regions
+    surfaces here; pair count is bounded by sum(df^2) <= cap * |index|.
+
+    Scale: one (doc_id)-keyed fingerprint derivation (the shared
+    winnowing subtree), one fp_hash-keyed exchange carrying the df
+    window AND the self-join (same key, one shuffle), then a
+    map-side-combinable (doc_a, doc_b) count — never all-pairs, never a
+    corpus-wide key."""
+    fp = (
+        _winnow_sel(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(f"CAST(m DIV {_WINNOW_SHIFT} AS BIGINT)").alias("fp_hash"),
+        )
+        .distinct()
+    )
+    dfw = fp.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("fp_hash"))
+    )
+    keep = dfw.filter(F.col("df") <= _WINNOW_DF_CAP).select("doc_id", "fp_hash")
+    b = keep.select(
+        F.col("doc_id").alias("doc_b"), F.col("fp_hash").alias("fp_hash")
+    )
+    return (
+        keep.join(b, "fp_hash")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
 
 _COSINE_ORACLE = """
 WITH e AS (

@@ -62,7 +62,7 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # queue, all eight taken). Tier 2 — new this round: the streaming ANN
 # serving path, the streaming PII scrub, the iterative k-means
 # trainer, the SemDeDup pruner, the cluster-rewrite, and the MOSS
-# winnowing fingerprints. Tier 3 —
+# winnowing fingerprints + overlap pairs. Tier 3 —
 # implementation changed in r5: the mix-stats oracle CAST, the q11/q15
 # de-funnel, the embedding block guard, the doc_top_terms zero-shuffle tf,
 # and all 13 bounded replays (replay_state_partitions default 8 → 4 +
@@ -70,10 +70,10 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # regression rotation: oldest-green entries (last driver-checked r2,
 # computed from CORRECTNESS_r0{1..4}.json); events_variant_props,
 # incremental_dedup, user_event_gaps, user_event_pivot,
-# events_semi_anti_join, events_cube, nation_distinct_segments and
-# token_budget_packing are the eight r2-green entries the cap defers to
-# r6 (the last three gave their slots to the three new curation/text
-# entries); approx_user_stats is structurally
+# events_semi_anti_join, events_cube, nation_distinct_segments,
+# token_budget_packing and doc_repetition_scores are the nine r2-green
+# entries the cap defers to r6 (the last four gave their slots to the
+# four new curation/text entries); approx_user_stats is structurally
 # no_oracle and stays below the cap by design. Everything below the cap
 # stays pytest-oracle-locked every CI run (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
@@ -84,6 +84,7 @@ DRIVER_HEAD: list[str] = [
     "semdedup_prune",
     "dedup_cluster_rewrite",
     "winnow_fingerprints",
+    "winnow_overlap_pairs",
     # --- tier 1: last driver-checked in r1 ---
     "corpus_curation",
     "deterministic_splits",
@@ -132,7 +133,6 @@ DRIVER_HEAD: list[str] = [
     "tpch_q13_order_distribution",
     "tpch_q19_discounted_revenue",
     "tpch_q21_waiting_suppliers",
-    "doc_repetition_scores",
 ]
 
 

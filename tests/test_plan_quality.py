@@ -400,3 +400,17 @@ def test_cluster_rewrite_filter_before_provenance_join(spark, sf_dir):
     # the representative predicate is a Filter feeding the provenance
     # join, not a post-join subtraction over the full member frame
     assert "(doc_id" in plan and "cluster_id" in plan
+
+
+def test_winnow_overlap_reuses_fingerprint_exchange(spark, sf_dir):
+    # the self-join's second side must reuse the first side's shuffle
+    # (identical winnow subtrees -> ReusedExchange at runtime), not
+    # re-derive the whole fingerprint pipeline; runtime-only, so execute
+    df = REGISTRY["winnow_overlap_pairs"].spark(spark, sf_dir)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Cartesian" not in final
+    assert "ReusedExchange" in final
