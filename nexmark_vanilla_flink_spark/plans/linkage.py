@@ -1,0 +1,536 @@
+"""Sequential-pattern, CDC, record-linkage, and model-filter operators —
+the operator classes a production training-data platform layers on top of
+the dedup/similarity core (no reference counterpart; the reference's only
+sequential operator is the Q8/QX state machine, `NexmarkQuery8.java` /
+`NexmarkQueryX.java`, which plans/nexmark.py already covers):
+
+  * ``funnel_conversion``  — ordered multi-stage pattern matching over an
+    event stream (the MATCH_RECOGNIZE / Flink-CEP class);
+  * ``scd2_user_state``    — CDC changelog → slowly-changing-dimension
+    type-2 validity intervals (the MERGE/upsert class);
+  * ``entity_resolution_pairs`` — multi-pass blocked record linkage with
+    edit-distance scoring (the entity-dedup class);
+  * ``kmv_distinct_estimate``   — K-Minimum-Values cardinality sketch
+    (Bar-Yossef et al. 2002), the deterministic, exactly-oracle-able
+    counterpart to the no-oracle HLL in ``approx_user_stats``;
+  * ``quality_classifier_scores`` — fixed-weight linear quality model
+    (the fastText-classifier filtering stage of CCNet/FineWeb-style
+    curation), decision margin + keep flag.
+
+Determinism discipline follows registry.py: integer epoch-micros for all
+times, md5-prefix u32 draws for hashes, IEEE double division only between
+exact integers (correctly rounded, hence engine-identical), `round()`
+before any float leaves the plan, and identical aliases in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.parallelism import ensure_parallelism
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# funnel_conversion — ordered pattern matching (MATCH_RECOGNIZE class)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_US = 7 * 86400 * 1_000_000  # purchase must land <= 7d after view
+
+_FUNNEL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+),
+v AS (
+  SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, v.v_us, min(e.us) AS c_us
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.us >= v.v_us
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT e.user_id, min(e.us) AS p_us
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.us >= c.c_us AND e.us <= c.v_us + {_FUNNEL_WINDOW_US}
+  GROUP BY 1
+)
+SELECT v.user_id,
+       CAST(v.v_us AS BIGINT) AS view_us,
+       CAST(c.c_us AS BIGINT) AS click_us,
+       CAST(p.p_us AS BIGINT) AS purchase_us,
+       CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS INT)
+         AS funnel_stage
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@register(
+    "funnel_conversion",
+    oracle=_FUNNEL_ORACLE,
+    tags=("linkage", "pattern", "funnel"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel: per user, the first `view`, the first `click`
+    at-or-after that view, and the first `purchase` at-or-after that click
+    landing within 7 days of the view — the sequential pattern
+    `A ->> B ->> C within T` that SQL spells MATCH_RECOGNIZE and Flink
+    spells CEP. Spark-first form: a chain of min-aggregations, each
+    stage's earliest-match joined forward as the next stage's lower
+    bound (earliest-match semantics make the chained min exact).
+
+    Scale: every join and aggregation in the chain keys on user_id — one
+    partitioning reused across all three stages (AQE reuses the
+    exchange), each min() partial-aggregates map-side, and no per-user
+    event array is ever collected (the collect_list/HOF single-shuffle
+    alternative assumes a user's history fits one row — a hot user with
+    10^8 events breaks it; the chained-agg form never does)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("us")
+    )
+    ev = ensure_parallelism(ev)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") >= F.col("v_us"))
+        .groupBy("user_id", "v_us")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("us") >= F.col("c_us"))
+            & (F.col("us") <= F.col("v_us") + F.lit(_FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    return (
+        v.join(c.select("user_id", "c_us"), "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("v_us").cast("long").alias("view_us"),
+            F.col("c_us").cast("long").alias("click_us"),
+            F.col("p_us").cast("long").alias("purchase_us"),
+            (
+                F.lit(1)
+                + F.col("c_us").isNotNull().cast("int")
+                + F.col("p_us").isNotNull().cast("int")
+            ).cast("int").alias("funnel_stage"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# scd2_user_state — CDC changelog to SCD type-2 intervals (MERGE class)
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type
+  FROM events
+),
+seq AS (
+  SELECT user_id, us, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS prev_state
+  FROM e
+),
+chg AS (
+  SELECT user_id, us, event_id, event_type
+  FROM seq
+  WHERE prev_state IS NULL OR event_type <> prev_state
+)
+SELECT user_id,
+       CAST(us AS BIGINT) AS valid_from_us,
+       CAST(lead(us) OVER w AS BIGINT) AS valid_to_us,
+       event_type AS state_value,
+       CAST(row_number() OVER w AS INT) AS version,
+       (lead(us) OVER w IS NULL) AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+"""
+
+
+@register(
+    "scd2_user_state",
+    oracle=_SCD2_ORACLE,
+    tags=("linkage", "cdc", "scd2"),
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog → slowly-changing-dimension type 2: treat each event
+    as an upsert of the user's tracked attribute (event_type — the user's
+    current activity state), compress no-op updates (consecutive
+    identical states — the CDC dedup step; ~1/5 of updates here, so the
+    branch is exercised), and emit validity intervals
+    `[valid_from, valid_to)` with a version counter and an is_current
+    flag — the batch equivalent of MERGE-maintaining a SCD2 dimension
+    from a Debezium-style stream.
+
+    Cross-engine exactness: pure integer epoch-micros, `lag`/`lead`/
+    `row_number` over the identical (us, event_id) total order, and the
+    no-op compression compares stored strings — no arithmetic anywhere.
+
+    Scale: both window passes and the compression filter key on user_id —
+    one hash exchange total (Catalyst stacks the lag-window, filter, and
+    lead/row_number-window into one sort within the same partitioning);
+    per-partition sort spills gracefully, and nothing is corpus-global."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns DIV 1000").alias("us"),
+        "event_type",
+    )
+    e = ensure_parallelism(e)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    chg = (
+        e.withColumn("prev_state", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("event_type") != F.col("prev_state"))
+        )
+        .drop("prev_state")
+    )
+    return chg.select(
+        "user_id",
+        F.col("us").cast("long").alias("valid_from_us"),
+        F.lead("us").over(w).cast("long").alias("valid_to_us"),
+        F.col("event_type").alias("state_value"),
+        F.row_number().over(w).cast("int").alias("version"),
+        F.lead("us").over(w).isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# entity_resolution_pairs — multi-pass blocked record linkage
+# ---------------------------------------------------------------------------
+
+# Deterministic "dirty registry": a perturbed copy of customer where 2/3 of
+# names carry one synthetic typo (deletion or substitution inside the digit
+# run of "Customer#NNNNNN..."). Same expression in Spark and SQL so the
+# fixture is part of the oracle-checked plan, not test scaffolding — the
+# pii_scrub injection pattern (plans/curation.py).
+_ER_LEV_MAX = 2
+_ER_BLOCK_CAP = 64  # pass-2 blocks larger than this are skipped (oversized-
+# block guard — the standard linkage "skip big blocks" rule; quadratic
+# pair-gen is only ever paid inside a bounded block)
+
+_ER_DIRTY_SQL = """
+  SELECT c_custkey AS b_key, c_nationkey AS b_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS b_cents,
+         c_mktsegment AS b_segment,
+         CASE
+           WHEN c_custkey % 3 = 0 THEN
+             substr(c_name, 1, 9 + c_custkey % 6)
+             || substr(c_name, 11 + c_custkey % 6)
+           WHEN c_custkey % 3 = 1 THEN
+             substr(c_name, 1, 9 + c_custkey % 6) || 'x'
+             || substr(c_name, 11 + c_custkey % 6)
+           ELSE c_name
+         END AS b_name
+  FROM customer
+"""
+
+_ER_ORACLE = f"""
+WITH a AS (
+  SELECT c_custkey AS a_key, c_nationkey AS a_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS a_cents,
+         c_mktsegment AS a_segment, c_name AS a_name
+  FROM customer
+),
+b AS ({_ER_DIRTY_SQL}),
+pass1 AS (
+  SELECT a.a_key, b.b_key, a.a_name, b.b_name
+  FROM a JOIN b ON a.a_nationkey = b.b_nationkey AND a.a_cents = b.b_cents
+),
+b2 AS (
+  SELECT *, count(*) OVER (PARTITION BY b_segment, substr(b_name, -3))
+              AS blk_n
+  FROM b
+),
+pass2 AS (
+  SELECT a.a_key, b2.b_key, a.a_name, b2.b_name
+  FROM a JOIN b2 ON a.a_segment = b2.b_segment
+                AND substr(a.a_name, -3) = substr(b2.b_name, -3)
+  WHERE b2.blk_n <= {_ER_BLOCK_CAP}
+),
+cand AS (
+  SELECT DISTINCT a_key, b_key, a_name, b_name
+  FROM (SELECT * FROM pass1 UNION ALL SELECT * FROM pass2)
+)
+SELECT CAST(a_key AS BIGINT) AS a_key,
+       CAST(b_key AS BIGINT) AS b_key,
+       CAST(levenshtein(a_name, b_name) AS INT) AS lev
+FROM cand
+WHERE levenshtein(a_name, b_name) <= {_ER_LEV_MAX}
+"""
+
+
+def _er_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    cust = ensure_parallelism(load_table(spark, sf_dir, "customer"))
+    a = cust.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_nationkey").alias("a_nationkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("a_cents"),
+        F.col("c_mktsegment").alias("a_segment"),
+        F.col("c_name").alias("a_name"),
+    )
+    head = F.expr("substr(c_name, 1, 9 + c_custkey % 6)")
+    tail = F.expr("substr(c_name, 11 + c_custkey % 6)")
+    b = cust.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_nationkey").alias("b_nationkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("b_cents"),
+        F.col("c_mktsegment").alias("b_segment"),
+        F.when(F.col("c_custkey") % 3 == 0, F.concat(head, tail))
+        .when(F.col("c_custkey") % 3 == 1, F.concat(head, F.lit("x"), tail))
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+    )
+    return a, b
+
+
+@register(
+    "entity_resolution_pairs",
+    oracle=_ER_ORACLE,
+    tags=("linkage", "entity-resolution", "dedup"),
+)
+def entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage between a clean registry and a deterministically
+    dirtied copy of it (2/3 of names carry one injected typo): the
+    classic multi-pass BLOCKING + edit-distance pipeline — pass 1 blocks
+    on reliable attributes (nationkey, exact balance cents), pass 2 on a
+    redundant key (segment, name 3-suffix) to catch records pass 1
+    misses, candidates are unioned/deduped, and only candidates pay
+    `levenshtein() <= 2`. Never all-pairs: pair generation is confined
+    to blocks, and pass-2 blocks larger than _ER_BLOCK_CAP are skipped
+    (the standard oversized-block rule — same guard class as
+    simhash_neardup_pairs' re-banding and embedding_neardup_pairs'
+    block split).
+
+    Scale: pass-1 block sizes are O(duplicates-per-entity) — constant in
+    corpus size, so candidates grow LINEARLY with data; pass-2 blocks
+    grow with data but are hard-capped, so its candidate count is
+    <= cap * |blocks|. Both joins are plain hash-equi-joins on the block
+    key (one shuffle each); levenshtein runs JVM-side inside codegen."""
+    a, b = _er_sides(spark, sf_dir)
+    p1 = a.join(
+        b,
+        (F.col("a_nationkey") == F.col("b_nationkey"))
+        & (F.col("a_cents") == F.col("b_cents")),
+    ).select("a_key", "b_key", "a_name", "b_name")
+    bw = Window.partitionBy("b_segment", F.expr("substr(b_name, -3, 3)"))
+    b2 = b.withColumn("blk_n", F.count(F.lit(1)).over(bw)).filter(
+        F.col("blk_n") <= _ER_BLOCK_CAP
+    )
+    p2 = a.join(
+        b2,
+        (F.col("a_segment") == F.col("b_segment"))
+        & (
+            F.expr("substr(a_name, -3, 3)")
+            == F.expr("substr(b_name, -3, 3)")
+        ),
+    ).select("a_key", "b_key", "a_name", "b_name")
+    cand = p1.unionByName(p2).distinct()
+    lev = F.levenshtein("a_name", "b_name")
+    return cand.filter(lev <= _ER_LEV_MAX).select(
+        F.col("a_key").cast("long").alias("a_key"),
+        F.col("b_key").cast("long").alias("b_key"),
+        lev.cast("int").alias("lev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct_estimate — K-Minimum-Values cardinality sketch
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || event_type),
+                         1, 8)) AS BIGINT) AS h
+  FROM events
+),
+kth AS (
+  SELECT max(h) AS kth_hash FROM (
+    SELECT h FROM h ORDER BY h LIMIT {_KMV_K}
+  )
+),
+exact AS (
+  SELECT count(DISTINCT CAST(user_id AS VARCHAR) || ':' || event_type)
+           AS exact_distinct
+  FROM events
+)
+SELECT CAST({_KMV_K} AS INT) AS k,
+       CAST(kth.kth_hash AS BIGINT) AS kth_hash,
+       CAST(round(CAST({_KMV_K - 1} * 4294967296 AS DOUBLE) / kth.kth_hash)
+            AS BIGINT) AS est_distinct,
+       CAST(exact.exact_distinct AS BIGINT) AS exact_distinct,
+       round(
+         (round(CAST({_KMV_K - 1} * 4294967296 AS DOUBLE) / kth.kth_hash)
+          - exact.exact_distinct) / exact.exact_distinct, 6) AS rel_err
+FROM kth, exact
+"""
+
+
+@register(
+    "kmv_distinct_estimate",
+    oracle=_KMV_ORACLE,
+    tags=("linkage", "sketch", "cardinality"),
+)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch (Bar-Yossef et al., RANDOM
+    2002): hash every (user_id, event_type) entity to a u32, keep the K
+    smallest distinct hashes, estimate |D| ≈ (K-1)·2^32 / h_(K) — the
+    deterministic, mergeable cardinality sketch. approx_user_stats
+    already pins Spark's native HLL surface but is structurally
+    no_oracle (HLL internals are engine-specific); KMV is exactly
+    reproducible cross-engine, so THIS entry carries the hash-gated
+    sketch evidence, alongside the exact count and the realized relative
+    error.
+
+    Cross-engine exactness: the md5-prefix u32 draw (identical bytes both
+    engines), integer k-th selection, and one IEEE double division of two
+    exact integers (< 2^53 — correctly rounded identically).
+
+    Scale: DISTINCT on the hash is one map-side-combinable exchange; the
+    K-smallest selection is `ORDER BY h LIMIT K`, which Catalyst executes
+    as TakeOrderedAndProject — per-partition top-K then a K-row merge, no
+    global sort. Both sketch and exact sides partial-aggregate; the final
+    single-row crossJoin is trivially broadcast. In a 1000-executor run
+    the sketch side moves only K rows per partition."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    ent = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")
+    )
+    h = (
+        ev.select(
+            F.conv(F.substring(F.md5(ent), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h")
+        )
+        .distinct()
+        .orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").alias("kth_hash"))
+    )
+    exact = ev.select(ent.alias("e")).agg(
+        F.count_distinct(F.col("e")).alias("exact_distinct")
+    )
+    est = F.round(
+        F.lit(float(_KMV_K - 1) * 4294967296.0) / F.col("kth_hash")
+    ).cast("long")
+    return h.crossJoin(exact).select(
+        F.lit(_KMV_K).cast("int").alias("k"),
+        F.col("kth_hash").cast("long").alias("kth_hash"),
+        est.alias("est_distinct"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.round(
+            (est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+        ).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_scores — fixed-weight linear quality model
+# ---------------------------------------------------------------------------
+
+# Hand-fixed logistic-regression weights (a stand-in for a trained fastText/
+# LR quality classifier — the weights are the model artifact a real pipeline
+# would broadcast): z = w0 + w·features, keep = z > 0.
+_QC_W0 = -1.85
+_QC_W_NTOK = 0.004
+_QC_W_UNIQ = 2.5
+_QC_W_STOP = -3.0
+_QC_W_LEN = 0.15
+
+_QC_ORACLE = f"""
+WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents),
+f AS (
+  SELECT doc_id,
+         len(ws) AS n_tokens,
+         round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS uniq_ratio,
+         round(CAST(len(list_filter(ws, t -> t IN ('the', 'a'))) AS DOUBLE)
+               / len(ws), 4) AS stopword_ratio,
+         round(CAST(n_chars - len(ws) + 1 AS DOUBLE) / len(ws), 4) AS avg_token_len
+  FROM w
+)
+SELECT doc_id,
+       round(CAST({_QC_W0} AS DOUBLE) + CAST({_QC_W_NTOK} AS DOUBLE) * n_tokens
+             + CAST({_QC_W_UNIQ} AS DOUBLE) * uniq_ratio
+             + CAST({_QC_W_STOP} AS DOUBLE) * stopword_ratio
+             + CAST({_QC_W_LEN} AS DOUBLE) * avg_token_len, 6) AS z_score,
+       (round(CAST({_QC_W0} AS DOUBLE) + CAST({_QC_W_NTOK} AS DOUBLE) * n_tokens
+              + CAST({_QC_W_UNIQ} AS DOUBLE) * uniq_ratio
+              + CAST({_QC_W_STOP} AS DOUBLE) * stopword_ratio
+              + CAST({_QC_W_LEN} AS DOUBLE) * avg_token_len, 6) > 0.0) AS keep
+FROM f
+"""
+
+
+@register(
+    "quality_classifier_scores",
+    oracle=_QC_ORACLE,
+    tags=("linkage", "text", "model-filter"),
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a fixed-weight linear classifier over
+    the text_quality_scores feature set (token count, vocabulary
+    diversity, stopword density, mean token length) emitting the decision
+    margin and a keep flag — the CCNet/FineWeb curation stage where a
+    trained classifier (weights broadcast to every executor) gates
+    documents. Weights are module constants standing in for the model
+    artifact; swapping in trained ones changes no plan shape.
+
+    Cross-engine exactness: each feature ratio is one IEEE division of
+    exact integers rounded to 4 places (the proven text_quality_scores
+    discipline); the margin is a left-associated double dot product of
+    identical literals evaluated in the same order in both engines, then
+    rounded to 6 places BEFORE the threshold compare — so keep flips
+    identically on both sides.
+
+    Scale: zero shuffles — a pure per-row projection over the scan
+    (split/array HOFs all JVM codegen); at 100 TB this is scan-bound and
+    embarrassingly parallel, exactly what a filter stage must be."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+    n_tokens = F.size(ws)
+    uniq = F.round(
+        F.size(F.array_distinct(ws)).cast("double") / n_tokens, 4
+    )
+    stop = F.round(
+        F.size(F.expr("filter(split(text, ' '), t -> t IN ('the', 'a'))")).cast(
+            "double"
+        )
+        / n_tokens,
+        4,
+    )
+    alen = F.round(
+        (F.col("n_chars") - n_tokens + 1).cast("double") / n_tokens, 4
+    )
+    z = F.round(
+        F.lit(_QC_W0)
+        + F.lit(_QC_W_NTOK) * n_tokens
+        + F.lit(_QC_W_UNIQ) * uniq
+        + F.lit(_QC_W_STOP) * stop
+        + F.lit(_QC_W_LEN) * alen,
+        6,
+    )
+    return docs.select(
+        "doc_id", z.alias("z_score"), (z > F.lit(0.0)).alias("keep")
+    )

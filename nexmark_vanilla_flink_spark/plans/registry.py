@@ -61,8 +61,10 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # Tier 1 — never independently re-checked since r1 (the VERDICT r4 task 3
 # queue, all eight taken). Tier 2 — new this round: the streaming ANN
 # serving path, the streaming PII scrub, the iterative k-means
-# trainer, the SemDeDup pruner, the cluster-rewrite, and the MOSS
-# winnowing fingerprints + overlap pairs. Tier 3 —
+# trainer, the SemDeDup pruner, the cluster-rewrite, the MOSS
+# winnowing fingerprints + overlap pairs, and the five linkage-class
+# entries (funnel pattern matching, CDC→SCD2, blocked entity
+# resolution, KMV sketch, model-based quality filter). Tier 3 —
 # implementation changed in r5: the mix-stats oracle CAST, the q11/q15
 # de-funnel, the embedding block guard, the doc_top_terms zero-shuffle tf,
 # and all 13 bounded replays (replay_state_partitions default 8 → 4 +
@@ -85,6 +87,11 @@ DRIVER_HEAD: list[str] = [
     "dedup_cluster_rewrite",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
+    "funnel_conversion",
+    "scd2_user_state",
+    "entity_resolution_pairs",
+    "kmv_distinct_estimate",
+    "quality_classifier_scores",
     # --- tier 1: last driver-checked in r1 ---
     "corpus_curation",
     "deterministic_splits",
@@ -128,11 +135,10 @@ DRIVER_HEAD: list[str] = [
     "tpch_q7_volume_shipping",
     "tpch_q8_national_share",
     "tpch_q9_product_profit",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q20_potential_promotion",
-    "tpch_q13_order_distribution",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_waiting_suppliers",
+    # tpch_q17_small_qty_revenue, tpch_q20_potential_promotion,
+    # tpch_q13_order_distribution, tpch_q19_discounted_revenue and
+    # tpch_q21_waiting_suppliers gave their tier-4 slots to the five
+    # linkage/CDC/sketch entries above and head the r6 rotation queue.
 ]
 
 
