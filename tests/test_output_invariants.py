@@ -347,3 +347,74 @@ def test_curation_funnel_reconciles_with_kept_corpus(spark, sf_dir):
         >= funnel["near_dedup"]
         > 0
     )
+
+
+def test_funnel_stage_ordering_and_window(spark, sf_dir):
+    rows = REGISTRY["funnel_conversion"].spark(spark, sf_dir).collect()
+    seven_days_us = 7 * 86400 * 1_000_000
+    n2 = n3 = 0
+    for r in rows:
+        assert r.funnel_stage == 1 + int(r.click_us is not None) + int(
+            r.purchase_us is not None
+        )
+        if r.click_us is not None:
+            assert r.click_us >= r.view_us
+            n2 += 1
+        else:
+            # earliest-match semantics: no purchase without a click
+            assert r.purchase_us is None
+        if r.purchase_us is not None:
+            assert r.purchase_us >= r.click_us
+            assert r.purchase_us <= r.view_us + seven_days_us
+            n3 += 1
+    assert len(rows) >= n2 >= n3 > 0  # monotone funnel, non-hollow tail
+
+
+def test_scd2_intervals_chain_and_compress(spark, sf_dir):
+    rows = REGISTRY["scd2_user_state"].spark(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    compressed_any = False
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r.is_current for r in rs) == 1 and rs[-1].is_current
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to_us == b.valid_from_us  # gapless chain
+            assert a.state_value != b.state_value  # no-op updates compressed
+        compressed_any = compressed_any or len(rs) < 60
+    assert compressed_any  # the CDC compression branch actually fired
+
+
+def test_entity_resolution_finds_every_injected_typo(spark, sf_dir):
+    rows = REGISTRY["entity_resolution_pairs"].spark(spark, sf_dir).collect()
+    self_pairs = {r.a_key: r.lev for r in rows if r.a_key == r.b_key}
+    import duckdb
+
+    n_cust = duckdb.sql(
+        f"SELECT count(*), max(c_custkey) FROM "
+        f"read_parquet('{sf_dir}/customer.parquet')"
+    ).fetchone()[0]
+    # pass-1 blocks on unperturbed attributes, so EVERY record links to its
+    # own dirty twin: clean copies at lev 0, injected typos at lev 1
+    assert len(self_pairs) == n_cust
+    for key, lev in self_pairs.items():
+        assert lev == (0 if key % 3 == 2 else 1)
+    assert all(r.lev <= 2 for r in rows)
+
+
+def test_kmv_estimate_within_sketch_error(spark, sf_dir):
+    r = REGISTRY["kmv_distinct_estimate"].spark(spark, sf_dir).collect()[0]
+    assert r.k == 64 and r.kth_hash > 0 and r.est_distinct > 0
+    # KMV standard error ~ 1/sqrt(K-2) ~ 0.127; allow 4 sigma
+    assert abs(r.est_distinct - r.exact_distinct) / r.exact_distinct < 0.51
+
+
+def test_quality_classifier_splits_corpus(spark, sf_dir):
+    rows = REGISTRY["quality_classifier_scores"].spark(spark, sf_dir).collect()
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows)  # threshold actually discriminates
+    for r in rows:
+        assert r.keep == (r.z_score > 0.0)

@@ -414,3 +414,37 @@ def test_winnow_overlap_reuses_fingerprint_exchange(spark, sf_dir):
     )
     assert "Cartesian" not in final
     assert "ReusedExchange" in final
+
+
+def test_quality_classifier_is_pure_projection(spark, sf_dir):
+    # model-based filtering must stay scan-bound: no joins, no aggregation
+    # exchange — the weights live in the projection, not in a joined frame
+    plan = _plan(spark, sf_dir, "quality_classifier_scores")
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_kmv_topk_is_per_partition_merge(spark, sf_dir):
+    # the K-smallest selection must plan as TakeOrderedAndProject (per-
+    # partition top-K + K-row merge), never a global sort of the hash set
+    plan = _plan(spark, sf_dir, "kmv_distinct_estimate")
+    assert "TakeOrderedAndProject(limit=64" in plan
+    assert "Sort [h" not in plan
+
+
+def test_entity_resolution_blocked_never_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "entity_resolution_pairs")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # the oversized-block guard (blk_n window filter) survives optimization
+    assert "blk_n" in plan
+
+
+def test_scd2_single_user_partitioning(spark, sf_dir):
+    # lag-filter-lead/row_number must all ride ONE user_id exchange
+    plan = _plan(spark, sf_dir, "scd2_user_state")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_funnel_chain_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "funnel_conversion")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
