@@ -534,3 +534,102 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", z.alias("z_score"), (z > F.lit(0.0)).alias("keep")
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel_conversion_stream_replay — CEP-class pattern matching in streaming
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_conversion_stream_replay",
+    oracle=_FUNNEL_ORACLE,  # identical output contract to the batch funnel
+    tags=("streaming", "linkage", "pattern", "stateful"),
+)
+def funnel_conversion_stream_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The funnel pattern matcher UNDER STREAMING EXECUTION — the CEP
+    deployment shape (match `view ->> click ->> purchase within 7d` as
+    events arrive, emit each user's final funnel when the watermark
+    proves it can no longer change). Keyed state via
+    applyInPandasWithState with an event-time flush timer; a one-row
+    flush-sentinel side stream (ts = max event time + 8 days, the
+    bounded-replay analog of Flink's end-of-input watermark) drives the
+    watermark past every timer so emission is COMPLETE — which is what
+    lets this replay share the batch funnel oracle verbatim instead of
+    settling for subset semantics.
+
+    Scale: state is three BIGINTs per user, hash-partitioned on
+    user_id; the sentinel is one row. A continuous deployment would
+    drop the sentinel and register per-key timers at view_ts + 7d."""
+    import os
+    import uuid
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ..streaming.runner import run_available_now, track_ephemeral_dir
+    from ..streaming.sources import stream_events
+    from ..streaming.stateful import funnel_stateful
+
+    max_ts_ns = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts_ns").alias("m"))
+        .collect()[0]["m"]
+    )
+    flush_ms = max_ts_ns // 1_000_000 + 1
+    sent_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("us", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    sent_us = max_ts_ns // 1000 + 8 * 86400 * 1_000_000
+    sent_dir = track_ephemeral_dir(
+        os.path.join(
+            "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp",
+            f"spark_graft_funnel_sentinel_{uuid.uuid4().hex[:8]}",
+        )
+    )
+    spark.createDataFrame(
+        [(-1, "flush", sent_us, -1)], "user_id long, event_type string, us long, event_id long"
+    ).withColumn("ts", F.timestamp_micros(F.col("us"))).write.mode(
+        "overwrite"
+    ).parquet(sent_dir)
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns DIV 1000").alias("us"),
+        "event_id",
+        "ts",
+    )
+    sent = spark.readStream.schema(sent_schema).parquet(sent_dir)
+    out = run_available_now(
+        funnel_stateful(
+            ev.unionByName(sent), flush_ms, _FUNNEL_WINDOW_US
+        ),
+        output_mode="append",
+        # Python-stateful replica: Arrow-batch worker parallelism beats
+        # store-commit savings (the q8_union_join_lowlevel r5 A/B), so pin
+        # 8 instead of the local replay default of 4
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")
+        ),
+    )
+    return out.select(
+        "user_id",
+        "view_us",
+        "click_us",
+        "purchase_us",
+        F.col("funnel_stage").cast("int").alias("funnel_stage"),
+    )

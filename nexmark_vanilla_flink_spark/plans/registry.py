@@ -92,6 +92,7 @@ DRIVER_HEAD: list[str] = [
     "entity_resolution_pairs",
     "kmv_distinct_estimate",
     "quality_classifier_scores",
+    "funnel_conversion_stream_replay",
     # --- tier 1: last driver-checked in r1 ---
     "corpus_curation",
     "deterministic_splits",
@@ -134,11 +135,11 @@ DRIVER_HEAD: list[str] = [
     "nexmark_q17_auction_stats",
     "tpch_q7_volume_shipping",
     "tpch_q8_national_share",
-    "tpch_q9_product_profit",
-    # tpch_q17_small_qty_revenue, tpch_q20_potential_promotion,
-    # tpch_q13_order_distribution, tpch_q19_discounted_revenue and
-    # tpch_q21_waiting_suppliers gave their tier-4 slots to the five
-    # linkage/CDC/sketch entries above and head the r6 rotation queue.
+    # tpch_q9_product_profit, tpch_q17_small_qty_revenue,
+    # tpch_q20_potential_promotion, tpch_q13_order_distribution,
+    # tpch_q19_discounted_revenue and tpch_q21_waiting_suppliers gave
+    # their tier-4 slots to the six linkage-class entries above (five
+    # batch + the streaming funnel) and head the r6 rotation queue.
 ]
 
 

@@ -30,6 +30,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -267,5 +268,113 @@ def q5b_proc_time_flush(bids: DataFrame, flush_interval_ms: int = 10_000) -> Dat
             stateStructType=_HOT_ITEMS_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+FUNNEL_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("view_us", LongType()),
+        StructField("click_us", LongType()),
+        StructField("purchase_us", LongType()),
+        StructField("funnel_stage", IntegerType()),
+    ]
+)
+
+_FUNNEL_STATE = StructType(
+    [
+        StructField("v_us", LongType()),
+        StructField("c_us", LongType()),
+        StructField("p_us", LongType()),
+    ]
+)
+
+
+def funnel_stateful(
+    events: DataFrame, flush_ms: int, window_us: int
+) -> DataFrame:
+    """Streaming sequential pattern matcher — the CEP class (Flink's
+    `CEP.pattern(A.followedBy(B).followedBy(C).within(T))`, which the
+    reference's DataStream engine would express with a keyed
+    ProcessFunction exactly like its Q8/QX state machines,
+    `NexmarkQuery8.java:433-504`): per user, match the earliest `view`,
+    the earliest `click` at-or-after it, and the earliest `purchase`
+    at-or-after that click within `window_us` of the view.
+
+    State = the three matched timestamps (-1 = unmatched); each batch's
+    rows fold in (event-time, event_id) order, so earliest-match
+    semantics are exact for an event-time-ordered replay. Emission is
+    timer-driven: every key registers an event-time timeout at
+    `flush_ms` (a horizon past the bounded input, the analog of Flink's
+    end-of-input watermark flush); when the watermark crosses it — the
+    proof no earlier event can still arrive — the key emits its final
+    funnel row once and drops its state. Keys scale horizontally
+    (state is 24 bytes/user, hash-partitioned on user_id); a continuous
+    deployment would register per-key timers at `view_ts + window`
+    instead of one global horizon."""
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        uid = int(key[0])
+        if state.hasTimedOut:
+            v, c, p = state.get
+            state.remove()
+            if v >= 0:
+                stage = 1 + int(c >= 0) + int(p >= 0)
+                yield pd.DataFrame(
+                    {
+                        "user_id": [uid],
+                        "view_us": [v],
+                        "click_us": [c if c >= 0 else None],
+                        "purchase_us": [p if p >= 0 else None],
+                        "funnel_stage": [stage],
+                    }
+                )
+            return
+        if uid < 0:  # flush sentinel: advances the watermark, carries no state
+            return
+        v, c, p = state.get if state.exists else (-1, -1, -1)
+        parts = [p_ for p_ in pdfs if len(p_)]
+        batch = pd.concat(parts, ignore_index=True) if parts else None
+        if batch is not None and len(batch):
+            # vectorized earliest-match fold (exact for event-time-ordered
+            # batches: a stage's bound can only be set by data at-or-before
+            # anything still unmatched). No sort needed — each stage is a
+            # min over a mask, the same form as the batch chained-min.
+            et, us = batch["event_type"], batch["us"]
+            if v < 0:
+                s = us[et.eq("view")]
+                if len(s):
+                    v = int(s.min())
+            if v >= 0 and c < 0:
+                s = us[et.eq("click") & (us >= v)]
+                if len(s):
+                    c = int(s.min())
+            if c >= 0 and p < 0:
+                s = us[
+                    et.eq("purchase") & (us >= c) & (us <= v + window_us)
+                ]
+                if len(s):
+                    p = int(s.min())
+        state.update((v, c, p))
+        state.setTimeoutTimestamp(
+            max(flush_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — generator form
+
+    return (
+        events.withWatermark("ts", "2 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FUNNEL_OUTPUT,
+            stateStructType=_FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
