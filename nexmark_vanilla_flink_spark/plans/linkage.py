@@ -281,6 +281,12 @@ WHERE levenshtein(a_name, b_name) <= {_ER_LEV_MAX}
 
 def _er_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     cust = ensure_parallelism(load_table(spark, sf_dir, "customer"))
+    return _er_sides_from(cust)
+
+
+def _er_sides_from(cust: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Clean side A + deterministically dirtied side B from a customer-shaped
+    frame (factored out so the scaling probe can feed a replicated corpus)."""
     a = cust.select(
         F.col("c_custkey").alias("a_key"),
         F.col("c_nationkey").alias("a_nationkey"),
@@ -322,10 +328,16 @@ def entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     block split).
 
     Scale: pass-1 block sizes are O(duplicates-per-entity) — constant in
-    corpus size, so candidates grow LINEARLY with data; pass-2 blocks
-    grow with data but are hard-capped, so its candidate count is
-    <= cap * |blocks|. Both joins are plain hash-equi-joins on the block
-    key (one shuffle each); levenshtein runs JVM-side inside codegen."""
+    corpus size, so candidates grow LINEARLY with data (measured: 15k →
+    243k candidates for 15k → 240k entities, docs/scaling_r5_linkage.json);
+    pass-2 blocks grow with data, but each A-row meets at most CAP
+    surviving B-rows, so capped candidates are <= cap * |A| — linear
+    (measured 8.2M <= 64 * 240k at x16 vs 14.5M uncapped and rising
+    quadratically; once every block of a saturating key exceeds the cap,
+    pass 2 contributes nothing and recall rests on pass 1 — the standard
+    fate of a low-cardinality blocking key). Both joins are plain
+    hash-equi-joins on the block key (one shuffle each); levenshtein runs
+    JVM-side inside codegen."""
     a, b = _er_sides(spark, sf_dir)
     p1 = a.join(
         b,
