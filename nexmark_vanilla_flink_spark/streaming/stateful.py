@@ -287,8 +287,12 @@ _FUNNEL_STATE = StructType(
         StructField("v_us", LongType()),
         StructField("c_us", LongType()),
         StructField("p_us", LongType()),
+        StructField("buf_us", ArrayType(LongType())),
+        StructField("buf_et", ArrayType(IntegerType())),
     ]
 )
+
+_FUNNEL_ET = {"view": 0, "click": 1, "purchase": 2}
 
 
 def funnel_stateful(
@@ -302,27 +306,61 @@ def funnel_stateful(
     the earliest `click` at-or-after it, and the earliest `purchase`
     at-or-after that click within `window_us` of the view.
 
-    State = the three matched timestamps (-1 = unmatched); each batch's
-    rows fold in (event-time, event_id) order, so earliest-match
-    semantics are exact for an event-time-ordered replay. Emission is
-    timer-driven: every key registers an event-time timeout at
-    `flush_ms` (a horizon past the bounded input, the analog of Flink's
-    end-of-input watermark flush); when the watermark crosses it — the
-    proof no earlier event can still arrive — the key emits its final
-    funnel row once and drops its state. Keys scale horizontally
-    (state is 24 bytes/user, hash-partitioned on user_id); a continuous
-    deployment would register per-key timers at `view_ts + window`
-    instead of one global horizon."""
+    Watermark-correct under micro-batch disorder, the Flink-CEP
+    discipline: arriving events are BUFFERED in state; each batch folds
+    only the buffered prefix whose event time is at-or-below the current
+    watermark (a finalized, complete prefix — so the stage-wise masked-min
+    fold is exact regardless of arrival order within it), and keeps the
+    rest pending. Matched state is the three timestamps (-1 = unmatched);
+    the pending buffer is bounded by the watermark lag times the per-key
+    rate, exactly Flink CEP's sort buffer. Emission is timer-driven:
+    every key registers an event-time timeout at `flush_ms` (a horizon
+    past the bounded input, the analog of Flink's end-of-input watermark
+    flush); when the watermark crosses it, the key folds its remaining
+    buffer, emits its final funnel row once, and drops its state. A
+    continuous deployment would register per-key timers at
+    `view_ts + window` instead of one global horizon."""
+
+    def _fold(v, c, p, us, et):
+        # stage-wise masked min over a finalized event set: equivalent to
+        # the batch chained-min because each stage's bound is determined
+        # before the next stage filters on it
+        import numpy as np
+
+        if v < 0:
+            s = us[et == 0]
+            if len(s):
+                v = int(s.min())
+        if v >= 0 and c < 0:
+            s = us[(et == 1) & (us >= v)]
+            if len(s):
+                c = int(s.min())
+        if c >= 0 and p < 0:
+            s = us[(et == 2) & (us >= c) & (us <= v + window_us)]
+            if len(s):
+                p = int(s.min())
+        _ = np  # numpy imported for dtype coercion by callers
+        return v, c, p
 
     def fn(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         uid = int(key[0])
         if state.hasTimedOut:
-            v, c, p = state.get
+            v, c, p, buf_us, buf_et = state.get
             state.remove()
+            if len(buf_us):  # end-of-input: every pending event is final
+                v, c, p = _fold(
+                    v,
+                    c,
+                    p,
+                    np.asarray(buf_us, dtype=np.int64),
+                    np.asarray(buf_et, dtype=np.int64),
+                )
             if v >= 0:
                 stage = 1 + int(c >= 0) + int(p >= 0)
                 yield pd.DataFrame(
@@ -337,30 +375,29 @@ def funnel_stateful(
             return
         if uid < 0:  # flush sentinel: advances the watermark, carries no state
             return
-        v, c, p = state.get if state.exists else (-1, -1, -1)
-        parts = [p_ for p_ in pdfs if len(p_)]
-        batch = pd.concat(parts, ignore_index=True) if parts else None
-        if batch is not None and len(batch):
-            # vectorized earliest-match fold (exact for event-time-ordered
-            # batches: a stage's bound can only be set by data at-or-before
-            # anything still unmatched). No sort needed — each stage is a
-            # min over a mask, the same form as the batch chained-min.
-            et, us = batch["event_type"], batch["us"]
-            if v < 0:
-                s = us[et.eq("view")]
-                if len(s):
-                    v = int(s.min())
-            if v >= 0 and c < 0:
-                s = us[et.eq("click") & (us >= v)]
-                if len(s):
-                    c = int(s.min())
-            if c >= 0 and p < 0:
-                s = us[
-                    et.eq("purchase") & (us >= c) & (us <= v + window_us)
-                ]
-                if len(s):
-                    p = int(s.min())
-        state.update((v, c, p))
+        if state.exists:
+            v, c, p, buf_us, buf_et = state.get
+            buf_us, buf_et = list(buf_us), list(buf_et)
+        else:
+            v, c, p, buf_us, buf_et = -1, -1, -1, [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            m = pdf["event_type"].map(_FUNNEL_ET)
+            keep = m.notna()
+            buf_us.extend(int(x) for x in pdf["us"][keep])
+            buf_et.extend(int(x) for x in m[keep])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if buf_us:
+            us = np.asarray(buf_us, dtype=np.int64)
+            et = np.asarray(buf_et, dtype=np.int64)
+            ready = us <= wm_us
+            if ready.any():
+                v, c, p = _fold(v, c, p, us[ready], et[ready])
+                pend = ~ready
+                buf_us = [int(x) for x in us[pend]]
+                buf_et = [int(x) for x in et[pend]]
+        state.update((v, c, p, buf_us, buf_et))
         state.setTimeoutTimestamp(
             max(flush_ms, state.getCurrentWatermarkMs() + 1)
         )

@@ -63,3 +63,88 @@ def test_hot_items_stateful_emits_closed_windows_correctly(spark, sf_dir):
         key = (r["auction_id"], r["w_start_s"])
         assert key in batch
         assert batch[key] == (r["max_bid"], r["bid_count"], r["last_bid_ts_s"])
+
+
+def test_funnel_stateful_multi_microbatch_equals_batch(spark, sf_dir):
+    """CEP state machine across MANY micro-batches: events split into 6
+    time-ranged files + the flush sentinel, one file per trigger — state
+    must fold across batches (a user's view in batch 1, click in batch 3,
+    purchase in batch 5) and the timer flush must emit the complete,
+    batch-identical funnel."""
+    import tempfile
+
+    from nexmark_vanilla_flink_spark.plans.linkage import (
+        _FUNNEL_WINDOW_US,
+        funnel_conversion,
+    )
+    from nexmark_vanilla_flink_spark.sources.tables import load_table
+    from nexmark_vanilla_flink_spark.streaming.stateful import funnel_stateful
+
+    import glob
+    import os
+    import shutil
+    import time
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi, max_ts_ns = ev.agg(
+        F.min(F.expr("ts_ns DIV 1000")),
+        F.max(F.expr("ts_ns DIV 1000")),
+        F.max("ts_ns"),
+    ).collect()[0]
+    flush_ms = max_ts_ns // 1_000_000 + 1
+    sent_us = max_ts_ns // 1000 + 8 * 86400 * 1_000_000
+    with tempfile.TemporaryDirectory(prefix="funnel_mb_") as d:
+        src = f"{d}/in"
+        os.makedirs(src)
+        # one file per time slice with ASCENDING mtimes: the file source
+        # orders batches by mtime, so arrival respects event time — the
+        # watermark contract. (Arbitrary file order would make whole
+        # chunks beyond-watermark-late, which no watermark engine fixes.)
+        t0 = time.time() - 600
+        step = (hi - lo) // 6 + 1
+        proj = ev.select(
+            "user_id",
+            "event_type",
+            F.expr("ts_ns DIV 1000").alias("us"),
+            "event_id",
+        )
+        for i in range(6):
+            stage = f"{d}/stage_{i}"
+            proj.filter(
+                (F.col("us") >= lo + i * step)
+                & (F.col("us") < lo + (i + 1) * step)
+            ).coalesce(1).write.parquet(stage)
+            part = glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{src}/chunk_{i}.parquet"
+            shutil.move(part, dst)
+            os.utime(dst, (t0 + i, t0 + i))
+        stage = f"{d}/stage_sent"
+        spark.createDataFrame(
+            [(-1, "flush", sent_us, -1)],
+            "user_id long, event_type string, us long, event_id long",
+        ).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src}/chunk_sentinel.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 9, t0 + 9))
+        schema = "user_id long, event_type string, us long, event_id long"
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.col("us")))
+        )
+        out = run_available_now(
+            funnel_stateful(sdf, flush_ms, _FUNNEL_WINDOW_US),
+            output_mode="append",
+            name="funnel_mb",
+        )
+        got = {
+            r.user_id: (r.view_us, r.click_us, r.purchase_us, r.funnel_stage)
+            for r in out.collect()
+        }
+    want = {
+        r.user_id: (r.view_us, r.click_us, r.purchase_us, r.funnel_stage)
+        for r in funnel_conversion(spark, sf_dir).collect()
+    }
+    assert got == want
