@@ -1,0 +1,261 @@
+"""Corpus-statistics operators: association mining (phrase detection),
+statistical quality control, and per-key sequence assembly — the
+descriptive-statistics layer a training-data pipeline runs between
+ingestion and curation (no reference counterpart; extends the
+BASELINE.json north star the same way plans/pipeline.py does).
+
+  * ``bigram_pmi_lift``       — pointwise-mutual-information lift for
+    adjacent token pairs (the word2vec/Gensim phrase-mining statistic);
+  * ``value_outliers``        — per-group z-score outliers over exact
+    decimal moments (statistical QC / anomaly flagging);
+  * ``user_history_sequences`` — per-user event-type sequences in strict
+    event-time order (the sequence-assembly step for behavioral-model
+    training data).
+
+Float discipline: every division is IEEE double over exactly-representable
+integer-valued operands (correctly rounded, engine-identical), multiplied
+left-associated in the same order in both engines, `round()`ed before
+output; sqrt is IEEE-exact; no decimal division anywhere (Spark and DuckDB
+derive different decimal quotient scales).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..operators.parallelism import ensure_parallelism
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# bigram_pmi_lift — association mining over adjacent token pairs
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+_PMI_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT unnest(ws) AS t FROM w),
+uni AS (SELECT t, count(*) AS n_t FROM tok GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM tok),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> struct_pack(x := ws[i], y := ws[i+1]))) AS b
+  FROM w WHERE len(ws) >= 2
+),
+big AS (SELECT b.x AS tok_x, b.y AS tok_y, count(*) AS n_xy FROM bg GROUP BY 1, 2),
+n2 AS (SELECT count(*) AS n2 FROM bg)
+SELECT big.tok_x, big.tok_y,
+       CAST(big.n_xy AS BIGINT) AS n_xy,
+       round(
+         ((CAST(big.n_xy AS DOUBLE) / ux.n_t)
+          * (CAST(nn.n AS DOUBLE) / n2.n2))
+         * (CAST(nn.n AS DOUBLE) / uy.n_t), 6) AS lift
+FROM big
+JOIN uni ux ON ux.t = big.tok_x
+JOIN uni uy ON uy.t = big.tok_y
+CROSS JOIN nn CROSS JOIN n2
+WHERE big.n_xy >= {_PMI_MIN_COUNT}
+"""
+
+
+@register(
+    "bigram_pmi_lift",
+    oracle=_PMI_ORACLE,
+    tags=("corpus-stats", "text", "association"),
+)
+def bigram_pmi_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI lift for adjacent token pairs — the phrase-detection statistic
+    (Mikolov et al. 2013's word2phrase score is this with a discount):
+    lift(x,y) = p(xy) / (p(x)·p(y)) with p(xy) = n_xy/N2, p(x) = n_x/N.
+    Pairs with lift >> 1 co-occur far more than independence predicts —
+    collocation candidates worth merging into single tokens before
+    training.
+
+    Cross-engine exactness: counts are exact; the lift is three IEEE
+    divisions of exactly-representable integers multiplied
+    left-associated — staged as (n_xy/n_x)·(N/N2)·(N/n_y) so no
+    intermediate product can leave the 2^53-exact integer range even at
+    large corpus scale, then rounded to 6 places.
+
+    Scale: one explode feeds BOTH count aggregations (token counts and
+    bigram counts — each one map-side-combinable shuffle bounded by
+    vocabulary, not corpus); unigram counts join back by BROADCAST
+    (vocabulary ≪ corpus at any scale); N and N2 are scalar aggregates
+    cross-joined as broadcasts (the q11/q15 de-funnel pattern — only
+    partial-agg rows ever cross a SinglePartition exchange)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    w = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    tok = w.select(F.explode("ws").alias("t"))
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    nn = tok.agg(F.count(F.lit(1)).alias("n"))
+    bg = w.filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2), "
+                "i -> struct(ws[i] AS x, ws[i+1] AS y))"
+            )
+        ).alias("b")
+    )
+    big = bg.groupBy(
+        F.col("b.x").alias("tok_x"), F.col("b.y").alias("tok_y")
+    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    n2 = bg.agg(F.count(F.lit(1)).alias("n2"))
+    ux = uni.select(F.col("t").alias("tok_x"), F.col("n_t").alias("n_x"))
+    uy = uni.select(F.col("t").alias("tok_y"), F.col("n_t").alias("n_y"))
+    lift = F.round(
+        (
+            (F.col("n_xy").cast("double") / F.col("n_x"))
+            * (F.col("n").cast("double") / F.col("n2"))
+        )
+        * (F.col("n").cast("double") / F.col("n_y")),
+        6,
+    )
+    return (
+        big.filter(F.col("n_xy") >= _PMI_MIN_COUNT)
+        .join(broadcast(ux), "tok_x")
+        .join(broadcast(uy), "tok_y")
+        .crossJoin(broadcast(nn))
+        .crossJoin(broadcast(n2))
+        .select(
+            "tok_x",
+            "tok_y",
+            F.col("n_xy").cast("long").alias("n_xy"),
+            lift.alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# value_outliers — per-group z-score statistical QC
+# ---------------------------------------------------------------------------
+
+_OUTLIER_SIGMA = 3.0
+
+_OUTLIER_ORACLE = f"""
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+              AS DOUBLE) AS sq
+  FROM events GROUP BY 1
+),
+st AS (
+  SELECT event_type, n, s / n AS mean,
+         sqrt(sq / n - (s / n) * (s / n)) AS std
+  FROM m
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - st.mean) / st.std, 6) AS z_score
+FROM events e JOIN st ON e.event_type = st.event_type
+WHERE abs(e.value - st.mean) > {_OUTLIER_SIGMA} * st.std
+"""
+
+
+@register(
+    "value_outliers",
+    oracle=_OUTLIER_ORACLE,
+    tags=("corpus-stats", "qc", "anomaly"),
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flags (|value − μ| > 3σ within each
+    event_type) — the statistical-QC pass that catches corrupted numeric
+    fields before they poison training statistics.
+
+    Cross-engine exactness: μ and σ derive from EXACT decimal sums (the
+    registry sum discipline — the shipped values carry 2 decimals, so
+    DECIMAL(18,4) totals are exact and cast to double identically); the
+    divisions, the multiply, and sqrt are all IEEE correctly-rounded, so
+    the 3σ boundary compare lands identically in both engines; z is
+    rounded only at output.
+
+    Scale: the moment table is one map-side-combinable shuffle with
+    |groups| rows (5 here; bounded by type cardinality at any corpus
+    size), then BROADCAST back onto a single fact scan — the fact table
+    itself never shuffles (plan-asserted). The textbook two-pass
+    mean/variance, which is also the numerically honest one (a single
+    Welford pass isn't expressible declaratively AND exactly)."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    vd = F.col("value").cast("decimal(18,4)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vd).cast("double").alias("s"),
+        F.sum(vd * vd).cast("double").alias("sq"),
+    )
+    st = m.select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.col("sq") / F.col("n")
+            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+        ).alias("std"),
+    )
+    return (
+        ev.join(broadcast(st), "event_type")
+        .filter(
+            F.abs(F.col("value") - F.col("mean"))
+            > F.lit(_OUTLIER_SIGMA) * F.col("std")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(
+                (F.col("value") - F.col("mean")) / F.col("std"), 6
+            ).alias("z_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# user_history_sequences — ordered per-key sequence assembly
+# ---------------------------------------------------------------------------
+
+_HISTORY_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '>' ORDER BY epoch_ns(ts), event_id) AS history
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "user_history_sequences",
+    oracle=_HISTORY_ORACLE,
+    tags=("corpus-stats", "sequence", "ordered-agg"),
+)
+def user_history_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered sequence assembly: each user's full event-type history as a
+    '>'-joined string in strict (event-time, event_id) order — the step
+    that turns an event log into behavioral-model training sequences
+    (and, on documents, token streams into packed training rows).
+
+    Spark has no ORDER BY inside an aggregate; the exact equivalent is
+    sort_array over (ts, event_id, type) structs — struct comparison is
+    lexicographic by field position and (ts, event_id) is a unique key,
+    so the order (and hence the string) is fully deterministic and
+    matches DuckDB's string_agg(... ORDER BY) byte-for-byte.
+
+    Scale: ONE user_id shuffle with map-side partial collect. The
+    operator inherently materializes a key's history in one row — fine
+    while histories are bounded (the training-data case: sequences are
+    capped at model context length anyway); unbounded keys would take a
+    slice() cap or windowed chunking, not a different plan."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(ts_ns, event_id, event_type))), s -> s.event_type)"
+                ),
+                ">",
+            ).alias("history"),
+        )
+    )

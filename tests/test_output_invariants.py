@@ -418,3 +418,37 @@ def test_quality_classifier_splits_corpus(spark, sf_dir):
     assert 0 < kept < len(rows)  # threshold actually discriminates
     for r in rows:
         assert r.keep == (r.z_score > 0.0)
+
+
+def test_pmi_lift_independence_anchor(spark, sf_dir):
+    rows = REGISTRY["bigram_pmi_lift"].spark(spark, sf_dir).collect()
+    assert rows and all(r.n_xy >= 5 for r in rows)
+    lifts = [r.lift for r in rows]
+    # lift straddles 1.0 (independence): real association structure, not a
+    # constant artifact of the formula
+    assert min(lifts) < 1.0 < max(lifts)
+
+
+def test_value_outliers_are_tail_mass(spark, sf_dir):
+    import duckdb
+
+    rows = REGISTRY["value_outliers"].spark(spark, sf_dir).collect()
+    n_total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    # non-hollow but genuinely tail-bounded: Chebyshev gives < 1/9 beyond
+    # 3 sigma for ANY distribution
+    assert 0 < len(rows) < n_total / 9
+    assert all(abs(r.z_score) > 3.0 for r in rows)
+
+
+def test_history_sequences_cover_users_in_order(spark, sf_dir):
+    import duckdb
+
+    rows = REGISTRY["user_history_sequences"].spark(spark, sf_dir).collect()
+    n_total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_events for r in rows) == n_total  # partitions the log
+    for r in rows:
+        assert r.history.count(">") == r.n_events - 1

@@ -448,3 +448,24 @@ def test_scd2_single_user_partitioning(spark, sf_dir):
 def test_funnel_chain_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "funnel_conversion")
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_value_outliers_fact_never_shuffles(spark, sf_dir):
+    # the moment table broadcasts back; the events fact side must reach the
+    # join from its scan without an exchange
+    plan = _plan(spark, sf_dir, "value_outliers")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Exchange hashpartitioning") == 1  # the 5-row moment agg
+
+
+def test_pmi_unigrams_broadcast_scalars_bounded(spark, sf_dir):
+    # vocabulary joins broadcast; the only SinglePartition exchanges carry
+    # scalar partial aggregates (N, N2), never the corpus
+    plan = _plan(spark, sf_dir, "bigram_pmi_lift")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_history_sequences_single_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "user_history_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
