@@ -549,8 +549,70 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# funnel_conversion_stream_replay — CEP-class pattern matching in streaming
+# Streaming twins — CEP pattern matching + CDC merge under streaming
 # ---------------------------------------------------------------------------
+
+
+def _sentinel_event_stream(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """The event stream UNIONED with a one-row flush sentinel (user_id -1,
+    ts = max event time + 8 days): the bounded-replay analog of Flink's
+    end-of-input watermark. Returns (stream, flush_ms) — the horizon
+    every keyed flush timer registers at. Shared by the funnel and SCD2
+    streaming twins."""
+    import os
+    import uuid
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ..streaming.runner import track_ephemeral_dir
+    from ..streaming.sources import stream_events
+
+    max_ts_ns = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts_ns").alias("m"))
+        .collect()[0]["m"]
+    )
+    flush_ms = max_ts_ns // 1_000_000 + 1
+    sent_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("us", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    sent_us = max_ts_ns // 1000 + 8 * 86400 * 1_000_000
+    sent_dir = track_ephemeral_dir(
+        os.path.join(
+            "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp",
+            f"spark_graft_flush_sentinel_{uuid.uuid4().hex[:8]}",
+        )
+    )
+    spark.createDataFrame(
+        [(-1, "flush", sent_us, -1)],
+        "user_id long, event_type string, us long, event_id long",
+    ).withColumn("ts", F.timestamp_micros(F.col("us"))).write.mode(
+        "overwrite"
+    ).parquet(sent_dir)
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns DIV 1000").alias("us"),
+        "event_id",
+        "ts",
+    )
+    sent = spark.readStream.schema(sent_schema).parquet(sent_dir)
+    return ev.unionByName(sent), flush_ms
 
 
 @register(
@@ -572,64 +634,18 @@ def funnel_conversion_stream_replay(
     lets this replay share the batch funnel oracle verbatim instead of
     settling for subset semantics.
 
-    Scale: state is three BIGINTs per user, hash-partitioned on
-    user_id; the sentinel is one row. A continuous deployment would
-    drop the sentinel and register per-key timers at view_ts + 7d."""
+    Scale: matched state is three BIGINTs per user plus a pending buffer
+    bounded by the watermark lag, hash-partitioned on user_id; the
+    sentinel is one row. A continuous deployment would drop the sentinel
+    and register per-key timers at view_ts + 7d."""
     import os
-    import uuid
 
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-        TimestampType,
-    )
-
-    from ..streaming.runner import run_available_now, track_ephemeral_dir
-    from ..streaming.sources import stream_events
+    from ..streaming.runner import run_available_now
     from ..streaming.stateful import funnel_stateful
 
-    max_ts_ns = (
-        load_table(spark, sf_dir, "events")
-        .agg(F.max("ts_ns").alias("m"))
-        .collect()[0]["m"]
-    )
-    flush_ms = max_ts_ns // 1_000_000 + 1
-    sent_schema = StructType(
-        [
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("us", LongType()),
-            StructField("event_id", LongType()),
-            StructField("ts", TimestampType()),
-        ]
-    )
-    sent_us = max_ts_ns // 1000 + 8 * 86400 * 1_000_000
-    sent_dir = track_ephemeral_dir(
-        os.path.join(
-            "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp",
-            f"spark_graft_funnel_sentinel_{uuid.uuid4().hex[:8]}",
-        )
-    )
-    spark.createDataFrame(
-        [(-1, "flush", sent_us, -1)], "user_id long, event_type string, us long, event_id long"
-    ).withColumn("ts", F.timestamp_micros(F.col("us"))).write.mode(
-        "overwrite"
-    ).parquet(sent_dir)
-
-    ev = stream_events(spark, sf_dir).select(
-        "user_id",
-        "event_type",
-        F.expr("ts_ns DIV 1000").alias("us"),
-        "event_id",
-        "ts",
-    )
-    sent = spark.readStream.schema(sent_schema).parquet(sent_dir)
+    stream, flush_ms = _sentinel_event_stream(spark, sf_dir)
     out = run_available_now(
-        funnel_stateful(
-            ev.unionByName(sent), flush_ms, _FUNNEL_WINDOW_US
-        ),
+        funnel_stateful(stream, flush_ms, _FUNNEL_WINDOW_US),
         output_mode="append",
         # Python-stateful replica: Arrow-batch worker parallelism beats
         # store-commit savings (the q8_union_join_lowlevel r5 A/B), so pin
@@ -644,4 +660,46 @@ def funnel_conversion_stream_replay(
         "click_us",
         "purchase_us",
         F.col("funnel_stage").cast("int").alias("funnel_stage"),
+    )
+
+
+@register(
+    "scd2_stream_replay",
+    oracle=_SCD2_ORACLE,  # identical output contract to the batch SCD2
+    tags=("streaming", "linkage", "cdc", "stateful"),
+)
+def scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC→SCD2 merge UNDER STREAMING EXECUTION — maintain the
+    type-2 dimension incrementally as the changelog arrives: closed
+    validity intervals emit append-mode the moment the watermark
+    finalizes their successor (immutable-on-emit, so a downstream table
+    can be queried mid-stream), and the open intervals emit
+    is_current = true at the flush horizon. Output ≡ the batch
+    `scd2_user_state`, so the streaming MERGE sits under the same hash
+    gate.
+
+    Scale: durable state is one (state, from, version) triple per key
+    plus the watermark-lag-bounded pending buffer; everything keys on
+    user_id. The flush sentinel is the bounded-replay analog of Flink's
+    end-of-input watermark (shared helper with the funnel twin)."""
+    import os
+
+    from ..streaming.runner import run_available_now
+    from ..streaming.stateful import scd2_stateful
+
+    stream, flush_ms = _sentinel_event_stream(spark, sf_dir)
+    out = run_available_now(
+        scd2_stateful(stream, flush_ms),
+        output_mode="append",
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")
+        ),
+    )
+    return out.select(
+        "user_id",
+        "valid_from_us",
+        "valid_to_us",
+        "state_value",
+        F.col("version").cast("int").alias("version"),
+        "is_current",
     )

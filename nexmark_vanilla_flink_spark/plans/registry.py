@@ -96,6 +96,7 @@ DRIVER_HEAD: list[str] = [
     "bigram_pmi_lift",
     "value_outliers",
     "user_history_sequences",
+    "scd2_stream_replay",
     # --- tier 1: last driver-checked in r1 ---
     "corpus_curation",
     "deterministic_splits",
@@ -134,13 +135,13 @@ DRIVER_HEAD: list[str] = [
     "nexmark_q10_log_partitioned",
     "nexmark_q14_calculation",
     "nexmark_q15_bidding_stats",
-    "nexmark_q16_channel_stats",
-    # nexmark_q17_auction_stats, tpch_q7_volume_shipping,
-    # tpch_q8_national_share, tpch_q9_product_profit,
-    # tpch_q17_small_qty_revenue, tpch_q20_potential_promotion,
-    # tpch_q13_order_distribution, tpch_q19_discounted_revenue and
-    # tpch_q21_waiting_suppliers gave their tier-4 slots to the nine
-    # new r5 entries above (the six linkage-class entries + the three
+    # nexmark_q16_channel_stats, nexmark_q17_auction_stats,
+    # tpch_q7_volume_shipping, tpch_q8_national_share,
+    # tpch_q9_product_profit, tpch_q17_small_qty_revenue,
+    # tpch_q20_potential_promotion, tpch_q13_order_distribution,
+    # tpch_q19_discounted_revenue and tpch_q21_waiting_suppliers gave
+    # their tier-4 slots to the ten new r5 entries above (the seven
+    # linkage-class entries incl. both streaming twins + the three
     # corpus-stats entries) and head the r6 rotation queue.
 ]
 

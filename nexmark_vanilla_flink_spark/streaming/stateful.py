@@ -29,9 +29,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -385,8 +387,8 @@ def funnel_stateful(
                 continue
             m = pdf["event_type"].map(_FUNNEL_ET)
             keep = m.notna()
-            buf_us.extend(int(x) for x in pdf["us"][keep])
-            buf_et.extend(int(x) for x in m[keep])
+            buf_us.extend(pdf["us"][keep].astype("int64").tolist())
+            buf_et.extend(m[keep].astype("int64").tolist())
         wm_us = state.getCurrentWatermarkMs() * 1000
         if buf_us:
             us = np.asarray(buf_us, dtype=np.int64)
@@ -395,8 +397,8 @@ def funnel_stateful(
             if ready.any():
                 v, c, p = _fold(v, c, p, us[ready], et[ready])
                 pend = ~ready
-                buf_us = [int(x) for x in us[pend]]
-                buf_et = [int(x) for x in et[pend]]
+                buf_us = us[pend].tolist()
+                buf_et = et[pend].tolist()
         state.update((v, c, p, buf_us, buf_et))
         state.setTimeoutTimestamp(
             max(flush_ms, state.getCurrentWatermarkMs() + 1)
@@ -411,6 +413,156 @@ def funnel_stateful(
             fn,
             outputStructType=FUNNEL_OUTPUT,
             stateStructType=_FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+SCD2_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("valid_from_us", LongType()),
+        StructField("valid_to_us", LongType()),
+        StructField("state_value", StringType()),
+        StructField("version", IntegerType()),
+        StructField("is_current", BooleanType()),
+    ]
+)
+
+_SCD2_STATE = StructType(
+    [
+        StructField("cur_state", StringType()),
+        StructField("cur_from", LongType()),
+        StructField("ver", IntegerType()),
+        StructField("buf_us", ArrayType(LongType())),
+        StructField("buf_eid", ArrayType(LongType())),
+        StructField("buf_et", ArrayType(StringType())),
+    ]
+)
+
+
+def scd2_stateful(events: DataFrame, flush_ms: int) -> DataFrame:
+    """Streaming CDC merge — maintain an SCD type-2 dimension from the
+    event changelog as it arrives (the continuous form of the batch
+    `scd2_user_state`): per user, compress no-op updates and emit each
+    closed validity interval the moment its successor's event time is
+    FINALIZED by the watermark; the still-open interval emits at the
+    flush horizon with is_current = true.
+
+    Same watermark discipline as `funnel_stateful`: arriving events
+    buffer in keyed state; each batch folds, in (event-time, event_id)
+    order, only the buffered prefix at-or-below the current watermark —
+    so closed intervals are immutable when emitted (append-mode-sound),
+    exactly how a streaming MERGE must behave to feed a queryable SCD2
+    table incrementally. Pending-buffer size is bounded by watermark
+    lag; durable state is one (state, from, version) triple per key."""
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        uid = int(key[0])
+
+        def fold(cur_state, cur_from, ver, us, eid, et):
+            order = np.lexsort((eid, us))
+            closed = []
+            for i in order:
+                e = et[i]
+                if ver == 0 or e != cur_state:
+                    if ver > 0:
+                        closed.append(
+                            (int(cur_from), int(us[i]), cur_state, int(ver))
+                        )
+                    cur_state, cur_from, ver = e, int(us[i]), ver + 1
+            return cur_state, cur_from, ver, closed
+
+        def emit(closed, final=None):
+            rows = [
+                (uid, f, t, s, v, False) for (f, t, s, v) in closed
+            ]
+            if final is not None:
+                rows.append((uid, final[0], None, final[1], final[2], True))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "user_id",
+                        "valid_from_us",
+                        "valid_to_us",
+                        "state_value",
+                        "version",
+                        "is_current",
+                    ],
+                )
+
+        if state.hasTimedOut:
+            cur_state, cur_from, ver, buf_us, buf_eid, buf_et = state.get
+            state.remove()
+            closed = []
+            if len(buf_us):  # end-of-input: everything pending is final
+                cur_state, cur_from, ver, closed = fold(
+                    cur_state,
+                    cur_from,
+                    ver,
+                    np.asarray(buf_us, dtype=np.int64),
+                    np.asarray(buf_eid, dtype=np.int64),
+                    list(buf_et),
+                )
+            final = (cur_from, cur_state, ver) if ver > 0 else None
+            yield from emit(closed, final)
+            return
+        if uid < 0:  # flush sentinel: advances the watermark only
+            return
+        if state.exists:
+            cur_state, cur_from, ver, buf_us, buf_eid, buf_et = state.get
+            buf_us, buf_eid, buf_et = (
+                list(buf_us),
+                list(buf_eid),
+                list(buf_et),
+            )
+        else:
+            cur_state, cur_from, ver = "", -1, 0
+            buf_us, buf_eid, buf_et = [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            buf_us.extend(pdf["us"].astype("int64").tolist())
+            buf_eid.extend(pdf["event_id"].astype("int64").tolist())
+            buf_et.extend(pdf["event_type"].astype(str).tolist())
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed = []
+        if buf_us:
+            us = np.asarray(buf_us, dtype=np.int64)
+            eid = np.asarray(buf_eid, dtype=np.int64)
+            et = np.asarray(buf_et, dtype=object)
+            ready = us <= wm_us
+            if ready.any():
+                cur_state, cur_from, ver, closed = fold(
+                    cur_state, cur_from, ver, us[ready], eid[ready], et[ready]
+                )
+                pend = ~ready
+                buf_us = us[pend].tolist()
+                buf_eid = eid[pend].tolist()
+                buf_et = list(et[pend])
+            else:
+                buf_us, buf_eid, buf_et = us.tolist(), eid.tolist(), list(et)
+        state.update((cur_state, cur_from, ver, buf_us, buf_eid, buf_et))
+        state.setTimeoutTimestamp(
+            max(flush_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield from emit(closed)
+
+    return (
+        events.withWatermark("ts", "2 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SCD2_OUTPUT,
+            stateStructType=_SCD2_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

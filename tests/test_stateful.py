@@ -148,3 +148,93 @@ def test_funnel_stateful_multi_microbatch_equals_batch(spark, sf_dir):
         for r in funnel_conversion(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_scd2_stateful_incremental_emission_equals_batch(spark, sf_dir):
+    """Streaming CDC merge across many micro-batches: closed intervals
+    emit incrementally (append mode) as the watermark finalizes them, the
+    open intervals emit at flush — the union must equal the batch SCD2
+    table exactly."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from nexmark_vanilla_flink_spark.plans.linkage import scd2_user_state
+    from nexmark_vanilla_flink_spark.sources.tables import load_table
+    from nexmark_vanilla_flink_spark.streaming.stateful import scd2_stateful
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi, max_ts_ns = ev.agg(
+        F.min(F.expr("ts_ns DIV 1000")),
+        F.max(F.expr("ts_ns DIV 1000")),
+        F.max("ts_ns"),
+    ).collect()[0]
+    flush_ms = max_ts_ns // 1_000_000 + 1
+    sent_us = max_ts_ns // 1000 + 8 * 86400 * 1_000_000
+    with tempfile.TemporaryDirectory(prefix="scd2_mb_") as d:
+        src = f"{d}/in"
+        os.makedirs(src)
+        t0 = time.time() - 600
+        step = (hi - lo) // 5 + 1
+        proj = ev.select(
+            "user_id",
+            "event_type",
+            F.expr("ts_ns DIV 1000").alias("us"),
+            "event_id",
+        )
+        for i in range(5):
+            stage = f"{d}/stage_{i}"
+            proj.filter(
+                (F.col("us") >= lo + i * step)
+                & (F.col("us") < lo + (i + 1) * step)
+            ).coalesce(1).write.parquet(stage)
+            part = glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{src}/chunk_{i}.parquet"
+            shutil.move(part, dst)
+            os.utime(dst, (t0 + i, t0 + i))
+        stage = f"{d}/stage_sent"
+        spark.createDataFrame(
+            [(-1, "flush", sent_us, -1)],
+            "user_id long, event_type string, us long, event_id long",
+        ).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src}/chunk_sentinel.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 9, t0 + 9))
+        schema = "user_id long, event_type string, us long, event_id long"
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.col("us")))
+        )
+        out = run_available_now(
+            scd2_stateful(sdf, flush_ms),
+            output_mode="append",
+            name="scd2_mb",
+        )
+        got = sorted(
+            (
+                r.user_id,
+                r.valid_from_us,
+                r.valid_to_us,
+                r.state_value,
+                r.version,
+                r.is_current,
+            )
+            for r in out.collect()
+        )
+    want = sorted(
+        (
+            r.user_id,
+            r.valid_from_us,
+            r.valid_to_us,
+            r.state_value,
+            r.version,
+            r.is_current,
+        )
+        for r in scd2_user_state(spark, sf_dir).collect()
+    )
+    assert got == want
