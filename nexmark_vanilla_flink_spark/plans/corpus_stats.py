@@ -259,3 +259,111 @@ def user_history_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("history"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# user_value_resample_ffill — time-series regularization (gap fill)
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_BUCKET_S = 21_600  # 6-hour grid
+
+_RESAMPLE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, value,
+         (epoch_ns(ts) // 1000) // {_RESAMPLE_BUCKET_S * 1_000_000} AS bk
+  FROM events
+),
+lastv AS (
+  SELECT user_id, bk, value FROM (
+    SELECT user_id, bk, value,
+           row_number() OVER (PARTITION BY user_id, bk
+                              ORDER BY us DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+bounds AS (
+  SELECT user_id, min(bk) AS bk_lo, max(bk) AS bk_hi FROM e GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(bk_lo, bk_hi)) AS bk FROM bounds
+)
+SELECT g.user_id,
+       CAST(g.bk * {_RESAMPLE_BUCKET_S} AS BIGINT) AS bucket_start_s,
+       last_value(l.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bk
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value,
+       (l.user_id IS NOT NULL) AS is_observed
+FROM grid g LEFT JOIN lastv l ON g.user_id = l.user_id AND g.bk = l.bk
+"""
+
+
+@register(
+    "user_value_resample_ffill",
+    oracle=_RESAMPLE_ORACLE,
+    tags=("corpus-stats", "timeseries", "gap-fill"),
+)
+def user_value_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample each user's irregular event
+    values onto a fixed 6-hour grid (last observation per bucket wins,
+    (event-time, event_id)-tie-broken) and forward-fill gaps with
+    last_value IGNORE NULLS — the densification step that turns event
+    logs into fixed-step model inputs (and the SQL twin of a hypertable
+    continuous aggregate with gap fill).
+
+    Cross-engine exactness: bucket indices are integer division on epoch
+    micros; the per-bucket survivor is a deterministic row_number; the
+    fill value is a STORED double carried, never recomputed. Cells before
+    a user's first observation stay NULL with is_observed = false.
+
+    Scale: everything keys on user_id — the per-bucket survivor window,
+    the bounds aggregate, the grid explode, the left join, and the fill
+    window share one partitioning (Catalyst reuses the exchange); grid
+    size is span/bucket per user (bounded by retention policy, not by
+    event volume), and the explode is map-side from the tiny bounds
+    frame."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events")).select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns DIV 1000").alias("us"),
+        "value",
+        F.expr(
+            f"(ts_ns DIV 1000) DIV {_RESAMPLE_BUCKET_S * 1_000_000}"
+        ).alias("bk"),
+    )
+    from pyspark.sql import Window as W
+
+    w_last = W.partitionBy("user_id", "bk").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    lastv = (
+        ev.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "bk", "value")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("bk").alias("bk_lo"), F.max("bk").alias("bk_hi")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.expr("sequence(bk_lo, bk_hi)")).alias("bk")
+    )
+    w_fill = (
+        W.partitionBy("user_id")
+        .orderBy("bk")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = grid.join(
+        lastv.withColumnRenamed("user_id", "l_user").withColumnRenamed(
+            "bk", "l_bk"
+        ),
+        (F.col("user_id") == F.col("l_user")) & (F.col("bk") == F.col("l_bk")),
+        "left",
+    )
+    return joined.select(
+        "user_id",
+        (F.col("bk") * F.lit(_RESAMPLE_BUCKET_S))
+        .cast("long")
+        .alias("bucket_start_s"),
+        F.last("value", ignorenulls=True).over(w_fill).alias("value"),
+        F.col("l_user").isNotNull().alias("is_observed"),
+    )

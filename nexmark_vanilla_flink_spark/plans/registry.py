@@ -97,6 +97,7 @@ DRIVER_HEAD: list[str] = [
     "value_outliers",
     "user_history_sequences",
     "scd2_stream_replay",
+    "user_value_resample_ffill",
     # --- tier 1: last driver-checked in r1 ---
     "corpus_curation",
     "deterministic_splits",
@@ -134,8 +135,8 @@ DRIVER_HEAD: list[str] = [
     "nexmark_q9_winning_bid_rows",
     "nexmark_q10_log_partitioned",
     "nexmark_q14_calculation",
-    "nexmark_q15_bidding_stats",
-    # nexmark_q16_channel_stats, nexmark_q17_auction_stats,
+    # nexmark_q15_bidding_stats, nexmark_q16_channel_stats,
+    # nexmark_q17_auction_stats,
     # tpch_q7_volume_shipping, tpch_q8_national_share,
     # tpch_q9_product_profit, tpch_q17_small_qty_revenue,
     # tpch_q20_potential_promotion, tpch_q13_order_distribution,

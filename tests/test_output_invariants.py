@@ -452,3 +452,23 @@ def test_history_sequences_cover_users_in_order(spark, sf_dir):
     assert sum(r.n_events for r in rows) == n_total  # partitions the log
     for r in rows:
         assert r.history.count(">") == r.n_events - 1
+
+
+def test_resample_grid_dense_and_ffilled(spark, sf_dir):
+    rows = REGISTRY["user_value_resample_ffill"].spark(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    saw_gap = False
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.bucket_start_s)
+        steps = {
+            b.bucket_start_s - a.bucket_start_s for a, b in zip(rs, rs[1:])
+        }
+        assert steps <= {21_600}  # dense fixed-step grid, no holes
+        assert rs[0].is_observed  # grid starts at first observation
+        for a, b in zip(rs, rs[1:]):
+            if not b.is_observed:
+                saw_gap = True
+                assert b.value == a.value  # forward fill carries last value
+    assert saw_gap  # the fill branch is actually exercised

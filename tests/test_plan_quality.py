@@ -469,3 +469,12 @@ def test_pmi_unigrams_broadcast_scalars_bounded(spark, sf_dir):
 def test_history_sequences_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "user_history_sequences")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_resample_shares_user_partitioning(spark, sf_dir):
+    # survivor window, bounds agg, grid explode, left join, and fill window
+    # all key on user_id: no more than 2 hash exchanges may survive
+    # (the input repartition + one user_id exchange reused downstream)
+    plan = _plan(spark, sf_dir, "user_value_resample_ffill")
+    assert "Cartesian" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
