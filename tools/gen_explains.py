@@ -113,6 +113,33 @@ FLAGSHIPS = {
     "endpoints (<= |pairs|) and the final verdict is a broadcast left "
     "join on vec_id — nothing in the plan grows faster than the "
     "pair relation itself.",
+    "entity_resolution_pairs": "r5 record linkage: both blocking passes "
+    "are hash-equi-joins on their block keys; the pass-2 df cap is a "
+    "count window on the SAME key its join shuffles on (the "
+    "simhash-guard pattern), so capped candidates stay <= cap * |A| — "
+    "linear (docs/scaling_r5_linkage.json); levenshtein runs in codegen "
+    "on candidates only, after the distinct.",
+    "kmv_distinct_estimate": "r5 sketch: the K-smallest selection plans "
+    "as TakeOrderedAndProject(limit=64) — per-partition top-K then a "
+    "64-row merge; the only SinglePartition exchanges carry one "
+    "partial-agg row per task (the scalar max / exact-count funnels); "
+    "the estimator arithmetic is constant-folded into the final "
+    "1-row projection.",
+    "value_outliers": "r5 statistical QC: the moment table is one "
+    "map-side-combinable exchange with |event_type| rows, then "
+    "broadcasts back — the events fact side reaches the join straight "
+    "from its scan with NO exchange; mean/std/3-sigma compare all fold "
+    "into one codegen projection.",
+    "bigram_pmi_lift": "r5 association mining: one token explode feeds "
+    "both count aggregations; unigram counts broadcast back onto the "
+    "bigram frame (vocabulary-sized build sides); N and N2 are scalar "
+    "aggs cross-joined as 1-row broadcasts; the staged "
+    "(n_xy/n_x)*(N/N2)*(N/n_y) division chain folds in codegen.",
+    "user_value_resample_ffill": "r5 gap fill: per-bucket survivor "
+    "window, bounds aggregate, grid explode, left join, and the "
+    "IGNORE-NULLS fill window all key on user_id — one logical "
+    "partitioning carried through; the grid explode is map-side off the "
+    "tiny bounds frame, so densification adds no exchange of its own.",
 }
 
 
