@@ -273,6 +273,7 @@ def _run_stream(spark, name: str, sf_dir: str):
         qx_winning_bids_stream,
         sessions_stream,
     )
+    from .plans import REGISTRY
     from .streaming.runner import run_available_now
     from .streaming.sources import stream_events, stream_nexmark
 
@@ -307,6 +308,10 @@ def _run_stream(spark, name: str, sf_dir: str):
             "append",
             no_data_batch=False,
         )
+    if name == "funnel_conversion":  # CEP twin — full replay incl. sentinel
+        return REGISTRY["funnel_conversion_stream_replay"].spark(spark, sf_dir)
+    if name == "scd2_user_state":  # streaming CDC merge twin
+        return REGISTRY["scd2_stream_replay"].spark(spark, sf_dir)
     raise SystemExit(f"no streaming twin wired for {name}")
 
 

@@ -36,3 +36,21 @@ def test_stream_twin_wiring(spark, sf_dir):
     assert "bid" in q7.columns and q7.count() > 0  # arg-max row per window
     with pytest.raises(SystemExit):
         _run_stream(spark, "no_such_query", sf_dir)
+
+
+def test_stream_twin_linkage_wiring(spark, sf_dir):
+    """--stream for the linkage queries runs their CEP / CDC replay twins
+    with the batch output schema."""
+    from nexmark_vanilla_flink_spark.__main__ import _run_stream
+
+    f = _run_stream(spark, "funnel_conversion", sf_dir)
+    assert set(f.columns) == {
+        "user_id", "view_us", "click_us", "purchase_us", "funnel_stage"
+    }
+    assert f.count() > 0
+    s = _run_stream(spark, "scd2_user_state", sf_dir)
+    assert set(s.columns) == {
+        "user_id", "valid_from_us", "valid_to_us", "state_value",
+        "version", "is_current",
+    }
+    assert s.count() > 0
