@@ -297,6 +297,29 @@ _FUNNEL_STATE = StructType(
 _FUNNEL_ET = {"view": 0, "click": 1, "purchase": 2}
 
 
+def funnel_fold(v, c, p, us, et, window_us):
+    """Stage-wise masked-min fold of a FINALIZED event set into the funnel
+    state (v, c, p; -1 = unmatched). Equivalent to the batch chained-min
+    because each stage's bound is fixed before the next stage filters on
+    it — and chunking-invariant over time-partitioned prefixes (each
+    later chunk's times all exceed the earlier ones, so no earlier match
+    can hide in a later chunk); that invariance is the property
+    hypothesis pins in tests/test_properties.py."""
+    if v < 0:
+        s = us[et == 0]
+        if len(s):
+            v = int(s.min())
+    if v >= 0 and c < 0:
+        s = us[(et == 1) & (us >= v)]
+        if len(s):
+            c = int(s.min())
+    if c >= 0 and p < 0:
+        s = us[(et == 2) & (us >= c) & (us <= v + window_us)]
+        if len(s):
+            p = int(s.min())
+    return v, c, p
+
+
 def funnel_stateful(
     events: DataFrame, flush_ms: int, window_us: int
 ) -> DataFrame:
@@ -324,25 +347,7 @@ def funnel_stateful(
     `view_ts + window` instead of one global horizon."""
 
     def _fold(v, c, p, us, et):
-        # stage-wise masked min over a finalized event set: equivalent to
-        # the batch chained-min because each stage's bound is determined
-        # before the next stage filters on it
-        import numpy as np
-
-        if v < 0:
-            s = us[et == 0]
-            if len(s):
-                v = int(s.min())
-        if v >= 0 and c < 0:
-            s = us[(et == 1) & (us >= v)]
-            if len(s):
-                c = int(s.min())
-        if c >= 0 and p < 0:
-            s = us[(et == 2) & (us >= c) & (us <= v + window_us)]
-            if len(s):
-                p = int(s.min())
-        _ = np  # numpy imported for dtype coercion by callers
-        return v, c, p
+        return funnel_fold(v, c, p, us, et, window_us)
 
     def fn(
         key: Tuple[Any, ...],

@@ -230,3 +230,68 @@ def test_murmur3_python_matches_independent_transliteration(key):
     kb = struct.pack(">q", key)
     assert murmur3_hash32(kb, 0, 4) == _hive_hash32_reference(kb[:4])
     assert murmur3_hash32(kb) == _hive_hash32_reference(kb)
+
+
+def _funnel_reference(events, window_us):
+    """Independent O(n^2)-naive statement of the funnel semantics: earliest
+    view; earliest click at-or-after it; earliest purchase at-or-after the
+    click within window_us of the view."""
+    views = sorted(us for us, et in events if et == 0)
+    if not views:
+        return (-1, -1, -1)
+    v = views[0]
+    clicks = sorted(us for us, et in events if et == 1 and us >= v)
+    if not clicks:
+        return (v, -1, -1)
+    c = clicks[0]
+    buys = sorted(
+        us
+        for us, et in events
+        if et == 2 and us >= c and us <= v + window_us
+    )
+    return (v, c, buys[0] if buys else -1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=300),
+            st.integers(min_value=0, max_value=2),
+        ),
+        max_size=40,
+    ),
+    st.lists(st.integers(min_value=0, max_value=300), max_size=4),
+    st.integers(min_value=0, max_value=200),
+)
+def test_funnel_fold_chunking_invariant(events, cuts, window_us):
+    """The CEP fold over watermark-finalized prefixes must be CHUNKING
+    INVARIANT: folding the whole set at once, and folding any time-
+    partitioned chunk sequence incrementally, both equal the reference
+    semantics — the exact property the streaming state machine relies on
+    when the watermark finalizes prefixes batch by batch."""
+    import numpy as np
+
+    from nexmark_vanilla_flink_spark.streaming.stateful import funnel_fold
+
+    want = _funnel_reference(events, window_us)
+
+    def arrays(evs):
+        us = np.asarray([e[0] for e in evs], dtype=np.int64)
+        et = np.asarray([e[1] for e in evs], dtype=np.int64)
+        return us, et
+
+    whole = funnel_fold(-1, -1, -1, *arrays(events), window_us)
+    assert whole == want
+
+    # time-partition into chunks at the cut points (watermark advances)
+    bounds = sorted(set(cuts))
+    chunks, rest = [], list(events)
+    for b in bounds:
+        chunks.append([e for e in rest if e[0] <= b])
+        rest = [e for e in rest if e[0] > b]
+    chunks.append(rest)
+    v = c = p = -1
+    for ch in chunks:
+        v, c, p = funnel_fold(v, c, p, *arrays(ch), window_us)
+    assert (v, c, p) == want
