@@ -290,8 +290,20 @@ def main() -> None:
         }
     )
     passes = 1
+    # Re-timing order when the budget bites: batch-oracled queries FIRST
+    # (they are the comparator-gate numerator; streaming replays feed only
+    # the separate overhead telemetry), slowest-first within each group —
+    # min-of-N matters most where pass-1 noise is largest, and a mid-pass
+    # budget cut should land on the cheap tail, not the expensive head.
+    retime_order = sorted(
+        names,
+        key=lambda n: (
+            "streaming" in REGISTRY[n].tags or "sink" in REGISTRY[n].tags,
+            -timings[n],
+        ),
+    )
     while passes < repeat and time.perf_counter() - sweep_t0 < budget_s:
-        for name in names:
+        for name in retime_order:
             if time.perf_counter() - sweep_t0 >= budget_s:
                 break
             t0 = time.perf_counter()
@@ -349,11 +361,18 @@ def main() -> None:
             duck[name] = round(best, 3)
         spark_batch = round(sum(timings[n] for n in duck), 3)
         duck_total = round(sum(duck.values()), 3)
+        # net-of-floor twin of the raw ratio (same methodology the
+        # streaming telemetry has used since r4): with 130+ sub-second
+        # queries, the fixed ~0.08 s local-mode floor is ~20% of the raw
+        # numerator and amortizes to zero at scale — report both.
+        net_batch = max(spark_batch - floor_sec * len(duck), 0.0)
         result["comparator"] = {
             "engine": "duckdb",
             "spark_batch_sec": spark_batch,
             "duckdb_sec": duck_total,
             "ratio": round(spark_batch / duck_total, 3) if duck_total else None,
+            "net_of_floor_sec": round(net_batch, 3),
+            "net_ratio": round(net_batch / duck_total, 3) if duck_total else None,
             "queries": duck,
         }
 
@@ -414,6 +433,8 @@ def main() -> None:
             "spark_batch_sec": c["spark_batch_sec"],
             "duckdb_sec": c["duckdb_sec"],
             "ratio": c["ratio"],
+            "net_of_floor_sec": c["net_of_floor_sec"],
+            "net_ratio": c["net_ratio"],
             "n": len(c["queries"]),
         }
     if "streaming_overhead" in result:
