@@ -21,7 +21,7 @@ derive different decimal quotient scales).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -366,4 +366,171 @@ def user_value_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket_start_s"),
         F.last("value", ignorenulls=True).over(w_fill).alias("value"),
         F.col("l_user").isNotNull().alias("is_observed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bloom_membership_audit — Bloom filter as data + membership probe
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 2048  # bits
+_BLOOM_K = 3  # hash draws per key
+
+_BLOOM_ORACLE = f"""
+WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+bits AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(digest || ':' || j), 1, 8)) AS BIGINT)
+      % {_BLOOM_M} AS pos
+  FROM d, (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j)
+),
+probes AS (
+  SELECT doc_id AS probe_id, digest AS key, TRUE AS truly_present
+  FROM d WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 1000000 + i AS probe_id, 'absent:' || i AS key, FALSE
+  FROM (SELECT unnest(generate_series(0, 49)) AS i)
+),
+pp AS (
+  SELECT probe_id, truly_present,
+         CAST(('0x' || substr(md5(key || ':' || j), 1, 8)) AS BIGINT)
+           % {_BLOOM_M} AS pos
+  FROM probes, (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j)
+)
+SELECT pp.probe_id, pp.truly_present,
+       bool_and(bits.pos IS NOT NULL) AS bloom_hit
+FROM pp LEFT JOIN bits ON pp.pos = bits.pos
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "bloom_membership_audit",
+    oracle=_BLOOM_ORACLE,
+    tags=("corpus-stats", "sketch", "membership"),
+)
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter AS DATA (m=2048 bits, k=3 md5-derived positions) over
+    the corpus content digests, plus a membership audit: every 10th doc's
+    digest probes as a known-present key and 50 synthetic keys probe as
+    known-absent — the filter's no-false-negative guarantee and its
+    realized false-positive rate both land in the output. The mergeable
+    distributed-set-membership sketch beside countmin (frequency) and
+    KMV (cardinality): at 100 TB you'd broadcast these bit positions to
+    prune a shuffle's probe side.
+
+    Cross-engine exactness: positions are the md5-prefix u32 draw mod m —
+    pure integers; membership is bool_and over a left join; no floats at
+    all.
+
+    Scale: the bit table is DISTINCT over ≤ m rows regardless of corpus
+    size (one map-side-combinable exchange); probes join it broadcast;
+    the per-probe verdict is a k-row bool_and. Filter build is one corpus
+    scan."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", F.md5("text").alias("digest"))
+    j = F.explode(F.expr(f"sequence(0, {_BLOOM_K - 1})")).alias("j")
+    pos_of = lambda key: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(key, F.lit(":"), F.col("j"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_M
+    )
+    bits = (
+        d.select(F.col("digest"), j)
+        .select(pos_of(F.col("digest")).alias("pos"))
+        .distinct()
+    )
+    present = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("digest").alias("key"),
+        F.lit(True).alias("truly_present"),
+    )
+    absent = spark.range(50).select(
+        (F.col("id") + 1_000_000).alias("probe_id"),
+        F.concat(F.lit("absent:"), F.col("id").cast("string")).alias("key"),
+        F.lit(False).alias("truly_present"),
+    )
+    pp = (
+        present.unionByName(absent)
+        .select("probe_id", "truly_present", F.col("key"), j)
+        .select("probe_id", "truly_present", pos_of(F.col("key")).alias("pos"))
+    )
+    return (
+        pp.join(
+            broadcast(bits.withColumnRenamed("pos", "b_pos")),
+            pp.pos == F.col("b_pos"),
+            "left",
+        )
+        .groupBy("probe_id", "truly_present")
+        .agg(F.bool_and(F.col("b_pos").isNotNull()).alias("bloom_hit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# user_lag_features — windowed feature engineering for model training
+# ---------------------------------------------------------------------------
+
+_LAG_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, value FROM events
+)
+SELECT user_id, event_id,
+       CAST(row_number() OVER w AS INT) AS rn,
+       value,
+       lag(value) OVER w AS lag1_value,
+       lag(value, 2) OVER w AS lag2_value,
+       round(value - lag(value) OVER w, 6) AS delta1,
+       round(
+         CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+            PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / count(*) OVER (
+            PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_mean5
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+"""
+
+
+@register(
+    "user_lag_features",
+    oracle=_LAG_ORACLE,
+    tags=("corpus-stats", "features", "window"),
+)
+def user_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed feature engineering: per user in strict event order, the
+    lag-1/lag-2 values, the first difference, and a 5-event rolling mean
+    — the feature-table construction step for sequence/tabular model
+    training (the Spark-side of a feature store's point-in-time-correct
+    backfill).
+
+    Cross-engine exactness: lags carry STORED doubles; the difference is
+    one IEEE subtraction (exactly rounded identically); the rolling mean
+    divides an exact DECIMAL window sum (cast to double) by the window
+    count — the registry's sum discipline applied to a moving frame.
+
+    Scale: one user_id exchange; every window (lags, rolling sum/count,
+    row_number) shares the same partitioning and sort, so Catalyst plans
+    a single Sort + one Window chain — features at 100 TB are a scan, one
+    shuffle, one sort."""
+    e = ensure_parallelism(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_id", F.expr("ts_ns DIV 1000").alias("us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wr = w.rowsBetween(-4, 0)
+    vd = F.col("value").cast("decimal(18,4)")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("int").alias("rn"),
+        "value",
+        F.lag("value").over(w).alias("lag1_value"),
+        F.lag("value", 2).over(w).alias("lag2_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta1"),
+        F.round(
+            F.sum(vd).over(wr).cast("double") / F.count(F.lit(1)).over(wr), 6
+        ).alias("roll_mean5"),
     )

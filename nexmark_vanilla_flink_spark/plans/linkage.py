@@ -718,3 +718,70 @@ def scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("version").cast("int").alias("version"),
         "is_current",
     )
+
+
+# ---------------------------------------------------------------------------
+# events_upsert_snapshot — changelog compaction to a current snapshot
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type, value
+  FROM events
+),
+ranked AS (
+  SELECT user_id, us, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC)
+           AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM e
+)
+SELECT user_id,
+       CAST(us AS BIGINT) AS last_us,
+       value AS last_value,
+       event_type AS last_type,
+       CAST(n_ops AS BIGINT) AS n_ops
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register(
+    "events_upsert_snapshot",
+    oracle=_UPSERT_ORACLE,
+    tags=("linkage", "cdc", "merge-compaction"),
+)
+def events_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → current-snapshot compaction, the lakehouse MERGE
+    materialization (Delta/Iceberg merge-on-read compaction semantics):
+    each event upserts its user's row; an `error` event is the tombstone
+    (DELETE marker) — a user whose LAST operation is a tombstone is
+    absent from the snapshot. Complements scd2_user_state: SCD2 keeps
+    full history with validity intervals, this keeps only the live row
+    set plus an n_ops compaction statistic.
+
+    Scale: one user_id exchange carrying both the arg-latest window and
+    the op count (same partitioning, one sort); the tombstone filter
+    applies after rank so a delete genuinely removes the key rather than
+    resurrecting the previous version — MERGE semantics, not max()."""
+    e = ensure_parallelism(load_table(spark, sf_dir, "events")).select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns DIV 1000").alias("us"),
+        "event_type",
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("us").cast("long").alias("last_us"),
+            F.col("value").alias("last_value"),
+            F.col("event_type").alias("last_type"),
+            F.col("n_ops").cast("long").alias("n_ops"),
+        )
+    )

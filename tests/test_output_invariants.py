@@ -472,3 +472,66 @@ def test_resample_grid_dense_and_ffilled(spark, sf_dir):
                 saw_gap = True
                 assert b.value == a.value  # forward fill carries last value
     assert saw_gap  # the fill branch is actually exercised
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark, sf_dir):
+    rows = REGISTRY["bloom_membership_audit"].spark(spark, sf_dir).collect()
+    present = [r for r in rows if r.truly_present]
+    absent = [r for r in rows if not r.truly_present]
+    assert present and absent
+    # the Bloom guarantee: NO false negatives, ever
+    assert all(r.bloom_hit for r in present)
+    # realized fp rate stays under 3x the analytic (1-e^-kn/m)^k bound
+    import math
+
+    n = 500 if "0.01" in sf_dir else 50  # docs/10 probes per sf
+    analytic = (1.0 - math.exp(-3 * (n * 10) / 2048.0)) ** 3
+    fp = sum(r.bloom_hit for r in absent) / len(absent)
+    assert fp <= max(3 * analytic, 0.5)
+
+
+def test_upsert_snapshot_merge_semantics(spark, sf_dir):
+    import duckdb
+
+    rows = REGISTRY["events_upsert_snapshot"].spark(spark, sf_dir).collect()
+    got_users = {r.user_id for r in rows}
+    # independently derive users whose LAST op is a tombstone
+    last = duckdb.sql(
+        f"""
+        SELECT user_id, t, n FROM (
+          SELECT user_id, event_type AS t,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ns(ts) DESC, event_id DESC)
+                   AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM read_parquet('{sf_dir}/events.parquet')
+        ) WHERE rn = 1
+        """
+    ).fetchall()
+    for uid, t, n in last:
+        if t == "error":
+            assert uid not in got_users  # tombstone deletes the key
+        else:
+            assert uid in got_users
+    by_user = {r.user_id: r for r in rows}
+    for uid, t, n in last:
+        if t != "error":
+            assert by_user[uid].n_ops == n and by_user[uid].last_type == t
+
+
+def test_lag_features_internally_consistent(spark, sf_dir):
+    rows = REGISTRY["user_lag_features"].spark(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: r.rn)
+        assert rs[0].lag1_value is None and rs[0].delta1 is None
+        for i, r in enumerate(rs):
+            if i >= 1:
+                assert r.lag1_value == rs[i - 1].value
+                assert abs(r.delta1 - round(r.value - r.lag1_value, 6)) < 1e-9
+            if i >= 2:
+                assert r.lag2_value == rs[i - 2].value
+            window = [x.value for x in rs[max(0, i - 4) : i + 1]]
+            assert abs(r.roll_mean5 - sum(window) / len(window)) < 1e-4
