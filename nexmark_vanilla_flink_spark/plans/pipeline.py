@@ -1393,11 +1393,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_id",
         F.round(dot_vc / (F.col("nrm") * F.col("cnrm")), 6).alias("cs"),
     )
+    # Coarse assignment as a struct-MIN aggregate (asc -cs ≡ desc cs, then
+    # asc c_id): partial-aggregates map-side under the broadcast join, so
+    # the (vec_id) exchange carries one row per vector — the former shared
+    # row_number window shuffled nlist copies of the corpus. The probe
+    # branch filters to the query subset (2% of vectors) BEFORE its top-2
+    # window, so the filter reaches the scan and the window ranks only
+    # queries.
+    assign = (
+        ac.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("cs")).alias("ncs"), F.col("c_id").alias("c_id"))
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.c_id").alias("c_id"))
+    )
     w_vc = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("c_id"))
-    ranked = ac.withColumn("rn", F.row_number().over(w_vc))
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "c_id")
     probes = (
-        ranked.filter((F.col("vec_id") % 50 == 0) & (F.col("rn") <= 2))
+        ac.filter(F.col("vec_id") % 50 == 0)
+        .withColumn("rn", F.row_number().over(w_vc))
+        .filter(F.col("rn") <= 2)
         .select(F.col("vec_id").alias("q_id"), "c_id")
     )
     cand = broadcast(probes).join(assign, "c_id").filter(

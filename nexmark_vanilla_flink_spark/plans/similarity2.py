@@ -217,10 +217,11 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the codebook is 64 tiny rows — BROADCAST; the corpus streams
     through one map-side join (16 distance folds per subvector, all
-    zip_with/aggregate JVM expressions), then one argmin window and one
-    per-vector pivot. Distances fold in fixed subvector order on both
-    engines, so the doubles compare exactly. A 100 TB embedding table is
-    one scan + two uniform exchanges."""
+    zip_with/aggregate JVM expressions), then ONE fused argmin+pivot
+    aggregate on vec_id (conditional struct-mins, partial map-side).
+    Distances fold in fixed subvector order on both engines, so the
+    doubles compare exactly. A 100 TB embedding table is one scan + one
+    uniform exchange."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
@@ -245,21 +246,31 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = sub.join(broadcast(cent), "s").select(
         "vec_id", "s", "k", d2.alias("d2")
     )
-    w = Window.partitionBy("vec_id", "s").orderBy("d2", "k")
-    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # Per-subspace argmin AND the per-vector pivot fused into ONE
+    # groupBy(vec_id): min(when(s == i, struct(d2, k))) is a conditional
+    # struct-MIN (nulls ignored) that partial-aggregates map-side under the
+    # broadcast join — one exchange of one row per vector, replacing the
+    # former row_number window (vec_id×s×K rows shuffled) plus a second
+    # pivot exchange. Tie-break (d2, k) matches the oracle's row_number.
 
-    def _c(i: int):
-        return F.max(F.when(F.col("s") == i, F.col("k"))).alias(f"c{i}")
+    def _b(i: int):
+        return F.min(
+            F.when(
+                F.col("s") == i,
+                F.struct(F.col("d2").alias("d2"), F.col("k").alias("k")),
+            )
+        ).alias(f"b{i}")
 
-    def _e(i: int):
-        return F.max(F.when(F.col("s") == i, F.col("d2")))
-
-    return best.groupBy("vec_id").agg(
-        _c(0),
-        _c(1),
-        _c(2),
-        _c(3),
-        F.round(_e(0) + _e(1) + _e(2) + _e(3), 6).alias("recon_err"),
+    best = d.groupBy("vec_id").agg(_b(0), _b(1), _b(2), _b(3))
+    return best.select(
+        "vec_id",
+        F.col("b0.k").alias("c0"),
+        F.col("b1.k").alias("c1"),
+        F.col("b2.k").alias("c2"),
+        F.col("b3.k").alias("c3"),
+        F.round(
+            F.col("b0.d2") + F.col("b1.d2") + F.col("b2.d2") + F.col("b3.d2"), 6
+        ).alias("recon_err"),
     )
 
 
@@ -921,8 +932,9 @@ def kmeans_refine_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the connected-components pattern, operators/graph.py).
 
     Scale: centroids broadcast; ONE corpus-sized exchange on (cluster, dim)
-    with map-side partial sums; argmin rides a WindowGroupLimit-pushed rank
-    over the broadcast join output."""
+    with map-side partial sums; the argmin is a struct-MIN aggregate that
+    partial-aggregates under the broadcast join (one row per vector crosses
+    the wire, not one per vector×centroid)."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
@@ -935,12 +947,20 @@ def kmeans_refine_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), "
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    w = Window.partitionBy("vec_id").orderBy(d2, "k")
+    # Struct-min argmin (same rewrite as kmeans_train): partial-aggregates
+    # map-side, so the exchange carries one row per vector, not one per
+    # (vector, centroid). Tie-break (d2, k) matches the oracle's row_number.
     assigned = (
         e.crossJoin(broadcast(cent))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("k").alias("cluster_id"), "v")
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(d2.alias("d2"), F.col("k").alias("k"), F.col("v").alias("v"))
+            ).alias("best")
+        )
+        .select(
+            "vec_id", F.col("best.k").alias("cluster_id"), F.col("best.v").alias("v")
+        )
     )
     comp = assigned.select(
         "cluster_id", F.posexplode("v").alias("dim", "x")
@@ -1064,12 +1084,29 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2 = d2 + t_ * t_
 
     def assign(cent_df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("vec_id").orderBy(d2, "k")
+        # Argmin as a struct-MIN aggregate, NOT row_number over a window:
+        # min(struct(d2, k, v)) partial-aggregates map-side under the
+        # broadcast join, so the (vec_id) exchange carries ~1 row per
+        # vector instead of K copies of the corpus per Lloyd iteration
+        # (VERDICT r5 flagged the window form as the one K-wide shuffle
+        # in the pipeline tier). Struct comparison is lexicographic, so
+        # the (d2, k) tie-break the DuckDB row_number oracle replays is
+        # preserved; v rides along un-compared (k is unique per group).
         return (
             e.crossJoin(broadcast(cent_df))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("k").alias("cluster_id"), "v")
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        d2.alias("d2"), F.col("k").alias("k"), F.col("v").alias("v")
+                    )
+                ).alias("best")
+            )
+            .select(
+                "vec_id",
+                F.col("best.k").alias("cluster_id"),
+                F.col("best.v").alias("v"),
+            )
         )
 
     def cents(assigned: DataFrame) -> DataFrame:

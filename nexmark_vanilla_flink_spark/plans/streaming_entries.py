@@ -539,11 +539,18 @@ def ann_ivf_topk_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_id",
         F.round(dot_vc / (F.col("nrm") * F.col("cnrm")), 6).alias("cs"),
     )
-    w_vc = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("c_id"))
+    # struct-MIN argmin (asc -cs ≡ desc cs, then asc c_id): map-side
+    # partial agg, one row per vector on the wire — same rewrite as the
+    # batch ann_ivf_topk (the rank-window form shuffled nlist copies of
+    # the corpus into the index build)
     assign = (
-        ac.withColumn("rn", F.row_number().over(w_vc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "c_id")
+        ac.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("cs")).alias("ncs"), F.col("c_id").alias("c_id"))
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.c_id").alias("c_id"))
     )
     # offline index in a TABLE (the deployment shape, same pattern as the
     # corpus dedup index): the coarse assignment is materialized once per

@@ -298,8 +298,12 @@ def test_pq_codes_broadcasts_codebook_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pq_codes")
     assert "BroadcastHashJoin" in plan  # 64-row codebook builds the hash side
     assert "Cartesian" not in plan
-    # the argmin rn=1 is pushed below the exchange as a partial group limit
-    assert "WindowGroupLimit" in plan
+    # r6: the per-subspace argmin and the per-vector pivot are FUSED into one
+    # conditional struct-MIN aggregate on vec_id — no rank window at all, and
+    # the partial aggregate must sit map-side (below the single exchange)
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min(CASE WHEN" in plan or "partial_min(struct" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
