@@ -219,24 +219,57 @@ def events_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_user_stats",
-    oracle=None,  # approximate sketches are engine-specific — accuracy is
-    # asserted against exact values in tests/test_approx.py instead
+    # Sketch VALUES are engine-specific, so they can't hash-match DuckDB —
+    # but sketch ACCURACY can: the entry emits exact columns plus
+    # Spark-computed error-bound verdicts, and the oracle asserts the
+    # verdicts are TRUE. A sketch drifting outside its configured error
+    # now fails the driver's hash gate (VERDICT r5 task 4 — this was the
+    # registry's only ungated entry).
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       TRUE AS users_within_bound,
+       TRUE AS median_within_bound
+FROM events GROUP BY event_type
+""",
     tags=("analytics", "approximate", "sketch"),
 )
 def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL++ distinct counts, quantile sketches) —
     the sketch surface a 100 TB profiler actually uses: fixed-size state per
-    group regardless of cardinality. No DuckDB oracle (sketch algorithms are
-    engine-specific); tests bound the error against exact answers.
+    group regardless of cardinality. Sketch values are engine-specific, so
+    the driver-gated output is (exact n, error-bound verdicts): the HLL++
+    user count must land within 3·rsd of the exact distinct count and the
+    approximate median inside the exact p40–p60 band — both booleans
+    computed IN the Spark plan, TRUE-asserted by the oracle.
 
-    Deliberately sketch-only: mixing an exact countDistinct into the same
-    agg forces the distinct-rewrite Expand plan, which drags the quantile
-    sketch buffers through extra shuffle phases (measured 18× slower)."""
+    Deliberately two aggregations joined on event_type: mixing an exact
+    countDistinct into the sketch agg forces the distinct-rewrite Expand
+    plan, which drags the quantile sketch buffers through extra shuffle
+    phases (measured 18× slower). The exact band uses sort-based
+    percentile() — that is the AUDIT side (per-group buffering); a
+    production 100 TB profiler ships only the sketch agg and audits on a
+    sample."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    sk = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10_000).alias("approx_median_value"),
         F.count(F.lit(1)).alias("n"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, array(0.40D, 0.60D))").alias("band"),
+    )
+    return sk.join(ex, "event_type").select(
+        "event_type",
+        "n",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(2.0), F.lit(0.06) * F.col("exact_users"))
+        ).alias("users_within_bound"),
+        F.col("approx_median_value")
+        .between(F.element_at("band", 1), F.element_at("band", 2))
+        .alias("median_within_bound"),
     )
 
 
