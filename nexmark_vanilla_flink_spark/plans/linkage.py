@@ -642,17 +642,22 @@ def funnel_conversion_stream_replay(
     deployment shape (match `view ->> click ->> purchase within 7d` as
     events arrive, emit each user's final funnel when the watermark
     proves it can no longer change). Keyed state via
-    applyInPandasWithState with an event-time flush timer; a one-row
-    flush-sentinel side stream (ts = max event time + 8 days, the
-    bounded-replay analog of Flink's end-of-input watermark) drives the
-    watermark past every timer so emission is COMPLETE — which is what
-    lets this replay share the batch funnel oracle verbatim instead of
-    settling for subset semantics.
+    applyInPandasWithState with PER-KEY event-time timers at
+    `view + 7d` — the reference's timer-per-auction pattern
+    (NexmarkQueryX.java:465): each key emits and frees its state the
+    moment the watermark proves its row immutable, not at a global
+    horizon. Keys the batch semantics leave open-ended (view but no
+    click — the click has no upper bound) hold to the end-of-input
+    horizon; the one-row flush sentinel (ts = max event time + 8 days,
+    the bounded-replay analog of Flink's end-of-input watermark) settles
+    those, which is what lets this replay share the batch funnel oracle
+    verbatim. Incremental pre-horizon emission is pinned live by
+    tests/test_continuous_cep.py.
 
     Scale: matched state is three BIGINTs per user plus a pending buffer
-    bounded by the watermark lag, hash-partitioned on user_id; the
-    sentinel is one row. A continuous deployment would drop the sentinel
-    and register per-key timers at view_ts + 7d."""
+    bounded by the watermark lag, hash-partitioned on user_id; per-key
+    timers free state continuously instead of accumulating every key to
+    a global flush."""
     import os
 
     from ..streaming.runner import run_available_now
@@ -660,7 +665,7 @@ def funnel_conversion_stream_replay(
 
     stream, flush_ms = _sentinel_event_stream(spark, sf_dir)
     out = run_available_now(
-        funnel_stateful(stream, flush_ms, _FUNNEL_WINDOW_US),
+        funnel_stateful(stream, flush_ms, _FUNNEL_WINDOW_US, per_key_timers=True),
         output_mode="append",
         # Python-stateful replica: Arrow-batch worker parallelism beats
         # store-commit savings (the q8_union_join_lowlevel r5 A/B), so pin

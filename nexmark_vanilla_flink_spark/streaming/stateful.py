@@ -321,7 +321,10 @@ def funnel_fold(v, c, p, us, et, window_us):
 
 
 def funnel_stateful(
-    events: DataFrame, flush_ms: int, window_us: int
+    events: DataFrame,
+    flush_ms: int,
+    window_us: int,
+    per_key_timers: bool = False,
 ) -> DataFrame:
     """Streaming sequential pattern matcher — the CEP class (Flink's
     `CEP.pattern(A.followedBy(B).followedBy(C).within(T))`, which the
@@ -342,9 +345,30 @@ def funnel_stateful(
     every key registers an event-time timeout at `flush_ms` (a horizon
     past the bounded input, the analog of Flink's end-of-input watermark
     flush); when the watermark crosses it, the key folds its remaining
-    buffer, emits its final funnel row once, and drops its state. A
-    continuous deployment would register per-key timers at
-    `view_ts + window` instead of one global horizon."""
+    buffer, emits its final funnel row once, and drops its state.
+
+    ``per_key_timers=True`` is the CONTINUOUS deployment shape — the
+    reference's timer-per-auction pattern (NexmarkQueryX.java:465): a key
+    with a matched view arms its timer at ``view + window`` instead of
+    the global horizon. When it fires, the key's row is emitted and its
+    state dropped iff the row is provably immutable under the batch
+    semantics: view and click are watermark-finalized minima, and no
+    future purchase can land inside ``[click, view + window]`` once the
+    watermark passed ``view + window``. Because the batch semantics put
+    NO upper bound on the click, a clickless key can still upgrade
+    (stage 1 → 2) at any future time — those keys re-arm at ``flush_ms``
+    and only settle at end-of-input (Flink CEP would bound them with the
+    pattern's within(T); the batch oracle does not, so neither do we).
+    Because Spark only delivers hasTimedOut to keys with NO data in the
+    batch, the immutability check also runs on the data path — a
+    steady-traffic key emits the moment the watermark proves its row,
+    timer or not. After emission the state shrinks to a three-int
+    tombstone (v = -2) that swallows later traffic — the batch oracle
+    says one row per user, so a later view must NOT start a fresh match
+    (Flink CEP's SKIP_PAST_LAST_EVENT would; a production deployment
+    choosing that semantics just drops the tombstone). Tombstones are
+    removed at the end-of-input horizon. Incremental emission before
+    end-of-input is pinned by tests/test_continuous_cep.py."""
 
     def _fold(v, c, p, us, et):
         return funnel_fold(v, c, p, us, et, window_us)
@@ -357,8 +381,58 @@ def funnel_stateful(
         import numpy as np
 
         uid = int(key[0])
+
+        def _emit_row(v, c, p):
+            stage = 1 + int(c >= 0) + int(p >= 0)
+            return pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "view_us": [v],
+                    "click_us": [c if c >= 0 else None],
+                    "purchase_us": [p if p >= 0 else None],
+                    "funnel_stage": [stage],
+                }
+            )
+
         if state.hasTimedOut:
             v, c, p, buf_us, buf_et = state.get
+            if v == -2:  # emitted tombstone: nothing left to say
+                state.remove()
+                return
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            if per_key_timers and wm_us < flush_ms * 1000:
+                # per-key horizon fired (watermark passed view + window,
+                # but NOT end-of-input): fold the newly-finalized prefix,
+                # then emit-and-drop iff the row can no longer change
+                pend_us, pend_et = [], []
+                if len(buf_us):
+                    us = np.asarray(buf_us, dtype=np.int64)
+                    et = np.asarray(buf_et, dtype=np.int64)
+                    ready = us <= wm_us
+                    v, c, p = _fold(v, c, p, us[ready], et[ready])
+                    pend_us = us[~ready].tolist()
+                    pend_et = et[~ready].tolist()
+                if v >= 0 and c >= 0:
+                    # view/click are finalized minima; wm > view + window
+                    # rules out any future purchase match — immutable.
+                    # Leave a tombstone so later events can't restart the
+                    # match (keeps output ≡ the batch oracle's one row
+                    # per user); it shrinks state to three ints and is
+                    # removed at the end-of-input horizon
+                    state.update((-2, -1, -1, [], []))
+                    state.setTimeoutTimestamp(
+                        max(flush_ms, state.getCurrentWatermarkMs() + 1)
+                    )
+                    yield _emit_row(v, c, p)
+                else:
+                    # clickless: stage may still upgrade (the batch
+                    # semantics leave the click unbounded) — hold to the
+                    # end-of-input horizon
+                    state.update((v, c, p, pend_us, pend_et))
+                    state.setTimeoutTimestamp(
+                        max(flush_ms, state.getCurrentWatermarkMs() + 1)
+                    )
+                return
             state.remove()
             if len(buf_us):  # end-of-input: every pending event is final
                 v, c, p = _fold(
@@ -369,21 +443,17 @@ def funnel_stateful(
                     np.asarray(buf_et, dtype=np.int64),
                 )
             if v >= 0:
-                stage = 1 + int(c >= 0) + int(p >= 0)
-                yield pd.DataFrame(
-                    {
-                        "user_id": [uid],
-                        "view_us": [v],
-                        "click_us": [c if c >= 0 else None],
-                        "purchase_us": [p if p >= 0 else None],
-                        "funnel_stage": [stage],
-                    }
-                )
+                yield _emit_row(v, c, p)
             return
         if uid < 0:  # flush sentinel: advances the watermark, carries no state
             return
         if state.exists:
             v, c, p, buf_us, buf_et = state.get
+            if v == -2:  # emitted tombstone: swallow the traffic
+                state.setTimeoutTimestamp(
+                    max(flush_ms, state.getCurrentWatermarkMs() + 1)
+                )
+                return
             buf_us, buf_et = list(buf_us), list(buf_et)
         else:
             v, c, p, buf_us, buf_et = -1, -1, -1, [], []
@@ -404,10 +474,33 @@ def funnel_stateful(
                 pend = ~ready
                 buf_us = us[pend].tolist()
                 buf_et = et[pend].tolist()
+        if per_key_timers and v >= 0 and c >= 0 and wm_us > v + window_us:
+            # the key's row is already immutable (view/click finalized
+            # minima, watermark past view + window rules out any future
+            # purchase): emit NOW, shrink state to the tombstone.
+            # Necessary in the data path, not just the timeout branch —
+            # Spark only delivers hasTimedOut to keys with no data in
+            # the batch, so a steady-traffic key would otherwise never
+            # fire its timer
+            state.update((-2, -1, -1, [], []))
+            state.setTimeoutTimestamp(
+                max(flush_ms, state.getCurrentWatermarkMs() + 1)
+            )
+            yield _emit_row(v, c, p)
+            return
         state.update((v, c, p, buf_us, buf_et))
-        state.setTimeoutTimestamp(
-            max(flush_ms, state.getCurrentWatermarkMs() + 1)
-        )
+        if per_key_timers and v >= 0:
+            # continuous shape: arm at the key's own immutability horizon
+            # (view + window); clickless keys that outlive it re-arm at
+            # the global horizon in the timeout branch above
+            horizon_ms = (v + window_us) // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(horizon_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        else:
+            state.setTimeoutTimestamp(
+                max(flush_ms, state.getCurrentWatermarkMs() + 1)
+            )
         return
         yield  # pragma: no cover — generator form
 
