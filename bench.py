@@ -197,21 +197,29 @@ def main() -> None:
         return round(best, 3)
 
     def _floor_stream() -> float:
+        # hash-only consumption (run_available_now_hashed): the probe folds
+        # the passthrough into a content hash inside foreachBatch instead of
+        # persisting to a sink and lazily re-reading — bench only ever
+        # hashes, and the DuckDB comparator it feeds doesn't persist its
+        # results either, so the sink round-trip was floor the comparison
+        # never owed (VERDICT r5 task 6)
         from nexmark_vanilla_flink_spark.streaming.runner import (  # noqa: E402
-            run_available_now,
+            run_available_now_hashed,
         )
         from nexmark_vanilla_flink_spark.streaming.sources import (  # noqa: E402
             stream_events,
         )
 
+        # one untimed warmup: the first streaming query in a session pays
+        # one-off planner/state-machinery init that no steady-state replay
+        # repeats — a floor must measure the repeating cost
+        run_available_now_hashed(stream_events(spark, sf_dir).select("event_id"))
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
-            out = run_available_now(
-                stream_events(spark, sf_dir).select("event_id"),
-                output_mode="append",
+            run_available_now_hashed(
+                stream_events(spark, sf_dir).select("event_id")
             )
-            out.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         return round(best, 3)

@@ -107,9 +107,10 @@ def get_session(
     counts change, and those come from the environment.
     """
     cores = default_parallelism()
+    master = os.environ.get("SPARK_MASTER", f"local[{cores}]")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(os.environ.get("SPARK_MASTER", f"local[{cores}]"))
+        .master(master)
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or max(cores, 8)),
@@ -118,6 +119,21 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
     )
+    if master.startswith("local"):
+        # local-mode I/O: skip Hadoop's .crc sidecar files for file:// —
+        # every streaming WAL/offset/commit write otherwise pays a second
+        # ChecksumFileSystem write (FileSystem API) / ChecksumFs write
+        # (FileContext API, what CheckpointFileManager uses). Measured on
+        # the bounded-replay floor: 0.59 -> 0.38 s. Irrelevant on a real
+        # cluster (checkpoints live on HDFS/S3, not file://), so gated on
+        # a local master; parquet carries its own page checksums either way.
+        builder = builder.config(
+            "spark.hadoop.fs.file.impl",
+            "org.apache.hadoop.fs.RawLocalFileSystem",
+        ).config(
+            "spark.hadoop.fs.AbstractFileSystem.file.impl",
+            "org.apache.hadoop.fs.local.RawLocalFs",
+        )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
     for key, value in (extra_confs or {}).items():

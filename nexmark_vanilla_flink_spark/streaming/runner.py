@@ -213,6 +213,72 @@ def run_available_now(
     return spark.table(qname)
 
 
+def run_available_now_hashed(
+    sdf: DataFrame,
+    timeout_s: int = 300,
+    shuffle_partitions: int | None = None,
+    no_data_batch: bool = True,
+) -> tuple[int, int]:
+    """Bounded replay for HASH-ONLY consumers: run ``sdf`` to completion
+    with Trigger.AvailableNow, folding each micro-batch into a running
+    (hash_sum, row_count) INSIDE foreachBatch — no sink persist, no
+    read-back (VERDICT r5 task 6: the parquet write + lazy re-read is
+    ~0.15-0.25 s a caller that only wants a content hash never needed).
+    The hash is sum(hash(*cols)) over every emitted row — order- and
+    batch-split-insensitive, the same content-hash shape bench.py uses on
+    batch results. Returns (hash_sum mod 2^63 wraparound via Python int,
+    rows).
+
+    This is NOT the driver-contract path: correctness gates need the
+    actual rows and keep ``run_available_now``'s sink + DataFrame return.
+    Use this from bench probes, smoke checks, and throughput loops."""
+    spark = sdf.sparkSession
+    ckpt = _ephemeral_checkpoint_dir("ckpt_hash_")
+    if shuffle_partitions is None:
+        shuffle_partitions = replay_state_partitions(spark)
+    saved_parts = None
+    if shuffle_partitions is not None:
+        saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    _ND_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
+    saved_nd = None
+    if not no_data_batch:
+        saved_nd = spark.conf.get(_ND_CONF, "true")
+        spark.conf.set(_ND_CONF, "false")
+    acc = [0, 0]
+
+    def _fold(df: DataFrame, _epoch: int) -> None:
+        row = df.agg(
+            F.sum(F.hash(*df.columns).cast("long")).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        if row["n"]:
+            acc[0] += row["h"]
+            acc[1] += row["n"]
+
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(_fold)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        if saved_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        if saved_nd is not None:
+            spark.conf.set(_ND_CONF, saved_nd)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"hashed replay did not finish in {timeout_s}s")
+    if q.exception() is not None:
+        raise q.exception()
+    _discard_ephemeral_dir(ckpt)
+    return acc[0], acc[1]
+
+
 def with_latency_probes(
     sdf: DataFrame, id_col: str, every: int = 200_000
 ) -> DataFrame:
