@@ -85,16 +85,23 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage's earliest-match joined forward as the next stage's lower
     bound (earliest-match semantics make the chained min exact).
 
-    Scale: every join and aggregation in the chain keys on user_id — one
-    partitioning reused across all three stages (AQE reuses the
-    exchange), each min() partial-aggregates map-side, and no per-user
-    event array is ever collected (the collect_list/HOF single-shuffle
+    Scale: the funnel-relevant events are shuffled on user_id ONCE — an
+    explicit repartition whose identical subtree every stage consumes, so
+    Catalyst plans ReusedExchange and all three min-aggregations, both
+    forward joins, and the final left joins run CO-LOCATED on that single
+    partitioning (hash(user_id) satisfies every ClusteredDistribution in
+    the chain; r6 EXPLAINS: 1 event-volume exchange, down from 6 — the
+    per-stage type filters used to sit below each exchange, which broke
+    canonical-plan equality and with it the docstring's old reuse claim).
+    No per-user event array is ever collected (the collect_list/HOF
     alternative assumes a user's history fits one row — a hot user with
     10^8 events breaks it; the chained-agg form never does)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("us")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.expr("ts_ns DIV 1000").alias("us"))
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .repartition("user_id")
     )
-    ev = ensure_parallelism(ev)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
