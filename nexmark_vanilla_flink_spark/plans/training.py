@@ -1,0 +1,409 @@
+"""Training-data-preparation operators, round 6 — the feature/example
+generation classes that sit between the curation core (plans/curation.py,
+plans/pipeline.py) and an actual training run (no reference counterpart;
+the reference stops at analytics):
+
+  * ``interval_overlap_join`` — pure range-range join between two
+    fact-sized interval sets via coarse time-bucket equi-join (the scale
+    pattern that keeps Spark off BroadcastNestedLoopJoin);
+  * ``skipgram_pairs``       — (center, context) co-occurrence counts
+    over per-user event sequences (word2vec-style example generation);
+  * ``bpe_pair_counts``      — adjacent-symbol pair frequencies within
+    words (one BPE-merge iteration of tokenizer training);
+  * ``hard_negative_mining`` — per query embedding, the nearest
+    cross-label vectors + triplet margin against the nearest same-label
+    vector (contrastive-training example mining).
+
+Determinism discipline follows registry.py: integer epoch-micros, exact
+integer bucket arithmetic, round() before any float leaves the plan, and
+identical aliases in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join — bucketed fact-fact range join
+# ---------------------------------------------------------------------------
+
+_IVL_DAY_US = 86_400_000_000
+_IVL_BUCKET_US = 21_600_000_000  # 6 h coarse buckets
+_IVL_HALF_US = 1_800_000_000  # incidents span ±30 min
+
+_IVL_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+),
+act AS (
+  SELECT user_id, us // {_IVL_DAY_US} AS day,
+         min(us) AS a_start, max(us) AS a_end
+  FROM e GROUP BY 1, 2
+),
+inc AS (
+  SELECT event_id AS incident_id,
+         us - {_IVL_HALF_US} AS i_start, us + {_IVL_HALF_US} AS i_end
+  FROM e WHERE event_type = 'error'
+)
+SELECT i.incident_id,
+       CAST(count(*) AS BIGINT) AS n_user_days,
+       CAST(sum(least(a.a_end, i.i_end) - greatest(a.a_start, i.i_start))
+            AS BIGINT) AS total_overlap_us
+FROM inc i JOIN act a
+  ON a.a_start <= i.i_end AND i.i_start <= a.a_end
+GROUP BY 1
+"""
+
+
+@register(
+    "interval_overlap_join",
+    oracle=_IVL_ORACLE,
+    tags=("training", "range-join", "interval"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range-range join with NO equi key: per-user daily activity
+    spans [min_us, max_us] against global incident windows (each 'error'
+    event ± 30 min) — which user-days were active during which incidents,
+    aggregated per incident. The interval-overlap class (temporal
+    correlation, ad attribution, downtime blast radius) that naive SQL
+    plans as a quadratic nested-loop join.
+
+    Scale pattern: both interval sets EXPLODE into coarse 6 h time
+    buckets, equi-join on the bucket (hash-partitionable — this is what
+    keeps the plan off BroadcastNestedLoopJoin when neither side fits a
+    broadcast), post-filter the exact overlap predicate, and count each
+    pair exactly once by keeping only its FIRST shared bucket — for
+    overlapping intervals, max(start_bucket_a, start_bucket_i) lies in
+    both bucket ranges, so the dedup needs no distinct. Shuffle volume is
+    rows × buckets-per-interval (≤ 5 for a day-span at 6 h buckets), not
+    rows²; the oracle runs DuckDB's native IEJoin over the same
+    intervals."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts_ns DIV 1000").alias("us"),
+    )
+    act = (
+        ev.groupBy(
+            "user_id", F.expr(f"us DIV {_IVL_DAY_US}").alias("day")
+        )
+        .agg(F.min("us").alias("a_start"), F.max("us").alias("a_end"))
+        .withColumn(
+            "b",
+            F.explode(
+                F.sequence(
+                    F.expr(f"a_start DIV {_IVL_BUCKET_US}"),
+                    F.expr(f"a_end DIV {_IVL_BUCKET_US}"),
+                )
+            ),
+        )
+    )
+    inc = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("incident_id"),
+            (F.col("us") - _IVL_HALF_US).alias("i_start"),
+            (F.col("us") + _IVL_HALF_US).alias("i_end"),
+        )
+        .withColumn(
+            "b",
+            F.explode(
+                F.sequence(
+                    F.expr(f"i_start DIV {_IVL_BUCKET_US}"),
+                    F.expr(f"i_end DIV {_IVL_BUCKET_US}"),
+                )
+            ),
+        )
+    )
+    joined = (
+        inc.join(act, "b")
+        .filter(
+            (F.col("a_start") <= F.col("i_end"))
+            & (F.col("i_start") <= F.col("a_end"))
+            # first-shared-bucket dedup: exactly one bucket per pair
+            & (
+                F.col("b")
+                == F.greatest(
+                    F.expr(f"a_start DIV {_IVL_BUCKET_US}"),
+                    F.expr(f"i_start DIV {_IVL_BUCKET_US}"),
+                )
+            )
+        )
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.sum(
+            F.least("a_end", "i_end") - F.greatest("a_start", "i_start")
+        ).alias("total_overlap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# skipgram_pairs — word2vec-style (center, context) example generation
+# ---------------------------------------------------------------------------
+
+_SKIP_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS et,
+         lead(event_type, 1) OVER w AS l1,
+         lead(event_type, 2) OVER w AS l2
+  FROM (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us, event_id
+        FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+pairs AS (
+  SELECT et AS center, l1 AS context FROM seq WHERE l1 IS NOT NULL
+  UNION ALL
+  SELECT l1 AS center, et AS context FROM seq WHERE l1 IS NOT NULL
+  UNION ALL
+  SELECT et AS center, l2 AS context FROM seq WHERE l2 IS NOT NULL
+  UNION ALL
+  SELECT l2 AS center, et AS context FROM seq WHERE l2 IS NOT NULL
+)
+SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1, 2
+"""
+
+
+@register(
+    "skipgram_pairs",
+    oracle=_SKIP_ORACLE,
+    tags=("training", "sequence", "window-function"),
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts over per-user event sequences
+    (window ±2, symmetric) — the example-generation pass of
+    word2vec-style embedding training, applied to behavioral sequences.
+
+    Scale: ONE exchange on user_id for the sequence window (per-user
+    sort, never global); the ±2 context pairs are emitted in-row via
+    lead() + an array explode (no self-join on sequence index, which
+    would shuffle the corpus once per offset), and the final pair count
+    partial-aggregates map-side over a tiny (center, context) key
+    space."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns DIV 1000").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("et"),
+        F.lead("event_type", 1).over(w).alias("l1"),
+        F.lead("event_type", 2).over(w).alias("l2"),
+    )
+    pair = F.explode(
+        F.array_compact(
+            F.array(
+                F.when(
+                    F.col("l1").isNotNull(),
+                    F.struct(
+                        F.col("et").alias("center"), F.col("l1").alias("context")
+                    ),
+                ),
+                F.when(
+                    F.col("l1").isNotNull(),
+                    F.struct(
+                        F.col("l1").alias("center"), F.col("et").alias("context")
+                    ),
+                ),
+                F.when(
+                    F.col("l2").isNotNull(),
+                    F.struct(
+                        F.col("et").alias("center"), F.col("l2").alias("context")
+                    ),
+                ),
+                F.when(
+                    F.col("l2").isNotNull(),
+                    F.struct(
+                        F.col("l2").alias("center"), F.col("et").alias("context")
+                    ),
+                ),
+            )
+        )
+    ).alias("p")
+    return (
+        seq.select(pair)
+        .select("p.center", "p.context")
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_counts — one BPE-merge iteration of tokenizer training
+# ---------------------------------------------------------------------------
+
+_BPE_MIN_CNT = 5
+
+_BPE_ORACLE = f"""
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS wd
+  FROM documents
+),
+p AS (
+  SELECT unnest(list_transform(range(1, length(wd)),
+                               j -> substr(wd, CAST(j AS INT), 2))) AS pair
+  FROM w WHERE length(wd) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM p GROUP BY 1 HAVING count(*) >= {_BPE_MIN_CNT}
+"""
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=_BPE_ORACLE,
+    tags=("training", "tokenizer", "text"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-symbol pair frequencies within words — the counting pass
+    of ONE byte-pair-encoding merge iteration (the inner loop of
+    tokenizer training: the argmax pair becomes the next merge rule; the
+    full trainer repeats this plan with the growing merge table applied,
+    the operators/graph.py bounded-loop pattern).
+
+    Scale: corpus scans once; word split + per-word pair explode are
+    JVM codegen (split + transform(sequence) HOF, no Python); the only
+    exchange carries partial counts over the ≤ 26² pair key space —
+    map-side combine collapses it to near-nothing regardless of corpus
+    size. The HAVING floor bounds the output."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("wd")
+    ).filter(F.length("wd") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(wd) - 1), j -> substring(wd, j, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= _BPE_MIN_CNT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# hard_negative_mining — contrastive-training example mining
+# ---------------------------------------------------------------------------
+
+_HNM_TOPK = 3
+
+_HNM_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_aggregate(list_transform(embedding, x ->
+              CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+  FROM e WHERE vec_id % 50 = 0
+),
+s AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+         round(list_aggregate(list_transform(list_zip(q.qv, e.v),
+               p -> p[1] * p[2]), 'sum') / (q.qn * e.nrm), 6) AS cos_sim
+  FROM q JOIN e ON e.vec_id <> q.q_id
+),
+pos AS (
+  SELECT q_id, max(cos_sim) AS pos_sim
+  FROM s WHERE label = q_label GROUP BY 1
+),
+neg AS (
+  SELECT q_id, vec_id AS neg_id, cos_sim AS neg_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS neg_rank
+  FROM s WHERE label <> q_label
+)
+SELECT n.q_id, n.neg_id, CAST(n.neg_rank AS INT) AS neg_rank, n.neg_sim,
+       p.pos_sim, round(p.pos_sim - n.neg_sim, 6) AS margin
+FROM neg n JOIN pos p ON p.q_id = n.q_id
+WHERE n.neg_rank <= {_HNM_TOPK}
+"""
+
+
+@register(
+    "hard_negative_mining",
+    oracle=_HNM_ORACLE,
+    tags=("training", "similarity", "contrastive"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training example mining: for each query embedding
+    (vec_id % 50 == 0), the 3 most-similar CROSS-label vectors
+    (hard negatives) plus the best same-label similarity and the triplet
+    margin (pos_sim − neg_sim) — the margin ranks which queries need the
+    mined negatives most (small/negative margin = confusable classes).
+
+    Scale: the query side is broadcast and the corpus streams through
+    map-side exactly like ``cosine_topk_bruteforce``; the per-query
+    positive is a conditional MAX aggregate and the negative top-k is a
+    rank window over the query-subset-sized score frame (2% of corpus ×
+    queries), never the corpus. The IVF-bucketed variant swaps the scan
+    for ``ann_ivf_topk``'s probe path unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            )
+        ),
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    s = (
+        e.join(broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+                )
+                / (F.col("qn") * F.col("nrm")),
+                6,
+            ),
+        )
+        .select("q_id", "q_label", "vec_id", "label", "cos_sim")
+    )
+    pos = (
+        s.filter(F.col("label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.max("cos_sim").alias("pos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    neg = (
+        s.filter(F.col("label") != F.col("q_label"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= _HNM_TOPK)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            F.col("cos_sim").alias("neg_sim"),
+        )
+    )
+    return neg.join(broadcast(pos), "q_id").select(
+        "q_id",
+        "neg_id",
+        "neg_rank",
+        "neg_sim",
+        "pos_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+    )

@@ -482,3 +482,32 @@ def test_resample_shares_user_partitioning(spark, sf_dir):
     plan = _plan(spark, sf_dir, "user_value_resample_ffill")
     assert "Cartesian" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_interval_overlap_join_is_bucketed_not_nested_loop(spark, sf_dir):
+    """The fact-fact range join must go through the coarse-bucket
+    equi-join — a BroadcastNestedLoopJoin/Cartesian here means the range
+    predicate leaked into the join condition and the plan is rows² at
+    scale."""
+    plan = _plan(spark, sf_dir, "interval_overlap_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Cartesian" not in plan
+    # equi-join on the bucket column (hash-partitionable)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_skipgram_pairs_single_sequence_shuffle(spark, sf_dir):
+    """±2 contexts come from lead() in ONE window pass — a self-join on
+    sequence index would scan/shuffle the corpus once per offset."""
+    plan = _plan(spark, sf_dir, "skipgram_pairs")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_bpe_pair_counts_stays_jvm_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bpe_pair_counts")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one exchange: the partial-aggregated pair counts
+    assert plan.count("Exchange hashpartitioning") == 1
