@@ -57,64 +57,67 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # this round. The remainder follows in module-import order. Entries that fall
 # past the cap are still oracled every CI run by tests/test_oracle_parity.py
 # and were driver-green in a prior round's CORRECTNESS_r*.json.
-# Round-5 head (rotation policy: COVERAGE.md "Driver-gate rotation").
-# Tier 1 — never independently re-checked since r1 (the VERDICT r4 task 3
-# queue, all eight taken). Tier 2 — new this round: the streaming ANN
-# serving path, the streaming PII scrub, the iterative k-means
-# trainer, the SemDeDup pruner, the cluster-rewrite, the MOSS
-# winnowing fingerprints + overlap pairs, and the five linkage-class
-# entries (funnel pattern matching, CDC→SCD2, blocked entity
-# resolution, KMV sketch, model-based quality filter). Tier 3 —
-# implementation changed in r5: the mix-stats oracle CAST, the q11/q15
-# de-funnel, the embedding block guard, the doc_top_terms zero-shuffle tf,
-# and all 13 bounded replays (replay_state_partitions default 8 → 4 +
-# eager checkpoint cleanup change execution for every replay). Tier 4 —
-# regression rotation: oldest-green entries (last driver-checked r2,
-# computed from CORRECTNESS_r0{1..4}.json); events_variant_props,
-# incremental_dedup, user_event_gaps, user_event_pivot,
-# events_semi_anti_join, events_cube, nation_distinct_segments,
-# token_budget_packing and doc_repetition_scores are the nine r2-green
-# entries the cap defers to r6 (the last four gave their slots to the
-# four new curation/text entries); approx_user_stats is structurally
-# no_oracle and stays below the cap by design. Everything below the cap
-# stays pytest-oracle-locked every CI run (tests/test_oracle_parity.py).
+# Round-6 head (rotation policy: COVERAGE.md "Driver-gate rotation").
+# Tier 1 — NEVER driver-checked (added after the r5 head pre-drive; the
+# VERDICT r5 task 1 queue). Tier 2 — new in r6: the four training-data
+# example-generation operators (plans/training.py) plus approx_user_stats,
+# which gained its first-ever oracle this round (error-bound verdict
+# booleans, VERDICT r5 task 4) after failing its only rows-only look in
+# r2. Tier 3 — the twenty r2-green entries displaced by earlier
+# rotations: the nine analytics/curation deferrals plus the eleven
+# tier-4 TPC-H/nexmark entries that gave their slots to the r5 linkage
+# batch. Tier 4 — implementation changed in r6: the struct-min argmin
+# rewrites (kmeans_train/refine, pq_codes, ann_ivf_topk + its replay's
+# index build), the funnel shared-exchange restructure, and the
+# continuous-mode per-key-timer funnel replay (scd2_stream_replay rides
+# along: it shares the sentinel/stateful module that changed). Tier 5 —
+# execution environment changed for EVERY replay (CRC-free local FS in
+# get_session + the hashed-replay runner landing beside the sink path):
+# the remaining 14 bounded replays re-gate under the new shape.
+# 3 + 5 + 20 + 8 + 14 = 50. Everything below the cap stays
+# pytest-oracle-locked every CI run (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
-    # --- tier 2: new in round 5 ---
-    "ann_ivf_topk_stream_replay",
-    "pii_scrub_stream_replay",
+    # --- tier 1: never driver-checked ---
+    "bloom_membership_audit",
+    "events_upsert_snapshot",
+    "user_lag_features",
+    # --- tier 2: new in round 6 ---
+    "interval_overlap_join",
+    "skipgram_pairs",
+    "bpe_pair_counts",
+    "hard_negative_mining",
+    "approx_user_stats",
+    # --- tier 3: r2-green rotation queue, finally re-gating ---
+    "events_variant_props",
+    "incremental_dedup",
+    "user_event_gaps",
+    "user_event_pivot",
+    "events_semi_anti_join",
+    "events_cube",
+    "nation_distinct_segments",
+    "token_budget_packing",
+    "doc_repetition_scores",
+    "nexmark_q15_bidding_stats",
+    "nexmark_q16_channel_stats",
+    "nexmark_q17_auction_stats",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_national_share",
+    "tpch_q9_product_profit",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q13_order_distribution",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_suppliers",
+    # --- tier 4: implementation changed in round 6 ---
     "kmeans_train",
-    "semdedup_prune",
-    "dedup_cluster_rewrite",
-    "winnow_fingerprints",
-    "winnow_overlap_pairs",
+    "kmeans_refine_once",
+    "pq_codes",
+    "ann_ivf_topk",
+    "ann_ivf_topk_stream_replay",
     "funnel_conversion",
-    "scd2_user_state",
-    "entity_resolution_pairs",
-    "kmv_distinct_estimate",
-    "quality_classifier_scores",
     "funnel_conversion_stream_replay",
-    "bigram_pmi_lift",
-    "value_outliers",
-    "user_history_sequences",
     "scd2_stream_replay",
-    "user_value_resample_ffill",
-    # --- tier 1: last driver-checked in r1 ---
-    "corpus_curation",
-    "deterministic_splits",
-    "scalar_quantize_embeddings",
-    "srp_lsh_buckets",
-    "multimodal_resize",
-    "doc_chunks_udtf",
-    "orders_rollup",
-    "top_customers_per_nation",
-    # --- tier 3: implementation changed in round 5 ---
-    "generated_event_mix_stats",  # oracle typing fix (CAST sum AS BIGINT)
-    "tpch_q11_important_parts",   # scalar-agg + broadcast cross join
-    "tpch_q15_top_supplier",      # scalar-agg + broadcast cross join
-    "embedding_neardup_pairs",    # oversized-block IVF-refinement guard
-    "doc_top_terms",              # per-row run-length tf, corpus shuffle cut
-    # state-partition default 8 -> 4 + eager ckpt cleanup: all replays
-    # re-gate under the new execution shape
+    # --- tier 5: replays re-gating under the r6 execution environment ---
     "q5_hot_items_stream_replay",
     "sessions_stream_replay",
     "q8_union_join_lowlevel",
@@ -128,22 +131,7 @@ DRIVER_HEAD: list[str] = [
     "exactly_once_sink_replay",
     "stream_static_enrich",
     "incremental_dedup_stream_replay",
-    # --- tier 4: oldest-green rotation (last driver-checked r2) ---
-    "bids_asof_profile",
-    "nexmark_q4_category_avg",
-    "nexmark_q6_seller_avg",
-    "nexmark_q9_winning_bid_rows",
-    "nexmark_q10_log_partitioned",
-    "nexmark_q14_calculation",
-    # nexmark_q15_bidding_stats, nexmark_q16_channel_stats,
-    # nexmark_q17_auction_stats,
-    # tpch_q7_volume_shipping, tpch_q8_national_share,
-    # tpch_q9_product_profit, tpch_q17_small_qty_revenue,
-    # tpch_q20_potential_promotion, tpch_q13_order_distribution,
-    # tpch_q19_discounted_revenue and tpch_q21_waiting_suppliers gave
-    # their tier-4 slots to the ten new r5 entries above (the seven
-    # linkage-class entries incl. both streaming twins + the three
-    # corpus-stats entries) and head the r6 rotation queue.
+    "pii_scrub_stream_replay",
 ]
 
 

@@ -48,10 +48,11 @@ def test_all_22_tpch_shapes_registered():
 
 
 def test_registry_oracle_coverage():
+    # r6: EVERY entry carries an oracle — approx_user_stats (the last
+    # rows-only holdout) now emits error-bound verdict booleans under a
+    # TRUE-asserting oracle instead of raw engine-specific sketch values
     no_oracle = {n for n, q in REGISTRY.items() if not q.oracle}
-    # the only rows-only entry: approx_count_distinct output is
-    # implementation-defined, no cross-engine oracle possible
-    assert no_oracle == {"approx_user_stats"}, no_oracle
+    assert no_oracle == set(), no_oracle
 
 
 def test_streaming_replays_share_batch_oracles():
