@@ -407,3 +407,114 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos_sim",
         F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# skipgram_pairs_stream_replay — online example generation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skipgram_pairs_stream_replay",
+    oracle=_SKIP_ORACLE,  # identical output contract to the batch pass
+    tags=("streaming", "training", "sequence", "stateful"),
+)
+def skipgram_pairs_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skip-gram example generator UNDER STREAMING EXECUTION — mine
+    (center, context) pairs from the live clickstream as each event is
+    watermark-finalized, instead of a nightly batch window pass. Keyed
+    state is TWO strings per user (the ±2 predecessors) plus the
+    watermark-lag pending buffer; pairs append incrementally
+    (immutable-on-emit) and the flush sentinel settles the final lag.
+    The replayed pairs aggregate to EXACTLY the batch counts, so the
+    streaming path shares the batch oracle verbatim (caller-side
+    count reduction, the qx_winning_bids_stream contract)."""
+    import os
+
+    from ..streaming.runner import run_available_now
+    from ..streaming.stateful import skipgram_stateful
+    from .linkage import _sentinel_event_stream
+
+    stream, flush_ms = _sentinel_event_stream(spark, sf_dir)
+    out = run_available_now(
+        skipgram_stateful(stream, flush_ms),
+        output_mode="append",
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")
+        ),
+    )
+    return out.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal_holdout_splits — time-based train/val/test partitioning
+# ---------------------------------------------------------------------------
+
+_THS_TRAIN_PCT = 70
+_THS_VAL_PCT = 85  # train < t1 <= val < t2 <= test
+
+_THS_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+),
+bounds AS (
+  SELECT min(us) AS mn, max(us) AS mx FROM e
+),
+cut AS (
+  SELECT mn + (mx - mn) * {_THS_TRAIN_PCT} // 100 AS t1,
+         mn + (mx - mn) * {_THS_VAL_PCT} // 100 AS t2
+  FROM bounds
+)
+SELECT CASE WHEN e.us < c.t1 THEN 'train'
+            WHEN e.us < c.t2 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(min(e.us) AS BIGINT) AS min_us,
+       CAST(max(e.us) AS BIGINT) AS max_us
+FROM e CROSS JOIN cut c
+GROUP BY 1
+"""
+
+
+@register(
+    "temporal_holdout_splits",
+    oracle=_THS_ORACLE,
+    tags=("training", "splits", "temporal"),
+)
+def temporal_holdout_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/val/test holdout — the split discipline for
+    forecasting/recommendation training where random splits leak the
+    future into the past: cutoffs at 70% / 85% of the observed time span
+    (pure integer arithmetic, engine-identical), events partitioned by
+    event time only. Completes the splits family beside the hash-based
+    ``deterministic_splits`` and the cluster-aware ``leakage_safe_splits``.
+
+    Scale: the span bounds are ONE scalar aggregate broadcast back over
+    the corpus (crossJoin(broadcast) — the q11/q15 de-funnel pattern,
+    never a global window); the corpus then scans once into a 3-key
+    map-side-combined aggregate. The distinct-user count per split is
+    the only real exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns DIV 1000").alias("us")
+    )
+    cut = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).select(
+        F.expr(f"mn + (mx - mn) * {_THS_TRAIN_PCT} DIV 100").alias("t1"),
+        F.expr(f"mn + (mx - mn) * {_THS_VAL_PCT} DIV 100").alias("t2"),
+    )
+    tagged = ev.crossJoin(broadcast(cut)).select(
+        "user_id",
+        "us",
+        F.when(F.col("us") < F.col("t1"), "train")
+        .when(F.col("us") < F.col("t2"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("us").alias("min_us"),
+        F.max("us").alias("max_us"),
+    )

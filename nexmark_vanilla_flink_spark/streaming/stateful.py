@@ -665,3 +665,128 @@ def scd2_stateful(events: DataFrame, flush_ms: int) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+SKIPGRAM_OUTPUT = StructType(
+    [
+        StructField("center", StringType()),
+        StructField("context", StringType()),
+    ]
+)
+
+_SKIPGRAM_STATE = StructType(
+    [
+        StructField("p1", StringType()),
+        StructField("p2", StringType()),
+        StructField("buf_us", ArrayType(LongType())),
+        StructField("buf_eid", ArrayType(LongType())),
+        StructField("buf_et", ArrayType(StringType())),
+    ]
+)
+
+
+def skipgram_stateful(events: DataFrame, flush_ms: int) -> DataFrame:
+    """Streaming training-example generation — emit word2vec-style
+    (center, context) skip-gram pairs (window ±2, symmetric) from
+    per-user event sequences AS THEY ARRIVE: the online counterpart of
+    the batch ``skipgram_pairs`` window pass, for pipelines that mine
+    examples from a live clickstream instead of a nightly batch.
+
+    Same watermark discipline as ``funnel_stateful``: arriving events
+    buffer in keyed state; each batch folds, in (event-time, event_id)
+    order, only the watermark-finalized prefix — each finalized event e
+    emits its four pairs against the two predecessors p1/p2 held in
+    state ((p1,e),(e,p1),(p2,e),(e,p2), exactly the batch lead(1)/
+    lead(2) pairs), then shifts p2←p1, p1←e. Durable state per key is
+    TWO strings regardless of history length; emission is incremental
+    and append-mode-sound (a pair, once its center/context are below
+    the watermark, never changes). The end-of-input flush timer folds
+    the last watermark-lag's worth of pending events."""
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        uid = int(key[0])
+
+        def fold(p1, p2, us, eid, et):
+            order = np.lexsort((eid, us))
+            centers, contexts = [], []
+            for i in order:
+                e = et[i]
+                if p1 is not None:
+                    centers.extend((p1, e))
+                    contexts.extend((e, p1))
+                if p2 is not None:
+                    centers.extend((p2, e))
+                    contexts.extend((e, p2))
+                p2, p1 = p1, e
+            return p1, p2, centers, contexts
+
+        def emit(centers, contexts):
+            if centers:
+                yield pd.DataFrame({"center": centers, "context": contexts})
+
+        if state.hasTimedOut:
+            p1, p2, buf_us, buf_eid, buf_et = state.get
+            state.remove()
+            if len(buf_us):  # end-of-input: everything pending is final
+                _, _, centers, contexts = fold(
+                    p1 or None,
+                    p2 or None,
+                    np.asarray(buf_us, dtype=np.int64),
+                    np.asarray(buf_eid, dtype=np.int64),
+                    list(buf_et),
+                )
+                yield from emit(centers, contexts)
+            return
+        if uid < 0:  # flush sentinel: advances the watermark only
+            return
+        if state.exists:
+            p1, p2, buf_us, buf_eid, buf_et = state.get
+            buf_us, buf_eid, buf_et = list(buf_us), list(buf_eid), list(buf_et)
+        else:
+            p1, p2, buf_us, buf_eid, buf_et = "", "", [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            buf_us.extend(pdf["us"].astype("int64").tolist())
+            buf_eid.extend(pdf["event_id"].astype("int64").tolist())
+            buf_et.extend(pdf["event_type"].astype(str).tolist())
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        centers, contexts = [], []
+        if buf_us:
+            us = np.asarray(buf_us, dtype=np.int64)
+            eid = np.asarray(buf_eid, dtype=np.int64)
+            et = np.asarray(buf_et, dtype=object)
+            ready = us <= wm_us
+            if ready.any():
+                p1, p2, centers, contexts = fold(
+                    p1 or None, p2 or None, us[ready], eid[ready], et[ready]
+                )
+                pend = ~ready
+                buf_us = us[pend].tolist()
+                buf_eid = eid[pend].tolist()
+                buf_et = list(et[pend])
+            else:
+                buf_us, buf_eid, buf_et = us.tolist(), eid.tolist(), list(et)
+        state.update((p1 or "", p2 or "", buf_us, buf_eid, buf_et))
+        state.setTimeoutTimestamp(
+            max(flush_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield from emit(centers, contexts)
+
+    return (
+        events.withWatermark("ts", "2 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SKIPGRAM_OUTPUT,
+            stateStructType=_SKIPGRAM_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
