@@ -518,3 +518,136 @@ def temporal_holdout_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").alias("min_us"),
         F.max("us").alias("max_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_learn_merges — the full iterative BPE trainer
+# ---------------------------------------------------------------------------
+
+_BPEL_ITERS = 6
+_BPEL_MIN_FREQ = 25
+
+# Symbol sequences travel as "(s1)(s2)...(sn)" strings: each symbol is
+# individually delimited, so applying merge (a, b) is a plain non-regex
+# replace of "(a)(b)" with "(ab)" — and because `replace` substitutes
+# NON-OVERLAPPING occurrences left-to-right in both engines, it implements
+# exactly the classic BPE merge pass ("(a)(a)(a)" + (a,a) -> "(aa)(a)").
+# Adjacent pairs come from zipping the symbol list against itself shifted
+# by one (slice [:-1] x slice [2:]) — no overlapping-regex extraction.
+
+_BPEL_ORACLE_HEAD = r"""
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS wd
+  FROM documents
+),
+vc AS (
+  SELECT wd, CAST(count(*) AS BIGINT) AS cnt
+  FROM w WHERE length(wd) >= 2 GROUP BY wd
+),
+v0 AS (SELECT regexp_replace(wd, '(.)', '(\1)', 'g') AS rep, cnt FROM vc)
+"""
+
+_BPEL_ORACLE_ITER = """,
+p{i} AS (
+  SELECT unnest(l[:-2]) AS a, unnest(l[2:]) AS b, cnt
+  FROM (SELECT str_split(substr(rep, 2, length(rep) - 2), ')(') AS l, cnt
+        FROM v{p})
+),
+m{i} AS (
+  SELECT a, b FROM p{i} GROUP BY a, b ORDER BY SUM(cnt) DESC, a, b LIMIT 1
+),
+v{i} AS (
+  SELECT replace(rep, '(' || m.a || ')(' || m.b || ')',
+                 '(' || m.a || m.b || ')') AS rep, cnt
+  FROM v{p} CROSS JOIN m{i} m
+)"""
+
+_BPEL_ORACLE_TAIL = f"""
+SELECT tok, CAST(SUM(cnt) AS BIGINT) AS freq
+FROM (SELECT unnest(str_split(substr(rep, 2, length(rep) - 2), ')(')) AS tok,
+             cnt
+      FROM v{_BPEL_ITERS})
+WHERE length(tok) >= 2
+GROUP BY tok
+HAVING CAST(SUM(cnt) AS BIGINT) >= {_BPEL_MIN_FREQ}
+"""
+
+_BPEL_ORACLE = (
+    _BPEL_ORACLE_HEAD
+    + "".join(
+        _BPEL_ORACLE_ITER.format(i=i, p=i - 1)
+        for i in range(1, _BPEL_ITERS + 1)
+    )
+    + _BPEL_ORACLE_TAIL
+)
+
+_BPEL_SYMS = "split(substring(rep, 2, length(rep) - 2), '\\\\)\\\\(')"
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=_BPEL_ORACLE,
+    tags=("training", "tokenizer", "text", "iterative"),
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL byte-pair-encoding trainer — ``bpe_pair_counts`` is one
+    counting pass; this runs the actual merge loop: 6 rounds of
+    (count adjacent pairs -> pick the most frequent pair, ties broken
+    lexicographically -> rewrite every word with the pair fused), then
+    reports the learned multi-character subword vocabulary with corpus
+    frequencies. The classic trainer shape (Sennrich et al. 2016),
+    expressed as a bounded driver loop over declarative plans — the
+    kmeans_train/operators/graph.py pattern.
+
+    Scale: the corpus is scanned ONCE, into the distinct-word frequency
+    table (vocab is sub-linear in corpus size — the only state the BPE
+    trainer ever needs); the 6 iterations run over that cached vocab
+    only. Per iteration the sole driver action is the argmax pair —
+    one row (the kmeans-centroid-collect justification); pair counting
+    is a map-side-combined sum over the bounded pair key space; the
+    merge apply is a JVM string `replace`, no Python. Final vocabulary
+    aggregation is distributed with a frequency floor."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("wd")
+        )
+        .filter(F.length("wd") >= 2)
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.regexp_replace("wd", "(.)", "($1)").alias("rep"), "cnt")
+        .cache()
+    )
+    cur = vocab
+    for _ in range(_BPEL_ITERS):
+        pairs = (
+            cur.withColumn("syms", F.expr(_BPEL_SYMS))
+            .filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "j -> struct(element_at(syms, j) AS a, "
+                        "element_at(syms, j + 1) AS b))"
+                    )
+                ).alias("pr"),
+                "cnt",
+            )
+            .groupBy("pr.a", "pr.b")
+            .agg(F.sum("cnt").alias("s"))
+        )
+        top = pairs.orderBy(F.desc("s"), "a", "b").limit(1).collect()[0]
+        cur = cur.select(
+            F.expr(
+                f"replace(rep, '({top['a']})({top['b']})', "
+                f"'({top['a']}{top['b']})')"
+            ).alias("rep"),
+            "cnt",
+        )
+    return (
+        cur.select(F.explode(F.expr(_BPEL_SYMS)).alias("tok"), "cnt")
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("freq"))
+        .filter(F.col("freq") >= _BPEL_MIN_FREQ)
+    )
