@@ -1069,19 +1069,18 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("k"), F.col("v").alias("cv")
     )
-    # FLAT left-associated (+) chain for the distance — reproduces the
-    # DuckDB list_aggregate fold's summation order exactly, so the oracle
-    # matches bit-for-bit. (Measured equivalent to the zip_with HOF fold
-    # at sf0.1: the per-pass cost here is corpus × K × 64 scalar math plus
-    # ~3 local stage floors per iteration, which dominates at toy scale
-    # and amortizes at real scale; a BLAS-style mapInArrow assignment
-    # would win locally but trades the fold's exact summation order away.)
-    sq = [
-        (F.element_at("v", i + 1) - F.element_at("cv", i + 1)) for i in range(_KMT_DIMS)
-    ]
-    d2 = sq[0] * sq[0]
-    for t_ in sq[1:]:
-        d2 = d2 + t_ * t_
+    # HOF fold for the distance (same form as kmeans_refine_once): the
+    # aggregate(zip_with(...)) left fold reproduces the DuckDB
+    # list_aggregate summation order exactly (0.0 + x1 == x1 for the
+    # non-negative squares, so the explicit zero seed changes nothing).
+    # vs the unrolled 64-term (+) chain this is ONE expression instead of
+    # ~400 py4j Column calls at build and a 64-wide codegen unit ×3
+    # iterations at compile — r6 A/B: build 1.8 s -> 0.2 s, execute
+    # 2.4 s -> 1.5 s at sf0.1, bit-identical output.
+    d2 = F.expr(
+        "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
 
     def assign(cent_df: DataFrame) -> DataFrame:
         # Argmin as a struct-MIN aggregate, NOT row_number over a window:
@@ -1110,23 +1109,33 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def cents(assigned: DataFrame) -> DataFrame:
-        aggs = [
-            F.round(
-                F.sum(F.element_at("v", i + 1).cast("decimal(38,12)"))
-                / F.count(F.lit(1)),
-                6,
+        # Centroid rebuild via posexplode + (cluster, dim) partial means,
+        # re-assembled with an order-pinned collect_list — NOT 64 parallel
+        # decimal aggregates: the wide-agg form compiled a 64-column
+        # codegen unit per iteration that dominated wall at toy scale
+        # (r6 A/B: 2.5 s -> 1.7 s total, bit-identical). Data volume is
+        # the same either way (explode feeds a map-side partial agg that
+        # collapses to K x 64 rows); the extra (cluster_id) exchange
+        # carries K rows.
+        per_dim = (
+            assigned.select("cluster_id", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster_id", "dim")
+            .agg(
+                F.expr(
+                    "CAST(round(sum(CAST(x AS decimal(38,12))) / count(1), 6)"
+                    " AS DOUBLE)"
+                ).alias("cval")
             )
-            .cast("double")
-            .alias(f"c{i}")
-            for i in range(_KMT_DIMS)
-        ]
+        )
         return (
-            assigned.groupBy("cluster_id")
-            .agg(*aggs)
-            .select(
-                F.col("cluster_id").alias("k"),
-                F.array(*[F.col(f"c{i}") for i in range(_KMT_DIMS)]).alias("cv"),
+            per_dim.groupBy("cluster_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, cval))),"
+                    " s -> s.cval)"
+                ).alias("cv")
             )
+            .select(F.col("cluster_id").alias("k"), "cv")
         )
 
     assigned = assign(cent)
