@@ -70,11 +70,17 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # rewrites (kmeans_train/refine, pq_codes, ann_ivf_topk + its replay's
 # index build), the funnel shared-exchange restructure, and the
 # continuous-mode per-key-timer funnel replay (scd2_stream_replay rides
-# along: it shares the sentinel/stateful module that changed). Tier 5 —
-# execution environment changed for EVERY replay (CRC-free local FS in
-# get_session + the hashed-replay runner landing beside the sink path):
-# the remaining 14 bounded replays re-gate under the new shape.
-# 3 + 5 + 20 + 8 + 14 = 50. Everything below the cap stays
+# along: it shares the sentinel/stateful module that changed). Tier 2b —
+# the four entries added mid-r6 AFTER the head was first cut
+# (copurchase_pagerank, bpe_learn_merges, skipgram_pairs_stream_replay,
+# temporal_holdout_splits): never-gated-new outranks re-gating, so they
+# displace the four most redundant tier-5 replays (the sliding/dynamic-gap
+# variants whose base shapes still gate, and the two replays whose batch
+# twins gate elsewhere in this head — all four stay CI-parity-locked).
+# Tier 5 — execution environment changed for EVERY replay (CRC-free local
+# FS in get_session + the hashed-replay runner landing beside the sink
+# path): the remaining 10 bounded replays re-gate under the new shape.
+# 3 + 5 + 20 + 8 + 4 + 10 = 50. Everything below the cap stays
 # pytest-oracle-locked every CI run (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
     # --- tier 1: never driver-checked ---
@@ -117,21 +123,22 @@ DRIVER_HEAD: list[str] = [
     "funnel_conversion",
     "funnel_conversion_stream_replay",
     "scd2_stream_replay",
+    # --- tier 2b: added mid-r6 after the first head cut, never gated ---
+    "copurchase_pagerank",
+    "bpe_learn_merges",
+    "skipgram_pairs_stream_replay",
+    "temporal_holdout_splits",
     # --- tier 5: replays re-gating under the r6 execution environment ---
     "q5_hot_items_stream_replay",
     "sessions_stream_replay",
     "q8_union_join_lowlevel",
     "q8_join_stream_replay",
     "qx_interval_join_stream_replay",
-    "q5_sliding_stream_replay",
     "q7_highest_bid_stream_replay",
     "cm_stream_replay",
-    "sessions_dynamic_gap_stream_replay",
     "stream_dedup_replay",
     "exactly_once_sink_replay",
     "stream_static_enrich",
-    "incremental_dedup_stream_replay",
-    "pii_scrub_stream_replay",
 ]
 
 
