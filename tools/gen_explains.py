@@ -140,6 +140,25 @@ FLAGSHIPS = {
     "IGNORE-NULLS fill window all key on user_id — one logical "
     "partitioning carried through; the grid explode is map-side off the "
     "tiny bounds frame, so densification adds no exchange of its own.",
+    "copurchase_pagerank": "r6 unrolled iterative graph plan: the "
+    "per-order-bounded self-join builds edges once (cached InMemoryRelation "
+    "feeds all 3 iterations); each power iteration is edges⋈ranks⋈degrees "
+    "on u with the K-scalar base/tele frame BroadcastExchange'd, then a "
+    "partial-aggregated sum exchange on v; the top-50 is "
+    "TakeOrderedAndProject, never a single-partition sort. All rank math "
+    "is fixed-point BIGINT — no float-summation order sensitivity.",
+    "kmeans_train": "r6 struct-min + exploded-centroid shape: per Lloyd "
+    "iteration the centroids BroadcastExchange under the crossJoin, the "
+    "assignment argmin partial-aggregates min(struct(d2,k,v)) below the "
+    "vec_id exchange (one row per vector shuffles, not K copies), and the "
+    "centroid rebuild is posexplode + (cluster,dim) partial decimal means "
+    "— no 64-wide codegen unit anywhere.",
+    "bpe_learn_merges": "r6 iterative trainer (final-plan explain; the 6 "
+    "argmax collects each ran one row): everything downstream of the scan "
+    "reads the CACHED distinct-word InMemoryRelation — the corpus parquet "
+    "is scanned exactly once per session; the merge chain is 6 stacked "
+    "JVM string replaces folded into one projection; the vocabulary "
+    "aggregate partial-combines under the tok exchange.",
 }
 
 
