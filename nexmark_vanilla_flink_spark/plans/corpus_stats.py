@@ -534,3 +534,66 @@ def user_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(vd).over(wr).cast("double") / F.count(F.lit(1)).over(wr), 6
         ).alias("roll_mean5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# user_value_ewma — fixed-point exponential decay over event sequences
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+         CAST(round(value * 1000) AS BIGINT) AS v_fp
+  FROM events
+),
+s AS (SELECT user_id, list(v_fp ORDER BY us, event_id) AS vs FROM e GROUP BY 1)
+SELECT user_id,
+       CAST(len(vs) AS INT) AS n_events,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
+                   (a, x) -> (a + x) // 2) AS ewma_fp,
+       vs[-1] AS last_v_fp
+FROM s
+"""
+
+
+@register(
+    "user_value_ewma",
+    oracle=_EWMA_ORACLE,
+    tags=("features", "sequence", "training"),
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed per-user value feature — the classic
+    "recent behavior weighs more" recommender/fraud feature, as a
+    QUANTIZED EWMA (alpha = 1/2): values fix-point at 1e-3, and the
+    recursion acc = (acc + x) DIV 2 runs in pure BIGINT, so the result
+    is bit-identical across engines and partitionings (a float EWMA
+    would drift per summation order). The zero seed is prepended in
+    both engines, making the folds element-for-element identical.
+
+    Scale: one (user_id) exchange assembles the ordered sequence
+    (bounded by per-user history, the user_history_sequences contract);
+    the fold is a JVM array aggregate over that row — no window
+    recursion, no Python. EWMA-style decay is exactly the shape SQL
+    windows cannot express (each output depends on the previous
+    OUTPUT, not the previous input), which is why it folds over the
+    collected sequence instead."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns DIV 1000").alias("us"),
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v_fp"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(us, event_id, v_fp))),"
+            " s -> s.v_fp)"
+        ).alias("vs")
+    )
+    return seq.select(
+        "user_id",
+        F.size("vs").alias("n_events"),
+        F.expr(
+            "aggregate(vs, CAST(0 AS BIGINT), (a, x) -> (a + x) DIV 2)"
+        ).alias("ewma_fp"),
+        F.expr("element_at(vs, -1)").alias("last_v_fp"),
+    )

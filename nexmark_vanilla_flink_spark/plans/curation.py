@@ -867,3 +867,129 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc output keys on the scan's own partitioning."""
     docs = load_table(spark, sf_dir, "documents")
     return _pii_scrub_project(ensure_parallelism(docs).select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# quality_label_propagation — spread quality labels over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def _qlp_oracle() -> str:
+    from .pipeline import _MINHASH_CTES
+
+    return _MINHASH_CTES + """
+, tq AS (
+  SELECT doc_id,
+         CAST(round(CAST(1000000 AS DOUBLE)
+                    * len(list_distinct(string_split(text, ' ')))
+                    / len(string_split(text, ' '))) AS BIGINT) AS q
+  FROM documents
+),
+seeds AS (SELECT doc_id, q FROM tq WHERE doc_id % 5 = 0),
+ed AS (
+  SELECT doc_a AS u, doc_b AS v, n_bands AS w FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v, n_bands AS w FROM pairs
+),
+l1 AS (
+  SELECT doc_id, q FROM seeds
+  UNION ALL
+  SELECT e.u AS doc_id,
+         CAST(SUM(s.q * e.w) AS BIGINT) // CAST(SUM(e.w) AS BIGINT) AS q
+  FROM ed e JOIN seeds s ON s.doc_id = e.v
+  WHERE e.u NOT IN (SELECT doc_id FROM seeds)
+  GROUP BY e.u
+),
+l2 AS (
+  SELECT doc_id, q, TRUE AS is_seed FROM seeds
+  UNION ALL
+  SELECT e.u AS doc_id,
+         CAST(SUM(l.q * e.w) AS BIGINT) // CAST(SUM(e.w) AS BIGINT) AS q,
+         FALSE AS is_seed
+  FROM ed e JOIN l1 l ON l.doc_id = e.v
+  WHERE e.u NOT IN (SELECT doc_id FROM seeds)
+  GROUP BY e.u
+)
+SELECT doc_id, q AS label_fp, is_seed FROM l2
+"""
+
+
+@register(
+    "quality_label_propagation",
+    oracle=_qlp_oracle(),
+    tags=("curation", "graph", "labels"),
+)
+def quality_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised quality-label spreading over the near-dup graph —
+    the curation move for corpora where only a slice is scored: seed docs
+    (doc_id % 5 == 0 here; a classifier head in production) carry a
+    type-token-ratio quality label, and two unrolled label-spreading
+    iterations push weighted averages along MinHash-band edges (weight =
+    shared bands), seeds clamped. A near-duplicate of a scored document
+    inherits its quality without re-scoring — the reason to propagate
+    instead of classify everything.
+
+    Scale: the edge relation is the BANDED candidate set (bucketed, never
+    corpus²) built by the shared `_minhash_wide` signature frame; each
+    iteration is one edges⋈labels equi-join + a partial-aggregated
+    (node) exchange, seeds excluded by anti-join. All label math is
+    fixed-point BIGINT with truncating DIV — bit-identical across
+    engines and summation orders."""
+    from .pipeline import _BAND_ROWS, _N_HASHES, _minhash_wide
+
+    docs = load_table(spark, sf_dir, "documents")
+    tq = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "CAST(round(CAST(1000000 AS DOUBLE) * size(array_distinct(ws))"
+            " / size(ws)) AS BIGINT)"
+        ).alias("q"),
+    )
+    seeds = tq.filter(F.col("doc_id") % 5 == 0)
+
+    wide = _minhash_wide(spark, sf_dir)
+    bands = wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"sig{b}") for b in range(_N_HASHES // _BAND_ROWS)])
+        ).alias("band", "sig"),
+    )
+    pairs = (
+        bands.join(
+            bands.select(
+                F.col("doc_id").alias("doc_b"), F.col("band"), F.col("sig")
+            ),
+            ["band", "sig"],
+        )
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ed = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v"), "w"
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"), "w")
+    )
+
+    def spread(labels: DataFrame) -> DataFrame:
+        return (
+            ed.join(
+                labels.select(F.col("doc_id").alias("v"), "q"), "v"
+            )
+            .join(
+                seeds.select(F.col("doc_id").alias("u")),
+                "u",
+                "left_anti",
+            )
+            .groupBy("u")
+            .agg(F.expr("SUM(q * w) DIV SUM(w)").alias("q"))
+            .select(F.col("u").alias("doc_id"), "q")
+        )
+
+    l1 = seeds.unionAll(spread(seeds))
+    return seeds.withColumn("is_seed", F.lit(True)).unionAll(
+        spread(l1).withColumn("is_seed", F.lit(False))
+    ).select("doc_id", F.col("q").alias("label_fp"), "is_seed")
