@@ -79,8 +79,15 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # twins gate elsewhere in this head — all four stay CI-parity-locked).
 # Tier 5 — execution environment changed for EVERY replay (CRC-free local
 # FS in get_session + the hashed-replay runner landing beside the sink
-# path): the remaining 10 bounded replays re-gate under the new shape.
-# 3 + 5 + 20 + 8 + 4 + 10 = 50. Everything below the cap stays
+# path): the remaining bounded replays re-gate under the new shape.
+# Tier 2c — the two entries added latest in r6 (user_value_ewma,
+# quality_label_propagation): never-gated-new outranks re-gating again,
+# so they displace the two tier-5 replays least sensitive to the runner
+# changes — stream_static_enrich (stateless stream-static join, no keyed
+# state, no sink readback dependency) and stream_dedup_replay (its
+# watermark-dedup state shape re-gates via incremental_dedup's replay
+# logic and its batch twin in tier 3) — both stay CI-parity-locked.
+# 3 + 5 + 20 + 8 + 4 + 8 + 2 = 50. Everything below the cap stays
 # pytest-oracle-locked every CI run (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
     # --- tier 1: never driver-checked ---
@@ -136,9 +143,10 @@ DRIVER_HEAD: list[str] = [
     "qx_interval_join_stream_replay",
     "q7_highest_bid_stream_replay",
     "cm_stream_replay",
-    "stream_dedup_replay",
     "exactly_once_sink_replay",
-    "stream_static_enrich",
+    # --- tier 2c: added latest in r6, never gated ---
+    "user_value_ewma",
+    "quality_label_propagation",
 ]
 
 
