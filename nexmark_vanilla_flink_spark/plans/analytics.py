@@ -379,3 +379,173 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_expectation_audit — declarative data-quality expectations over the lake
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+WITH ev AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (value < 0 OR value > 400) AS BIGINT) AS v_range,
+         CAST(count(*) FILTER (json_extract(props, '$.k') IS NULL) AS BIGINT)
+           AS v_props
+  FROM events
+),
+doc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (n_chars < 50) AS BIGINT) AS v_short,
+         CAST(count(*) FILTER (n_chars <> length(text)) AS BIGINT) AS v_len
+  FROM documents
+),
+cust AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (c_acctbal < 0) AS BIGINT) AS v_neg
+  FROM customer
+),
+ofk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT) AS v
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+),
+lfk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT) AS v
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT table_name, rule, n_checked, n_violations,
+       CAST(n_violations * 1000000 // n_checked AS BIGINT) AS viol_ppm
+FROM (
+  SELECT 'events' AS table_name, 'value_range_0_400' AS rule,
+         n AS n_checked, v_range AS n_violations FROM ev
+  UNION ALL
+  SELECT 'events', 'props_k_present', n, v_props FROM ev
+  UNION ALL
+  SELECT 'documents', 'min_chars_50', n, v_short FROM doc
+  UNION ALL
+  SELECT 'documents', 'text_len_consistent', n, v_len FROM doc
+  UNION ALL
+  SELECT 'customer', 'nonneg_acctbal', n, v_neg FROM cust
+  UNION ALL
+  SELECT 'orders', 'fk_customer', n, v FROM ofk
+  UNION ALL
+  SELECT 'lineitem', 'fk_orders', n, v FROM lfk
+)
+"""
+
+
+@register(
+    "dq_expectation_audit",
+    oracle=_DQ_ORACLE,
+    tags=("analytics", "data-quality", "audit"),
+)
+def dq_expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation audit — the Great-
+    Expectations/Deequ-class gate a training-data lake runs before a
+    snapshot is blessed: range expectations (event values in [0, 400]),
+    semi-structured presence (props JSON carries '$.k'), derived-column
+    consistency (documents.n_chars equals length(text)), domain rules
+    (non-negative balances), and referential integrity (orders→customer,
+    lineitem→orders orphans). One row per (table, rule) with exact
+    violation counts and fixed-point ppm rates.
+
+    Scale: every per-table rule family is computed in ONE scan of that
+    table as conditional aggregates (count + count_if per rule), then
+    unpivoted with stack() — the audit adds zero shuffles beyond the
+    single-row partial-agg exchanges. The FK orphan checks are
+    hash-equi left joins on the key columns only (column-pruned probe;
+    no payload crosses the wire) collapsing straight into a count — at
+    100 TB each audit rule costs exactly its scan plus a keys-only
+    join, and rule families share scans."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    ev_a = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("value") < 0) | (F.col("value") > 400), 1).otherwise(0)
+        ).alias("v_range"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("v_props"),
+    ).selectExpr(
+        "stack(2, 'value_range_0_400', v_range, 'props_k_present', v_props)"
+        " AS (rule, n_violations)",
+        "'events' AS table_name",
+        "n AS n_checked",
+    )
+    doc = load_table(spark, sf_dir, "documents")
+    doc_a = doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("n_chars") < 50, 1).otherwise(0)).alias("v_short"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).alias("v_len"),
+    ).selectExpr(
+        "stack(2, 'min_chars_50', v_short, 'text_len_consistent', v_len)"
+        " AS (rule, n_violations)",
+        "'documents' AS table_name",
+        "n AS n_checked",
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    cust_a = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).alias("v_neg"),
+    ).selectExpr(
+        "'nonneg_acctbal' AS rule",
+        "v_neg AS n_violations",
+        "'customer' AS table_name",
+        "n AS n_checked",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    ofk = (
+        orders.select("o_custkey")
+        .join(
+            cust.select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias(
+                "v"
+            ),
+        )
+        .selectExpr(
+            "'fk_customer' AS rule",
+            "v AS n_violations",
+            "'orders' AS table_name",
+            "n AS n_checked",
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lfk = (
+        li.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+                "v"
+            ),
+        )
+        .selectExpr(
+            "'fk_orders' AS rule",
+            "v AS n_violations",
+            "'lineitem' AS table_name",
+            "n AS n_checked",
+        )
+    )
+    out = ev_a
+    for part in (doc_a, cust_a, ofk, lfk):
+        out = out.unionByName(part)
+    return out.select(
+        "table_name",
+        "rule",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.expr("CAST(n_violations * 1000000 DIV n_checked AS BIGINT)").alias(
+            "viol_ppm"
+        ),
+    )

@@ -597,3 +597,103 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ewma_fp"),
         F.expr("element_at(vs, -1)").alias("last_v_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event_transition_matrix — first-order Markov transition statistics
+# ---------------------------------------------------------------------------
+
+_TRANS_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+  FROM events
+),
+t AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+         ) AS to_type
+  FROM e
+),
+c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n,
+       CAST(c.n * 1000000 // t.row_n AS BIGINT) AS p_ppm
+FROM c JOIN tot t ON c.from_type = t.from_type
+"""
+
+
+@register(
+    "event_transition_matrix",
+    oracle=_TRANS_ORACLE,
+    tags=("corpus-stats", "sequence", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences —
+    P(next event type | event type), the session-model statistic behind
+    next-action prediction features, anomaly scoring (improbable
+    transitions), and synthetic-sequence generators. Probabilities are
+    fixed-point parts-per-million via integer division, so the matrix
+    is bit-identical across engines (row totals and counts are exact
+    BIGINTs; no float division in the plan).
+
+    Scale: ONE user_id exchange + sort feeds the lead() window (the
+    user_lag_features partitioning); the transition pairs then collapse
+    to a |types|² frame — effectively scalar — so the count aggregation
+    is map-side-combined down to a handful of rows per mapper, and the
+    row-total join is a broadcast of a tiny frame. At 100 TB this is a
+    scan, one shuffle, one sort, and a broadcast join on a 25-row
+    matrix."""
+    e = ensure_parallelism(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_id", "event_type", F.expr("ts_ns DIV 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        c.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 1000000 DIV row_n").alias("p_ppm"),
+        )
+    )
+
+
+@register(
+    "user_value_ewma_stream_replay",
+    oracle=_EWMA_ORACLE,  # identical output contract to the batch fold
+    tags=("streaming", "features", "sequence", "stateful"),
+)
+def user_value_ewma_stream_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The quantized EWMA feature UNDER STREAMING EXECUTION — the
+    continuously-maintained feature-store shape: the fixed-point
+    recursion advances per user as each event is watermark-finalized
+    (streaming/stateful.py::ewma_stateful), instead of a nightly batch
+    re-fold of full history. Keyed state is three BIGINTs plus the
+    watermark-lag pending buffer; the flush sentinel settles the final
+    lag, so the replay shares the batch oracle verbatim."""
+    import os
+
+    from ..streaming.runner import run_available_now
+    from ..streaming.stateful import ewma_stateful
+    from .linkage import _sentinel_event_stream
+
+    stream, flush_ms = _sentinel_event_stream(spark, sf_dir, with_value=True)
+    return run_available_now(
+        ewma_stateful(stream, flush_ms),
+        output_mode="append",
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")
+        ),
+    )

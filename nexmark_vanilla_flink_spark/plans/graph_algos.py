@@ -144,3 +144,147 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_fp"), "part_id")
         .limit(_PR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# copurchase_triangles — degree-oriented distributed triangle counting
+# ---------------------------------------------------------------------------
+
+_TRI_TOPK = 50
+
+_TRI_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS x FROM pairs UNION ALL SELECT v AS x FROM pairs
+  ) GROUP BY 1
+),
+oriented AS (
+  SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
+         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst,
+         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN dv.d ELSE du.d END AS ddst
+  FROM pairs p
+  JOIN deg du ON du.x = p.u
+  JOIN deg dv ON dv.x = p.v
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM oriented e1
+  JOIN oriented e2
+    ON e1.src = e2.src AND (e1.ddst, e1.dst) < (e2.ddst, e2.dst)
+  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+per_node AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+    SELECT a AS x FROM tri UNION ALL
+    SELECT b AS x FROM tri UNION ALL
+    SELECT c AS x FROM tri
+  ) GROUP BY 1
+)
+SELECT CAST(p.x AS BIGINT) AS part_id, p.tri_cnt, d.d AS degree
+FROM per_node p JOIN deg d ON d.x = p.x
+ORDER BY p.tri_cnt DESC, p.x
+LIMIT {_TRI_TOPK}
+"""
+
+
+@register(
+    "copurchase_triangles",
+    oracle=_TRI_ORACLE,
+    tags=("graph", "tpch"),
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the product co-purchase graph — the
+    clustering-coefficient / community-density primitive (top-50 parts
+    by triangle participation). Triangles are counted once each via the
+    DEGREE ORIENTATION: every undirected edge is directed from its
+    (degree, id)-smaller endpoint to its larger one, and a triangle is a
+    wedge of two out-edges (v before w in the same order) closed by the
+    oriented edge v→w.
+
+    Scale: orientation is THE standard trick that makes distributed
+    triangle counting feasible — out-degree in the oriented graph is
+    bounded by O(sqrt(2m)) regardless of how skewed the original degree
+    distribution is, so the wedge self-join (the only quadratic term)
+    generates sum(outdeg²) = O(m^1.5) candidates instead of the
+    sum(deg²) a hub vertex would otherwise explode (a part in 10% of
+    all orders squares into 1% of all order-pairs unoriented; oriented
+    it contributes nothing past its sqrt bound). The edge build itself
+    is bounded per order (≤ 21 pairs/order, linear in lineitem — the
+    copurchase_pagerank argument); wedge and closure are equi-joins on
+    src and (dst-pair) respectively, both hash-partitioned, and the
+    closure join's build side is the oriented edge list itself — no
+    collect, no loop, one declarative plan. Top-50 is
+    TakeOrderedAndProject (distributed partial top-k)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("x"))
+        .unionAll(pairs.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    with_deg = (
+        pairs.join(du, F.col("u") == F.col("du.x"))
+        .join(dv, F.col("v") == F.col("dv.x"))
+        .select(
+            "u", "v", F.col("du.d").alias("d_u"), F.col("dv.d").alias("d_v")
+        )
+    )
+    fwd = F.struct("d_u", "u") < F.struct("d_v", "v")
+    oriented = with_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("d_v")).otherwise(F.col("d_u")).alias("ddst"),
+    ).cache()
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (
+                F.struct(F.col("e1.ddst"), F.col("e1.dst"))
+                < F.struct(F.col("e2.ddst"), F.col("e2.dst"))
+            ),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("ta"),
+            F.col("e1.dst").alias("tb"),
+            F.col("e2.dst").alias("tc"),
+        )
+    )
+    per_node = (
+        tri.select(F.col("ta").alias("x"))
+        .unionAll(tri.select(F.col("tb").alias("x")))
+        .unionAll(tri.select(F.col("tc").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("tri_cnt"))
+    )
+    return (
+        per_node.join(deg, "x")
+        .select(F.col("x").alias("part_id"), "tri_cnt", F.col("d").alias("degree"))
+        .orderBy(F.desc("tri_cnt"), "part_id")
+        .limit(_TRI_TOPK)
+    )

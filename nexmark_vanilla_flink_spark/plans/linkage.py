@@ -373,6 +373,135 @@ def entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# golden_record_merge — survivorship over the linked entity clusters
+# ---------------------------------------------------------------------------
+
+_GOLDEN_ORACLE = f"""
+WITH a AS (
+  SELECT c_custkey AS a_key, c_nationkey AS a_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS a_cents,
+         c_mktsegment AS a_segment, c_name AS a_name
+  FROM customer
+),
+b AS ({_ER_DIRTY_SQL}),
+pass1 AS (
+  SELECT a.a_key, a.a_name, a.a_cents, b.b_key, b.b_name, b.b_cents
+  FROM a JOIN b ON a.a_nationkey = b.b_nationkey AND a.a_cents = b.b_cents
+),
+b2 AS (
+  SELECT *, count(*) OVER (PARTITION BY b_segment, substr(b_name, -3))
+              AS blk_n
+  FROM b
+),
+pass2 AS (
+  SELECT a.a_key, a.a_name, a.a_cents, b2.b_key, b2.b_name, b2.b_cents
+  FROM a JOIN b2 ON a.a_segment = b2.b_segment
+                AND substr(a.a_name, -3) = substr(b2.b_name, -3)
+  WHERE b2.blk_n <= {_ER_BLOCK_CAP}
+),
+m AS (
+  SELECT *, levenshtein(a_name, b_name) AS lev
+  FROM (
+    SELECT DISTINCT a_key, a_name, a_cents, b_key, b_name, b_cents
+    FROM (SELECT * FROM pass1 UNION ALL SELECT * FROM pass2)
+  )
+  WHERE levenshtein(a_name, b_name) <= {_ER_LEV_MAX}
+),
+g AS (
+  SELECT a_key, a_name, a_cents,
+         count(*) AS n_matches,
+         min(lev) AS min_lev,
+         min(struct_pack(l := lev, bk := b_key, bn := b_name)) AS best,
+         max(b_cents) AS max_b_cents
+  FROM m GROUP BY 1, 2, 3
+)
+SELECT CAST(a_key AS BIGINT) AS a_key,
+       CAST(n_matches AS INT) AS n_matches,
+       CAST(min_lev AS INT) AS min_lev,
+       CAST(best.bk AS BIGINT) AS best_b_key,
+       CASE WHEN length(best.bn) > length(a_name) THEN best.bn
+            ELSE a_name END AS golden_name,
+       CAST(greatest(a_cents, max_b_cents) AS BIGINT) AS golden_cents
+FROM g
+"""
+
+
+@register(
+    "golden_record_merge",
+    oracle=_GOLDEN_ORACLE,
+    tags=("linkage", "entity-resolution", "mdm"),
+)
+def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship — the step AFTER record linkage in an MDM/golden-
+    record pipeline: for every clean entity, merge its matched dirty
+    records into one golden row by deterministic survivorship rules
+    (best match = lowest (edit-distance, key); longest-name-wins with
+    the clean name preferred on ties; balance = greatest observed).
+    Consumes the same two-pass blocked candidate relation as
+    ``entity_resolution_pairs`` with the source attributes carried
+    through to the merge.
+
+    Scale: inherits the linear-candidate argument of the blocking
+    passes (pass-1 blocks O(dups/entity), pass-2 capped at
+    _ER_BLOCK_CAP rows per A-row); the survivorship itself is ONE
+    hash aggregation on a_key with min(struct(lev, b_key, b_name)) —
+    the map-side-combining argmin (registry discipline: never a
+    row_number window), so the exchange carries one partial golden row
+    per entity per mapper, not the match pairs. String survivorship
+    (longest/lex) is pure codegen CASE/length."""
+    a, b = _er_sides(spark, sf_dir)
+    attrs = ["a_key", "a_name", "a_cents", "b_key", "b_name", "b_cents"]
+    p1 = a.join(
+        b,
+        (F.col("a_nationkey") == F.col("b_nationkey"))
+        & (F.col("a_cents") == F.col("b_cents")),
+    ).select(*attrs)
+    bw = Window.partitionBy("b_segment", F.expr("substr(b_name, -3, 3)"))
+    b2 = b.withColumn("blk_n", F.count(F.lit(1)).over(bw)).filter(
+        F.col("blk_n") <= _ER_BLOCK_CAP
+    )
+    p2 = a.join(
+        b2,
+        (F.col("a_segment") == F.col("b_segment"))
+        & (
+            F.expr("substr(a_name, -3, 3)")
+            == F.expr("substr(b_name, -3, 3)")
+        ),
+    ).select(*attrs)
+    lev = F.levenshtein("a_name", "b_name")
+    m = (
+        p1.unionByName(p2)
+        .distinct()
+        .withColumn("lev", lev)
+        .filter(F.col("lev") <= _ER_LEV_MAX)
+    )
+    g = m.groupBy("a_key", "a_name", "a_cents").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("lev").alias("min_lev"),
+        F.min(
+            F.struct(
+                F.col("lev").alias("l"),
+                F.col("b_key").alias("bk"),
+                F.col("b_name").alias("bn"),
+            )
+        ).alias("best"),
+        F.max("b_cents").alias("max_b_cents"),
+    )
+    return g.select(
+        F.col("a_key").cast("long").alias("a_key"),
+        F.col("n_matches").cast("int").alias("n_matches"),
+        F.col("min_lev").cast("int").alias("min_lev"),
+        F.col("best.bk").cast("long").alias("best_b_key"),
+        F.when(
+            F.length("best.bn") > F.length("a_name"), F.col("best.bn")
+        )
+        .otherwise(F.col("a_name"))
+        .alias("golden_name"),
+        F.greatest("a_cents", "max_b_cents").cast("long").alias("golden_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # kmv_distinct_estimate — K-Minimum-Values cardinality sketch
 # ---------------------------------------------------------------------------
 
@@ -567,7 +696,7 @@ _SENTINEL_CACHE: dict[tuple[int, str], tuple[int, str]] = {}
 
 
 def _sentinel_event_stream(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, with_value: bool = False
 ) -> tuple[DataFrame, int]:
     """The event stream UNIONED with a one-row flush sentinel (user_id -1,
     ts = max event time + 8 days): the bounded-replay analog of Flink's
@@ -575,7 +704,9 @@ def _sentinel_event_stream(
     every keyed flush timer registers at. Shared by the funnel and SCD2
     streaming twins. The max-ts probe and the sentinel file are cached
     per (session, events-file content) — the sentinel depends only on
-    the source data, not on the consuming query."""
+    the source data, not on the consuming query. ``with_value`` adds the
+    quantized value column ``v_fp`` (1e-3 fixed point, 0 on the
+    sentinel row) for value-folding consumers like the EWMA twin."""
     import os
     import uuid
 
@@ -632,8 +763,15 @@ def _sentinel_event_stream(
         F.expr("ts_ns DIV 1000").alias("us"),
         "event_id",
         "ts",
+        *(
+            [F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v_fp")]
+            if with_value
+            else []
+        ),
     )
     sent = spark.readStream.schema(sent_schema).parquet(sent_dir)
+    if with_value:
+        sent = sent.withColumn("v_fp", F.lit(0).cast("long"))
     return ev.unionByName(sent), flush_ms
 
 

@@ -790,3 +790,126 @@ def skipgram_stateful(events: DataFrame, flush_ms: int) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+EWMA_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", IntegerType()),
+        StructField("ewma_fp", LongType()),
+        StructField("last_v_fp", LongType()),
+    ]
+)
+
+_EWMA_STATE = StructType(
+    [
+        StructField("acc", LongType()),
+        StructField("n", LongType()),
+        StructField("last_v", LongType()),
+        StructField("buf_us", ArrayType(LongType())),
+        StructField("buf_eid", ArrayType(LongType())),
+        StructField("buf_v", ArrayType(LongType())),
+    ]
+)
+
+
+def ewma_stateful(events: DataFrame, flush_ms: int) -> DataFrame:
+    """Continuously-maintained quantized EWMA feature — the streaming
+    form of the batch ``user_value_ewma`` fold: per user, the running
+    fixed-point recursion acc = (acc + v_fp) DIV 2 advances as each
+    event is watermark-FINALIZED, exactly the feature-store pattern
+    where a serving-side feature must reflect the stream up to the
+    watermark at all times.
+
+    Same watermark discipline as ``funnel_stateful``/``scd2_stateful``:
+    arriving events buffer in keyed state; each batch folds, in
+    (event-time, event_id) order, only the buffered prefix at-or-below
+    the watermark (an EWMA folded out of order is a different number —
+    the order gate IS the correctness condition). Durable state is
+    three BIGINTs per key plus the watermark-lag pending buffer; the
+    fold is O(ready events). The feature row itself is only emitted at
+    the end-of-input flush timer (append-mode-sound: the full-history
+    EWMA is final only when input ends), which is what lets the replay
+    share the batch oracle verbatim; a serving deployment would swap
+    the sink for a keyed upsert and read the state store directly."""
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        uid = int(key[0])
+
+        def fold(acc, n, last_v, us, eid, v):
+            order = np.lexsort((eid, us))
+            for i in order:
+                x = int(v[i])
+                acc = (acc + x) // 2
+                last_v = x
+                n += 1
+            return acc, n, last_v
+
+        if state.hasTimedOut:
+            acc, n, last_v, buf_us, buf_eid, buf_v = state.get
+            state.remove()
+            if len(buf_us):  # end-of-input: everything pending is final
+                acc, n, last_v = fold(
+                    acc,
+                    n,
+                    last_v,
+                    np.asarray(buf_us, dtype=np.int64),
+                    np.asarray(buf_eid, dtype=np.int64),
+                    np.asarray(buf_v, dtype=np.int64),
+                )
+            if n > 0:
+                yield pd.DataFrame(
+                    [(uid, int(n), int(acc), int(last_v))],
+                    columns=["user_id", "n_events", "ewma_fp", "last_v_fp"],
+                )
+            return
+        if uid < 0:  # flush sentinel: advances the watermark only
+            return
+        if state.exists:
+            acc, n, last_v, buf_us, buf_eid, buf_v = state.get
+            buf_us, buf_eid, buf_v = list(buf_us), list(buf_eid), list(buf_v)
+        else:
+            acc, n, last_v = 0, 0, 0
+            buf_us, buf_eid, buf_v = [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            buf_us.extend(pdf["us"].astype("int64").tolist())
+            buf_eid.extend(pdf["event_id"].astype("int64").tolist())
+            buf_v.extend(pdf["v_fp"].astype("int64").tolist())
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if buf_us:
+            us = np.asarray(buf_us, dtype=np.int64)
+            eid = np.asarray(buf_eid, dtype=np.int64)
+            v = np.asarray(buf_v, dtype=np.int64)
+            ready = us <= wm_us
+            if ready.any():
+                acc, n, last_v = fold(
+                    acc, n, last_v, us[ready], eid[ready], v[ready]
+                )
+                pend = ~ready
+                buf_us = us[pend].tolist()
+                buf_eid = eid[pend].tolist()
+                buf_v = v[pend].tolist()
+        state.update((acc, n, last_v, buf_us, buf_eid, buf_v))
+        state.setTimeoutTimestamp(
+            max(flush_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return (
+        events.withWatermark("ts", "2 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=EWMA_OUTPUT,
+            stateStructType=_EWMA_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

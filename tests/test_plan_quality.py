@@ -511,3 +511,57 @@ def test_bpe_pair_counts_stays_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # one exchange: the partial-aggregated pair counts
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_triangles_oriented_join_no_cartesian(spark, sf_dir):
+    # the wedge join and the closure join are equi-joins (src; dst-pair) —
+    # a CartesianProduct here would be the unoriented all-pairs disaster
+    plan = _plan(spark, sf_dir, "copurchase_triangles")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_triangles_nonempty_and_triple_counted(spark, sf_dir):
+    # per-node participation must sum to a multiple of 3 (each triangle
+    # contributes exactly one count to each of its three vertices); an
+    # empty result would vacuously pass the oracle
+    import pyspark.sql.functions as F
+
+    df = REGISTRY["copurchase_triangles"].spark(spark, sf_dir)
+    rows = df.agg(F.sum("tri_cnt").alias("s"), F.count("*").alias("n")).collect()[0]
+    assert rows["n"] > 0
+    # top-50 cut means the global sum isn't visible here; re-derive the
+    # full per-node frame's sum via the operator at the smallest fixture
+    # is the oracle's job — here we pin non-degeneracy only
+    assert rows["s"] > 0
+
+
+def test_golden_record_argmin_is_struct_min_not_window(spark, sf_dir):
+    # survivorship must partial-aggregate map-side (min(struct(...))),
+    # never a row_number window over the match pairs (VERDICT r5 task 2
+    # pattern). The only Window allowed is pass-2's blk_n count over the
+    # blocking key (shared with entity_resolution_pairs).
+    plan = _plan(spark, sf_dir, "golden_record_merge")
+    assert "row_number" not in plan
+    assert "partial_min" in plan
+
+
+def test_transition_matrix_broadcasts_row_totals(spark, sf_dir):
+    # the |types|x|types| matrix joins its row totals via broadcast — the
+    # fact-side exchange count stays at the single user_id window shuffle
+    plan = _plan(spark, sf_dir, "event_transition_matrix")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_audit_shares_scans_and_prunes(spark, sf_dir):
+    # the FK probes read keys only: the orders scan feeding fk_customer
+    # must not drag payload columns across the join
+    plan = _plan(spark, sf_dir, "dq_expectation_audit")
+    assert "CartesianProduct" not in plan
+    # conditional-aggregate rule families collapse before any exchange:
+    # every SinglePartition exchange carries a partial aggregate
+    for chunk in plan.split("Exchange SinglePartition")[1:]:
+        if "HashAggregate" in chunk[:400]:
+            first_agg = chunk.split("HashAggregate", 1)[1][:200]
+            assert "partial_" in first_agg, first_agg
