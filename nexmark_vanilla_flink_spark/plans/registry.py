@@ -87,7 +87,17 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # state, no sink readback dependency) and stream_dedup_replay (its
 # watermark-dedup state shape re-gates via incremental_dedup's replay
 # logic and its batch twin in tier 3) — both stay CI-parity-locked.
-# 3 + 5 + 20 + 8 + 4 + 8 + 2 = 50. Everything below the cap stays
+# Tier 2d — the five final r6 additions (copurchase_triangles,
+# golden_record_merge, event_transition_matrix, dq_expectation_audit,
+# user_value_ewma_stream_replay): same rule displaces the four pure-JVM
+# replays (q5_hot_items/sessions/q7_highest_bid/cm) — the r6 runner
+# change they would re-gate is still exercised by the NINE replays that
+# remain in this head (ann_ivf/funnel/scd2/skipgram/ewma Python-stateful,
+# q8_join/qx JVM joins, q8_union lowlevel, exactly_once sink path) —
+# plus tier-3's nation_distinct_segments (smallest re-gate risk: a tiny
+# dimensional distinct, CI-parity-green since r2). All five stay
+# CI-parity-locked below the cap.
+# 3 + 5 + 19 + 8 + 4 + 4 + 2 + 5 = 50. Everything below the cap stays
 # pytest-oracle-locked every CI run (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
     # --- tier 1: never driver-checked ---
@@ -107,7 +117,6 @@ DRIVER_HEAD: list[str] = [
     "user_event_pivot",
     "events_semi_anti_join",
     "events_cube",
-    "nation_distinct_segments",
     "token_budget_packing",
     "doc_repetition_scores",
     "nexmark_q15_bidding_stats",
@@ -136,17 +145,19 @@ DRIVER_HEAD: list[str] = [
     "skipgram_pairs_stream_replay",
     "temporal_holdout_splits",
     # --- tier 5: replays re-gating under the r6 execution environment ---
-    "q5_hot_items_stream_replay",
-    "sessions_stream_replay",
     "q8_union_join_lowlevel",
     "q8_join_stream_replay",
     "qx_interval_join_stream_replay",
-    "q7_highest_bid_stream_replay",
-    "cm_stream_replay",
     "exactly_once_sink_replay",
     # --- tier 2c: added latest in r6, never gated ---
     "user_value_ewma",
     "quality_label_propagation",
+    # --- tier 2d: final r6 additions, never gated ---
+    "copurchase_triangles",
+    "golden_record_merge",
+    "event_transition_matrix",
+    "dq_expectation_audit",
+    "user_value_ewma_stream_replay",
 ]
 
 
