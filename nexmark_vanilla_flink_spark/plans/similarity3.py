@@ -1,0 +1,284 @@
+"""Exact all-pairs set-similarity operators, round 6 — the two classic
+inverted-index similarity-join shapes the corpus tier still lacked (no
+reference counterpart; the reference stops at Nexmark analytics):
+
+  * ``prefix_filter_jaccard_pairs`` — EXACT corpus-wide token-Jaccard
+    join via prefix filtering (PPJoin-style): unlike the blocked
+    (`ngram_jaccard_pairs`) and probabilistic (`minhash_lsh_pairs`)
+    variants, this finds *every* pair with J >= tau across the whole
+    corpus, and still never forms the quadratic pair space — candidates
+    only arise from docs sharing a token inside their rarest-token
+    prefix.
+  * ``tfidf_cosine_topk`` — sparse lexical cosine top-k through an
+    inverted index: postings weighted by integer-scaled inverse document
+    frequency, stop tokens pruned by a document-frequency cap so no
+    posting list (and hence no join group) exceeds df_cap, dot products
+    accumulated relationally.
+
+Both stay entirely in codegen'd built-ins (explode / groupBy / HOFs —
+no Python UDFs) and follow registry.py's determinism discipline:
+candidate *generation* may be engine-specific, but the emitted relation
+is defined by exact integer counts, so the DuckDB brute-force oracles
+match hash-for-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.parallelism import ensure_parallelism
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# prefix_filter_jaccard_pairs — exact Jaccard >= 0.9 via prefix filtering
+# ---------------------------------------------------------------------------
+# tau = 9/10 keeps every bound in exact integer arithmetic (the driver
+# corpus is heavily templated — at tau=0.5 three quarters of ALL pairs
+# qualify and the filter prunes nothing, so the near-dup threshold sits
+# where the distribution actually separates):
+#   required overlap   : J(a,b) >= t  =>  |a∩b| >= t * max(|a|,|b|)
+#   prefix length      : p = |T| - ceil(9*|T|/10) + 1 = |T| - (9*|T|+9) DIV 10 + 1
+#   length filter      : min(|a|,|b|) >= t * max(|a|,|b|)  <=>  10*min >= 9*max
+# Proof sketch (standard PPJoin argument): order all tokens by a single
+# global total order (document frequency asc, token asc — rarest first).
+# If |a∩b| >= ceil(t*|T|) for both sides, a and b cannot each avoid the
+# other inside their first |T| - ceil(t*|T|) + 1 ordered tokens, so any
+# qualifying pair shares at least one *prefix* token and survives the
+# prefix equi-join. Verification on full token arrays is exact, so the
+# result is identical to the brute-force oracle — the filter only prunes
+# the candidate space, never the answer.
+
+_PFX_ORACLE = """
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.toks, b.toks)) AS i,
+         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS u
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(i AS BIGINT) AS n_common,
+       round(CAST(i AS DOUBLE) / u, 4) AS jaccard
+FROM p
+WHERE CAST(i AS DOUBLE) / u >= 0.9
+"""
+
+
+@register(
+    "prefix_filter_jaccard_pairs",
+    oracle=_PFX_ORACLE,
+    tags=("pipeline", "dedup", "jaccard", "prefix-filter"),
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide token-Jaccard pairs (J >= 0.9) with PPJoin-style
+    prefix filtering. The oracle brute-forces all C(n,2) pairs; this plan
+    never does: candidates come from an equi-join of rarest-token
+    prefixes (plus the 10*min>=9*max length filter), then only candidates
+    are verified with exact intersections. Every stage is linear in the
+    posting lists — the quadratic blowup of a naive self-join is
+    structurally impossible, and unlike LSH there are no false negatives."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    toks = d.select("doc_id", F.explode("toks").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    # one global total order: (df asc, tok asc). Per-doc prefix = sort the
+    # doc's (df, tok) pairs and slice — one exchange on doc_id, sorts are
+    # per-row array sorts inside codegen, not a cluster sort.
+    pref = (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("arr"))
+        .withColumn("sz", F.size("arr"))
+        .withColumn(
+            "plen", F.col("sz") - F.expr("(9 * sz + 9) DIV 10") + F.lit(1)
+        )
+        .select(
+            "doc_id",
+            "sz",
+            F.explode(F.expr("slice(arr, 1, CAST(plen AS INT))")).alias("p"),
+        )
+        .select("doc_id", "sz", F.col("p.tok").alias("tok"))
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "tok"
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "tok"
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: a true pair needs 10*min(|a|,|b|) >= 9*max(|a|,|b|)
+        .filter(
+            F.lit(10) * F.least("sz_a", "sz_b")
+            >= F.lit(9) * F.greatest("sz_a", "sz_b")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    fb = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    i = F.size(F.array_intersect("toks_a", "toks_b"))
+    u = F.size("toks_a") + F.size("toks_b") - i
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("n_common", i.cast("long"))
+        .withColumn("jac_exact", i.cast("double") / u)
+        # filter on the EXACT ratio (identical rationals in both engines),
+        # round only for display — rounding before the filter would admit
+        # J in [0.89995, 0.9) pairs the prefix bound does not guarantee.
+        .filter(F.col("jac_exact") >= 0.9)
+        .select(
+            "doc_a", "doc_b", "n_common", F.round("jac_exact", 4).alias("jaccard")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tfidf_cosine_topk — inverted-index sparse cosine, integer-exact weights
+# ---------------------------------------------------------------------------
+# Weights are integer-scaled inverse document frequency:
+#   idf_s = (N * 1000) DIV df        (BIGINT — no libm, no cross-engine ulp)
+#   w     = tf * idf_s               (tf = raw term count in the doc)
+# Stop tokens (df > N DIV 10) are pruned from the index — the standard
+# posting-list cap that bounds every join group (same role as winnow's
+# stop-fingerprint df cap). Dot products and squared norms are sums of
+# integer products accumulated exactly — decimal(38,0) in Spark, HUGEINT
+# in the oracle — so they cannot drift or overflow at any corpus size;
+# only the final ratio is a double.
+
+_TFIDF_ORACLE = """
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (
+    SELECT doc_id, ws[j + 1] || ' ' || ws[j + 2] || ' ' || ws[j + 3] AS tok
+    FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 2, 0))) AS j
+          FROM w)
+  )
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+post AS (
+  SELECT t.doc_id, t.tok,
+         t.tf * ((n.n_docs * 1000) // d.df) AS w
+  FROM tf t, dfreq d, n
+  WHERE t.tok = d.tok AND d.df <= n.n_docs // 10
+),
+nrm AS (
+  SELECT doc_id, sqrt(CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE)) AS nrm
+  FROM post GROUP BY 1
+),
+dot AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(CAST(a.w AS HUGEINT) * b.w) AS DOUBLE) AS dot
+  FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.doc_a, d.doc_b,
+         round(d.dot / (na.nrm * nb.nrm), 4) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY d.doc_a
+           ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.doc_b
+         ) AS rn
+  FROM dot d
+  JOIN nrm na ON na.doc_id = d.doc_a
+  JOIN nrm nb ON nb.doc_id = d.doc_b
+)
+SELECT doc_a, doc_b, cos_sim, CAST(rn AS BIGINT) AS rn
+FROM scored WHERE rn <= 3
+"""
+
+
+@register(
+    "tfidf_cosine_topk",
+    oracle=_TFIDF_ORACLE,
+    tags=("pipeline", "similarity", "tfidf"),
+)
+def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical cosine top-3 per document through an inverted index
+    over word-3-gram shingle features: integer-scaled idf weights (exact —
+    no transcendental functions to disagree across engines), stop shingles
+    dropped by the df cap so the widest posting list is df_cap entries,
+    pairwise dot products built by a posting-list self-join. Complements the dense-embedding cosine ops
+    (`cosine_topk_bruteforce`, `ann_ivf_topk`): same contract, lexical
+    feature space. DECIMAL(38,0) accumulators keep sums exact at any
+    scale; the per-doc_a top-k window runs over candidate pairs (already
+    sub-quadratic thanks to the df cap), not the corpus."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # corpus size as a broadcast scalar agg — no driver collect, stays lazy
+    n1 = docs.agg(F.count("*").alias("n_docs"))
+    # word-3-gram shingle features (the corpus' unigram vocabulary is a
+    # ~31-token template set — unigram tf-idf is degenerate; shingles give
+    # the same feature space the MinHash tier fingerprints)
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    tf = (
+        ws.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) >= 3 THEN "
+                    "transform(sequence(0, size(ws) - 3), "
+                    "j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2])) "
+                    "ELSE CAST(array() AS ARRAY<STRING>) END"
+                )
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    post = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n1))
+        .filter(F.col("df") <= F.expr("n_docs DIV 10"))
+        .withColumn(
+            # true integer DIV (not double-divide-then-truncate: a 0.5-ulp
+            # round-up across an integer boundary would break exactness)
+            "w",
+            F.expr("tf * ((n_docs * 1000) DIV df)"),
+        )
+        .select("doc_id", "tok", "w")
+    )
+    # products via decimal(19,0) factors -> exact decimal(38,0) sums (the
+    # oracle uses HUGEINT for the same exactness); DOUBLE only at the end
+    wd = F.col("w").cast("decimal(19,0)")
+    nrm = post.groupBy("doc_id").agg(
+        F.sqrt(F.sum(wd * wd).cast("double")).alias("nrm")
+    )
+    pa = post.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
+    pb = post.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
+    dot = (
+        pa.join(pb, "tok")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.col("wa").cast("decimal(19,0)") * F.col("wb").cast("decimal(19,0)")
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    scored = (
+        dot.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("score", F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")))
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.desc("score"), F.asc("doc_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_a", "doc_b", F.round("score", 4).alias("cos_sim"), "rn")
+    )
