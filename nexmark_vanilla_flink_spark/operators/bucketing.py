@@ -16,12 +16,25 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 8,
     sort: bool = True,
+    path: str | None = None,
+    single_file_per_bucket: bool = False,
 ) -> None:
+    """`path` makes the table external (layout survives the catalog).
+    `single_file_per_bucket` pre-partitions on the bucket key so each
+    bucket is exactly one file — the prerequisite for the planner to
+    *trust* the sortBy order at read time (multi-file buckets would need
+    a merge, so Spark re-sorts them below any sort-merge join)."""
+    if single_file_per_bucket:
+        from pyspark.sql import functions as F
+
+        df = df.repartition(n_buckets, F.col(bucket_col))
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, bucket_col
     )
     if sort:
         writer = writer.sortBy(bucket_col)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -97,7 +97,19 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # plus tier-3's nation_distinct_segments (smallest re-gate risk: a tiny
 # dimensional distinct, CI-parity-green since r2). All five stay
 # CI-parity-locked below the cap.
-# 3 + 5 + 19 + 8 + 4 + 4 + 2 + 5 = 50. Everything below the cap stays
+# Tier 2e — the four entries added latest in r6 (prefix_filter_jaccard_
+# pairs, tfidf_cosine_topk, bucketed_colocated_join, key_skew_profile):
+# never-gated-new outranks re-gating once more. Displaced, with the
+# least re-gate risk in the head: q8_join_stream_replay and
+# qx_interval_join_stream_replay (r5-green JVM stream-stream joins; the
+# r6 runner change they would re-gate is still exercised by the SEVEN
+# replays remaining in this head, including the sink path via
+# exactly_once and the lowlevel union join), and kmeans_refine_once and
+# pq_codes (the r6 struct-min argmin rewrite they share is gated via
+# kmeans_train and ann_ivf_topk + its replay, which stay). All four stay
+# CI-parity-locked below the cap. copurchase_triangles' r6 support-
+# threshold change re-gates in its existing tier-2d slot.
+# 3 + 5 + 19 + 6 + 4 + 2 + 2 + 5 + 4 = 50. Everything below the cap stays
 # pytest-oracle-locked every CI run (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
     # --- tier 1: never driver-checked ---
@@ -132,8 +144,6 @@ DRIVER_HEAD: list[str] = [
     "tpch_q21_waiting_suppliers",
     # --- tier 4: implementation changed in round 6 ---
     "kmeans_train",
-    "kmeans_refine_once",
-    "pq_codes",
     "ann_ivf_topk",
     "ann_ivf_topk_stream_replay",
     "funnel_conversion",
@@ -146,8 +156,6 @@ DRIVER_HEAD: list[str] = [
     "temporal_holdout_splits",
     # --- tier 5: replays re-gating under the r6 execution environment ---
     "q8_union_join_lowlevel",
-    "q8_join_stream_replay",
-    "qx_interval_join_stream_replay",
     "exactly_once_sink_replay",
     # --- tier 2c: added latest in r6, never gated ---
     "user_value_ewma",
@@ -158,6 +166,11 @@ DRIVER_HEAD: list[str] = [
     "event_transition_matrix",
     "dq_expectation_audit",
     "user_value_ewma_stream_replay",
+    # --- tier 2e: latest r6 additions, never gated ---
+    "prefix_filter_jaccard_pairs",
+    "tfidf_cosine_topk",
+    "bucketed_colocated_join",
+    "key_skew_profile",
 ]
 
 
