@@ -697,3 +697,111 @@ def user_value_ewma_stream_replay(
             os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_doc_scores — exact-arithmetic LM quality filtering (CCNet-style)
+# ---------------------------------------------------------------------------
+# The perplexity-filter class (score each document under a corpus language
+# model, curate on the score) with every probability kept RATIONAL so both
+# engines agree bit-for-bit: add-one-smoothed conditional probability
+#   P(tok | prev) = (c(prev,tok) + 1) / (c(prev) + V)
+# and the per-transition "surprise" is the SCALED INVERSE probability
+#   inv_p = ((c(prev) + V) * 1000) DIV (c(prev,tok) + 1)     (BIGINT, exact)
+# The document score is the mean of inv_p over its transitions, kept as
+# the exact scaled integer (sum*10) DIV n — surprise x 10^4, zero floats
+# anywhere in the plan. No logarithms: log-space
+# perplexity would drag in libm (cross-engine ulp drift); the arithmetic
+# mean of inverse probabilities ranks documents the same way for the
+# curation gate (high = improbable under the corpus LM = OCR noise or
+# gibberish; low = templated boilerplate).
+
+_LM_SCALE = 1000
+
+_LM_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tr AS (
+  SELECT doc_id, ws[j + 1] AS prev, ws[j + 2] AS tok
+  FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 1, 0))) AS j
+        FROM w)
+),
+vocab AS (
+  SELECT count(DISTINCT t) AS v FROM (
+    SELECT prev AS t FROM tr UNION SELECT tok AS t FROM tr
+  )
+),
+ctx AS (SELECT prev, count(*) AS c_prev FROM tr GROUP BY 1),
+big AS (SELECT prev, tok, count(*) AS c_big FROM tr GROUP BY 1, 2),
+scored AS (
+  SELECT t.doc_id,
+         ((c.c_prev + v.v) * {_LM_SCALE}) // (b.c_big + 1) AS inv_p
+  FROM tr t
+  JOIN big b ON b.prev = t.prev AND b.tok = t.tok
+  JOIN ctx c ON c.prev = t.prev
+  CROSS JOIN vocab v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST((sum(inv_p) * 10) // count(*) AS BIGINT) AS avg_surprise_e4
+FROM scored GROUP BY 1
+"""
+
+
+@register(
+    "bigram_lm_doc_scores",
+    oracle=_LM_ORACLE,
+    tags=("pipeline", "text", "curation"),
+)
+def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document under an add-one-smoothed corpus bigram LM —
+    the perplexity-filtering step of a curation pipeline (CCNet-style),
+    in exact integer arithmetic (see the scaled-inverse-probability note
+    above; no libm, so the oracle replays bit-for-bit).
+
+    Scale: the model IS two aggregates of the transition relation
+    (context counts, bigram counts) joined back per transition — all
+    equi-joins that partial-combine map-side; the vocabulary size is a
+    broadcast scalar agg, never a collect. At 100 TB the model tables
+    shard by (prev[, tok]) hash like any aggregation; nothing is
+    quadratic and nothing sits on the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = ensure_parallelism(docs).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    tr = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(0, size(ws) - 2), "
+                "j -> struct(ws[j] AS prev, ws[j+1] AS tok)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<prev STRING, tok STRING>>) END"
+            )
+        ).alias("t"),
+    ).select("doc_id", F.col("t.prev").alias("prev"), F.col("t.tok").alias("tok"))
+    vocab = (
+        tr.select(F.col("prev").alias("t"))
+        .unionAll(tr.select(F.col("tok").alias("t")))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    ctx = tr.groupBy("prev").agg(F.count(F.lit(1)).alias("c_prev"))
+    big = tr.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c_big"))
+    scored = (
+        tr.join(big, ["prev", "tok"])
+        .join(ctx, "prev")
+        .crossJoin(broadcast(vocab))
+        .withColumn(
+            "inv_p", F.expr(f"((c_prev + v) * {_LM_SCALE}) DIV (c_big + 1)")
+        )
+    )
+    # the mean stays a SCALED INTEGER (surprise x 10^4): sum is already in
+    # 1/_LM_SCALE units, so (sum*10) DIV n is exact — emitting a rounded
+    # double here hit the cross-engine round-half trap (the n*_LM_SCALE
+    # denominators make exact 4-decimal ties common, and Java BigDecimal
+    # HALF_UP vs C libm disagree on them)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.expr("CAST((sum(inv_p) * 10) DIV count(1) AS BIGINT)").alias(
+            "avg_surprise_e4"
+        ),
+    )

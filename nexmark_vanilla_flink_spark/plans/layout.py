@@ -195,3 +195,60 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# partitioned_pruned_scan — directory partitioning as the scan-time filter
+# ---------------------------------------------------------------------------
+
+# The oracle filters the raw view — partitioning is layout, not semantics.
+_PART_ORACLE = """
+SELECT (epoch_ns(ts) // 86400000000000) AS day,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
+           AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register(
+    "partitioned_pruned_scan",
+    oracle=_PART_ORACLE,
+    tags=("layout", "sink", "eager"),
+)
+def partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style directory partitioning + partition pruning: events are
+    written `partitionBy(event_type)` once, and the purchase-only rollup
+    then reads ONLY the event_type=purchase directory — the filter is
+    resolved against directory names at planning time (PartitionFilters
+    in the scan, pinned by tests/test_layout.py), so the other four
+    event types cost zero I/O. The partner op to
+    `bucketed_colocated_join`: bucketing pre-pays the join shuffle,
+    partitioning pre-pays the selective filter — at 100 TB with a
+    low-cardinality filter column this is the difference between
+    scanning 20 TB and scanning 4 TB. The day rollup keeps nano-exact
+    integer day buckets (epoch-ns DIV 86400e9) per registry discipline."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{_BKT_ROOT}/{key}/events_by_type"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts_ns"
+    )
+    ev.write.mode("overwrite").format("parquet").partitionBy(
+        "event_type"
+    ).save(path)
+    part = spark.read.parquet(path)
+    return (
+        part.filter(F.col("event_type") == "purchase")
+        # integer DIV, not `/`: double division loses exactness above 2^53
+        # and epoch-nanos live there
+        .groupBy(F.expr("ts_ns DIV 86400000000000").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

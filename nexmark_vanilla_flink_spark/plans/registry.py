@@ -109,8 +109,14 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # kmeans_train and ann_ivf_topk + its replay, which stay). All four stay
 # CI-parity-locked below the cap. copurchase_triangles' r6 support-
 # threshold change re-gates in its existing tier-2d slot.
-# 3 + 5 + 19 + 6 + 4 + 2 + 2 + 5 + 4 = 50. Everything below the cap stays
-# pytest-oracle-locked every CI run (tests/test_oracle_parity.py).
+# Tier 2f — the final r6 additions (bigram_lm_doc_scores — exact-
+# arithmetic LM perplexity-filter scoring; partitioned_pruned_scan —
+# directory partitioning + plan-asserted partition pruning): same rule,
+# displacing the two smallest-risk tier-3 re-gates (user_event_pivot, a
+# fixed 1500-row pivot, and events_semi_anti_join, a 2-row membership
+# check — both r2-driver-green and CI-parity-locked every run).
+# 3 + 5 + 17 + 6 + 4 + 2 + 2 + 5 + 4 + 2 = 50. Everything below the cap
+# stays pytest-oracle-locked every CI run (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
     # --- tier 1: never driver-checked ---
     "bloom_membership_audit",
@@ -126,8 +132,6 @@ DRIVER_HEAD: list[str] = [
     "events_variant_props",
     "incremental_dedup",
     "user_event_gaps",
-    "user_event_pivot",
-    "events_semi_anti_join",
     "events_cube",
     "token_budget_packing",
     "doc_repetition_scores",
@@ -171,6 +175,9 @@ DRIVER_HEAD: list[str] = [
     "tfidf_cosine_topk",
     "bucketed_colocated_join",
     "key_skew_profile",
+    # --- tier 2f: final r6 additions, never gated ---
+    "bigram_lm_doc_scores",
+    "partitioned_pruned_scan",
 ]
 
 

@@ -2,12 +2,12 @@
 inverted-index similarity-join shapes the corpus tier still lacked (no
 reference counterpart; the reference stops at Nexmark analytics):
 
-  * ``prefix_filter_jaccard_pairs`` — EXACT corpus-wide token-Jaccard
-    join via prefix filtering (PPJoin-style): unlike the blocked
+  * ``prefix_filter_jaccard_pairs`` — EXACT corpus-wide shingle-set
+    Jaccard join via prefix filtering (PPJoin-style): unlike the blocked
     (`ngram_jaccard_pairs`) and probabilistic (`minhash_lsh_pairs`)
     variants, this finds *every* pair with J >= tau across the whole
     corpus, and still never forms the quadratic pair space — candidates
-    only arise from docs sharing a token inside their rarest-token
+    only arise from docs sharing a shingle inside their rarest-first
     prefix.
   * ``tfidf_cosine_topk`` — sparse lexical cosine top-k through an
     inverted index: postings weighted by integer-scaled inverse document
@@ -50,60 +50,96 @@ from .registry import register
 # result is identical to the brute-force oracle — the filter only prunes
 # the candidate space, never the answer.
 
+# The oracle computes intersections through the inverted index (a
+# posting-list equi-join — work ∝ sum(df²), bounded because shingle df is
+# tiny) instead of walking C(n,2): J >= 0.9 implies a shared shingle, so
+# restricting to pairs with i > 0 loses nothing. Same exact result, an
+# independently-structured computation.
 _PFX_ORACLE = """
-WITH d AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, ws[j + 1] || ' ' || ws[j + 2] || ' ' || ws[j + 3] AS g
+  FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 2, 0))) AS j
+        FROM w)
 ),
-p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         len(list_intersect(a.toks, b.toks)) AS i,
-         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS u
-  FROM d a JOIN d b ON a.doc_id < b.doc_id
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+i AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT doc_a, doc_b,
-       CAST(i AS BIGINT) AS n_common,
-       round(CAST(i AS DOUBLE) / u, 4) AS jaccard
-FROM p
-WHERE CAST(i AS DOUBLE) / u >= 0.9
+SELECT i.doc_a, i.doc_b,
+       CAST(i.i AS BIGINT) AS n_common,
+       round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 4) AS jaccard
+FROM i
+JOIN sz sa ON sa.doc_id = i.doc_a
+JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.9
 """
 
 
-@register(
-    "prefix_filter_jaccard_pairs",
-    oracle=_PFX_ORACLE,
-    tags=("pipeline", "dedup", "jaccard", "prefix-filter"),
-)
-def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact corpus-wide token-Jaccard pairs (J >= 0.9) with PPJoin-style
-    prefix filtering. The oracle brute-forces all C(n,2) pairs; this plan
-    never does: candidates come from an equi-join of rarest-token
-    prefixes (plus the 10*min>=9*max length filter), then only candidates
-    are verified with exact intersections. Every stage is linear in the
-    posting lists — the quadratic blowup of a naive self-join is
-    structurally impossible, and unlike LSH there are no false negatives."""
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    d = docs.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+def _doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DISTINCT word-3-gram shingle sets. Shingles, not unigrams:
+    the driver corpus is built from a ~31-word template vocabulary, so
+    unigram sets make every token a stop token (df ≈ n) and the prefix
+    filter degenerates toward C(n,2) — measured 48 s at sf0.1. The shingle
+    vocabulary is ~27k with max df 25 at sf0.1: postings are short, the
+    rarest-first prefix actually prunes, and the same feature space feeds
+    the MinHash tier (pipeline.py), so estimates and exact pairs align.
+
+    No ensure_parallelism: the explode itself fans out the work, and a
+    pre-repartition of the wide text column costs more than it buys at
+    bench SF (the cosine_topk_bruteforce argument); at scale the parquet
+    scan has thousands of splits anyway."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    return ws.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "CASE WHEN size(ws) >= 3 THEN "
+                "transform(sequence(0, size(ws) - 3), "
+                "j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2])) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("toks"),
     )
-    toks = d.select("doc_id", F.explode("toks").alias("tok"))
+
+
+def _doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skinny (doc_id, shingle) posting relation — cached, because it
+    is the base of FOUR consumers (df table, prefix build, and both sides
+    of the verification join); uncached, Spark recomputes the shingle
+    explode per consumer and the string work dominates the query."""
+    d = _doc_token_sets(spark, sf_dir)
+    return d.select("doc_id", F.explode("toks").alias("tok")).cache()
+
+
+def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from the rarest-token prefix join —
+    a provable superset of every pair with J >= 0.9, and the relation
+    whose size (<< C(n,2)) is the point of the filter
+    (tests/test_similarity_quality.py pins the pruning)."""
+    toks = _doc_postings(spark, sf_dir)
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    # one global total order: (df asc, tok asc). Per-doc prefix = sort the
-    # doc's (df, tok) pairs and slice — one exchange on doc_id, sorts are
-    # per-row array sorts inside codegen, not a cluster sort.
+    # one global total order: (df asc, tok asc). Per-doc prefix = one
+    # row_number window over the doc's postings in that order — a single
+    # doc_id exchange whose partitions are posting-list-sized (AQE turns
+    # the df-table join into a broadcast at bench SF; at vocab scale it is
+    # an ordinary equi-join). This replaces a collect_list/array_sort/
+    # slice/re-explode chain that built per-doc struct arrays only to
+    # flatten them again (~1 s slower at sf0.1).
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "tok")
+    w_sz = Window.partitionBy("doc_id")
     pref = (
         toks.join(dfreq, "tok")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("arr"))
-        .withColumn("sz", F.size("arr"))
-        .withColumn(
-            "plen", F.col("sz") - F.expr("(9 * sz + 9) DIV 10") + F.lit(1)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("sz", F.count(F.lit(1)).over(w_sz))
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.expr("(9 * sz + 9) DIV 10") + F.lit(1)
         )
-        .select(
-            "doc_id",
-            "sz",
-            F.explode(F.expr("slice(arr, 1, CAST(plen AS INT))")).alias("p"),
-        )
-        .select("doc_id", "sz", F.col("p.tok").alias("tok"))
+        .select("doc_id", "sz", "tok")
     )
     a = pref.select(
         F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "tok"
@@ -111,7 +147,7 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = pref.select(
         F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "tok"
     )
-    cand = (
+    return (
         a.join(b, "tok")
         .filter(F.col("doc_a") < F.col("doc_b"))
         # length filter: a true pair needs 10*min(|a|,|b|) >= 9*max(|a|,|b|)
@@ -122,15 +158,44 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    fa = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    fb = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    i = F.size(F.array_intersect("toks_a", "toks_b"))
-    u = F.size("toks_a") + F.size("toks_b") - i
+
+
+@register(
+    "prefix_filter_jaccard_pairs",
+    oracle=_PFX_ORACLE,
+    tags=("pipeline", "dedup", "jaccard", "prefix-filter"),
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide shingle-set Jaccard pairs (J >= 0.9) with PPJoin-style
+    prefix filtering. The oracle recomputes every intersection through the
+    inverted index; this plan additionally prefix-prunes: candidates
+    come from an equi-join of rarest-shingle
+    prefixes (plus the 10*min>=9*max length filter), then only candidates
+    are verified with exact intersections — computed RELATIONALLY from the
+    cached posting table (candidate ⋈ postings_a ⋈ postings_b on shingle),
+    so verification work is candidate-tokens, stays skinny/codegen, and
+    never materializes per-doc arrays twice. Every stage is linear in the
+    posting lists — the quadratic blowup of a naive self-join is
+    structurally impossible, and unlike LSH there are no false negatives."""
+    toks = _doc_postings(spark, sf_dir)
+    sz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    cand = _prefix_candidates(spark, sf_dir)
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    u = F.col("sz_a") + F.col("sz_b") - F.col("i")
     return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .withColumn("n_common", i.cast("long"))
-        .withColumn("jac_exact", i.cast("double") / u)
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.col("i").cast("long"))
+        .withColumn("jac_exact", F.col("i").cast("double") / u)
         # filter on the EXACT ratio (identical rationals in both engines),
         # round only for display — rounding before the filter would admit
         # J in [0.89995, 0.9) pairs the prefix bound does not guarantee.

@@ -47,3 +47,14 @@ def test_skew_profile_orders_event_type_hotter_than_user_id(spark, sf_dir):
         assert 0.0 < r["top1_share"] <= 1.0
         assert r["top1_share"] <= r["top10_share"] <= 1.0
         assert r["skew_factor"] >= 0.99  # max >= mean up to rounding
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    df = REGISTRY["partitioned_pruned_scan"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the event_type predicate must resolve against directory names, not rows
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters:")[1][:200], plan
+    # and the scan carries NO row-level filters at all: the predicate was
+    # consumed entirely by directory pruning
+    assert "DataFilters: []" in plan, plan

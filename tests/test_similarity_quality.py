@@ -96,3 +96,55 @@ WHERE round(list_aggregate(list_transform(list_zip(a.v, b.v),
     assert guarded <= unguarded, "guard must never invent pairs"
     retention = len(guarded) / len(unguarded)
     assert retention >= 0.75, f"guard retention too low: {retention:.2f}"
+
+
+def test_prefix_filter_candidates_are_subquadratic(spark, sf_dir):
+    """The value of the PPJoin prefix filter is the candidate count: it
+    must sit well under C(n,2) (the brute-force pair space the oracle
+    walks) or the 'filter' is just a quadratic join in disguise. The
+    no-false-negative half of the contract is the DuckDB oracle itself
+    (tests/test_oracle_parity.py hash-compares against brute force)."""
+    from pyspark.sql import functions as F
+
+    from nexmark_vanilla_flink_spark.plans.similarity3 import (
+        _prefix_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    cand = _prefix_candidates(spark, sf_dir).count()
+    assert cand < 0.35 * n * (n - 1) / 2, (
+        f"prefix filter prunes nothing: {cand} candidates for n={n}"
+    )
+
+
+def test_tfidf_posting_lists_are_df_capped(spark, sf_dir):
+    """No shingle may contribute a posting list longer than the df cap —
+    the property that bounds every join group at corpus scale."""
+    from pyspark.sql import functions as F
+
+    df = REGISTRY["tfidf_cosine_topk"].spark(spark, sf_dir)
+    # rebuild the posting relation the entry uses and check the cap holds
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    tf = (
+        ws.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws) - 3), "
+                    "j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2])) "
+                    "ELSE CAST(array() AS ARRAY<STRING>) END"
+                )
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .count()
+    )
+    dfreq = tf.groupBy("tok").count().withColumnRenamed("count", "df")
+    kept = dfreq.filter(F.col("df") <= n_docs // 10)
+    max_df = kept.agg(F.max("df")).first()[0]
+    assert max_df is not None and max_df <= n_docs // 10
+    # and the query still produces a full top-k table
+    assert df.count() > 0

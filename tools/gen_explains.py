@@ -159,6 +159,24 @@ FLAGSHIPS = {
     "is scanned exactly once per session; the merge chain is 6 stacked "
     "JVM string replaces folded into one projection; the vocabulary "
     "aggregate partial-combines under the tok exchange.",
+    "prefix_filter_jaccard_pairs": "r6 exact all-pairs similarity: the "
+    "prefix build is one (doc) exchange of array-sorted postings; the "
+    "candidate join keys on prefix tokens only (posting-list-linear), and "
+    "exact verification touches candidates, never C(n,2) — the oracle "
+    "brute-forces to prove zero misses.",
+    "tfidf_cosine_topk": "r6 inverted-index cosine: shingle postings "
+    "capped by document frequency so every join group is bounded; dot "
+    "products are decimal-exact partial-combining sums on the (doc_a, "
+    "doc_b) exchange; the top-k window runs over candidate pairs.",
+    "bucketed_colocated_join": "r6 layout tier: both fact scans read "
+    "Bucketed: true with one file per bucket — the SortMergeJoin consumes "
+    "them with NO exchange and NO sort; the only exchange in the plan is "
+    "the few-row priority rollup above the join.",
+    "copurchase_triangles": "r6 support-thresholded graph: the edge build "
+    "partial-aggregates (u,v) support under one exchange and drops "
+    "one-off collisions (1.196M -> 3.9k edges at sf0.1) before the "
+    "degree-oriented wedge join; orientation bounds out-degree at "
+    "O(sqrt(2m)) if the thresholded graph ever densifies.",
 }
 
 
