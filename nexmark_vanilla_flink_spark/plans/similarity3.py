@@ -313,6 +313,10 @@ def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("tf * ((n_docs * 1000) DIV df)"),
         )
         .select("doc_id", "tok", "w")
+        # three consumers (norms + both sides of the dot-product join) —
+        # cached for the same reason as _doc_postings: uncached, the
+        # shingle-tf build recomputes per consumer and dominates the wall
+        .cache()
     )
     # products via decimal(19,0) factors -> exact decimal(38,0) sums (the
     # oracle uses HUGEINT for the same exactness); DOUBLE only at the end
