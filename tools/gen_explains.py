@@ -160,10 +160,11 @@ FLAGSHIPS = {
     "JVM string replaces folded into one projection; the vocabulary "
     "aggregate partial-combines under the tok exchange.",
     "prefix_filter_jaccard_pairs": "r6 exact all-pairs similarity: the "
-    "prefix build is one (doc) exchange of array-sorted postings; the "
-    "candidate join keys on prefix tokens only (posting-list-linear), and "
-    "exact verification touches candidates, never C(n,2) — the oracle "
-    "brute-forces to prove zero misses.",
+    "cached shingle-posting relation feeds the df table, the window-built "
+    "rarest-first prefixes, and both verification sides; the candidate "
+    "join keys on prefix shingles only (posting-list-linear) and "
+    "intersections are counted relationally on candidates, never C(n,2) — "
+    "the inverted-index oracle independently recomputes every pair.",
     "tfidf_cosine_topk": "r6 inverted-index cosine: shingle postings "
     "capped by document frequency so every join group is bounded; dot "
     "products are decimal-exact partial-combining sums on the (doc_a, "
