@@ -935,3 +935,123 @@ def events_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_ops").cast("long").alias("n_ops"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_snapshot_delta — the diff between two snapshot points of the changelog
+# ---------------------------------------------------------------------------
+# Completes the CDC story: events_upsert_snapshot materializes ONE point;
+# this operator diffs the snapshot as-of the 70% time cut against the final
+# snapshot — exactly what an incremental consumer (reverse ETL, cache
+# invalidation, downstream MERGE) needs from a lakehouse table between two
+# commits. change_type: 'added' (key live only in the new snapshot),
+# 'removed' (tombstoned since the cut), 'changed' (live in both, payload
+# differs); unchanged keys are not emitted.
+
+_DELTA_PCT = 70
+
+_CDC_DELTA_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type, value
+  FROM events
+),
+bounds AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+cut AS (SELECT mn + (mx - mn) * {_DELTA_PCT} // 100 AS t1 FROM bounds),
+snap1 AS (
+  SELECT user_id, us AS last_us, value AS last_value FROM (
+    SELECT e.user_id, e.us, e.value, e.event_type,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.us DESC, e.event_id DESC) AS rn
+    FROM e, cut c WHERE e.us <= c.t1
+  ) WHERE rn = 1 AND event_type <> 'error'
+),
+snap2 AS (
+  SELECT user_id, us AS last_us, value AS last_value FROM (
+    SELECT user_id, us, value, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY us DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       CASE WHEN a.user_id IS NULL THEN 'added'
+            WHEN b.user_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       a.last_us AS old_last_us, a.last_value AS old_value,
+       b.last_us AS new_last_us, b.last_value AS new_value
+FROM snap1 a FULL OUTER JOIN snap2 b ON a.user_id = b.user_id
+WHERE a.user_id IS NULL OR b.user_id IS NULL
+   OR a.last_us <> b.last_us OR a.last_value <> b.last_value
+"""
+
+
+def _snapshot_at(e: DataFrame, upto: object) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    src = e if upto is None else e.filter(F.col("us") <= upto)
+    return (
+        src.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select("user_id", F.col("us").alias("last_us"), F.col("value").alias("last_value"))
+    )
+
+
+@register(
+    "cdc_snapshot_delta",
+    oracle=_CDC_DELTA_ORACLE,
+    tags=("linkage", "cdc", "delta"),
+)
+def cdc_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot CDC delta (added / removed / changed keys
+    between the 70%-time-cut snapshot and the final snapshot), the
+    incremental-consumer contract of a lakehouse table.
+
+    Scale: the cut is a broadcast scalar agg (exact integer-micros
+    arithmetic, no collect); each snapshot is one user_id exchange with
+    an arg-latest window; the diff is a single full-outer equi-join on
+    the snapshot key — every stage is key-partitioned and the emitted
+    relation is only the changed keys, which is the point of shipping a
+    delta instead of the snapshot."""
+    e = ensure_parallelism(load_table(spark, sf_dir, "events")).select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns DIV 1000").alias("us"),
+        "event_type",
+        "value",
+    )
+    bounds = e.agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    ).select(F.expr(f"mn + (mx - mn) * {_DELTA_PCT} DIV 100").alias("t1"))
+    e1 = e.crossJoin(F.broadcast(bounds))
+    snap1 = _snapshot_at(e1.filter(F.col("us") <= F.col("t1")), None).select(
+        F.col("user_id"),
+        F.col("last_us").alias("old_last_us"),
+        F.col("last_value").alias("old_value"),
+    )
+    snap2 = _snapshot_at(e, None).select(
+        F.col("user_id"),
+        F.col("last_us").alias("new_last_us"),
+        F.col("last_value").alias("new_value"),
+    )
+    j = snap1.join(snap2, "user_id", "full_outer")
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(F.col("old_last_us").isNull(), F.lit("added"))
+            .when(F.col("new_last_us").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed")),
+        )
+        .filter(
+            F.col("old_last_us").isNull()
+            | F.col("new_last_us").isNull()
+            | (F.col("old_last_us") != F.col("new_last_us"))
+            | (F.col("old_value") != F.col("new_value"))
+        )
+        .select(
+            "user_id",
+            "change_type",
+            "old_last_us",
+            "old_value",
+            "new_last_us",
+            "new_value",
+        )
+    )
