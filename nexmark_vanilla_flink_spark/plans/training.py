@@ -584,6 +584,52 @@ _BPEL_ORACLE = (
 _BPEL_SYMS = "split(substring(rep, 2, length(rep) - 2), '\\\\)\\\\(')"
 
 
+def _bpe_merged_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer's merge loop, shared with the encode pass: the
+    distinct-word frequency table carrying (wd, rep, cnt), with `rep`
+    rewritten through the 6 greedy merges. `wd` rides along untouched so
+    the encoder can join documents back to their merged representations —
+    the trainer simply ignores it."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("wd")
+        )
+        .filter(F.length("wd") >= 2)
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("wd", F.regexp_replace("wd", "(.)", "($1)").alias("rep"), "cnt")
+        .cache()
+    )
+    for _ in range(_BPEL_ITERS):
+        pairs = (
+            cur.withColumn("syms", F.expr(_BPEL_SYMS))
+            .filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "j -> struct(element_at(syms, j) AS a, "
+                        "element_at(syms, j + 1) AS b))"
+                    )
+                ).alias("pr"),
+                "cnt",
+            )
+            .groupBy("pr.a", "pr.b")
+            .agg(F.sum("cnt").alias("s"))
+        )
+        top = pairs.orderBy(F.desc("s"), "a", "b").limit(1).collect()[0]
+        cur = cur.select(
+            "wd",
+            F.expr(
+                f"replace(rep, '({top['a']})({top['b']})', "
+                f"'({top['a']}{top['b']})')"
+            ).alias("rep"),
+            "cnt",
+        )
+    return cur
+
+
 @register(
     "bpe_learn_merges",
     oracle=_BPEL_ORACLE,
@@ -607,47 +653,127 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a map-side-combined sum over the bounded pair key space; the
     merge apply is a JVM string `replace`, no Python. Final vocabulary
     aggregation is distributed with a frequency floor."""
-    docs = load_table(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(
-            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("wd")
-        )
-        .filter(F.length("wd") >= 2)
-        .groupBy("wd")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.regexp_replace("wd", "(.)", "($1)").alias("rep"), "cnt")
-        .cache()
-    )
-    cur = vocab
-    for _ in range(_BPEL_ITERS):
-        pairs = (
-            cur.withColumn("syms", F.expr(_BPEL_SYMS))
-            .filter(F.size("syms") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1), "
-                        "j -> struct(element_at(syms, j) AS a, "
-                        "element_at(syms, j + 1) AS b))"
-                    )
-                ).alias("pr"),
-                "cnt",
-            )
-            .groupBy("pr.a", "pr.b")
-            .agg(F.sum("cnt").alias("s"))
-        )
-        top = pairs.orderBy(F.desc("s"), "a", "b").limit(1).collect()[0]
-        cur = cur.select(
-            F.expr(
-                f"replace(rep, '({top['a']})({top['b']})', "
-                f"'({top['a']}{top['b']})')"
-            ).alias("rep"),
-            "cnt",
-        )
+    cur = _bpe_merged_vocab(spark, sf_dir)
     return (
         cur.select(F.explode(F.expr(_BPEL_SYMS)).alias("tok"), "cnt")
         .filter(F.length("tok") >= 2)
         .groupBy("tok")
         .agg(F.sum("cnt").alias("freq"))
         .filter(F.col("freq") >= _BPEL_MIN_FREQ)
+    )
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode_stats — apply the learned tokenizer back to the corpus
+# ---------------------------------------------------------------------------
+# Completes the tokenizer story: bpe_pair_counts (one counting pass) ->
+# bpe_learn_merges (the trainer) -> THIS (the encoder): every document's
+# token count under the learned 6-merge BPE vocabulary, plus the
+# tokens-per-word fertility ratio the tokenizer literature reports. The
+# whole corpus is never re-tokenized row by row — encoding joins each
+# document's (word, count) profile to the merged DISTINCT-WORD table, so
+# encode work is vocab-sized plus one corpus join, the same sub-linear
+# property that makes the trainer viable.
+
+_BPEE_ORACLE_HEAD = r"""
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS wd
+  FROM documents
+),
+vc AS (
+  SELECT wd, CAST(count(*) AS BIGINT) AS cnt
+  FROM w WHERE length(wd) >= 2 GROUP BY wd
+),
+v0 AS (SELECT wd, regexp_replace(wd, '(.)', '(\1)', 'g') AS rep, cnt FROM vc)
+"""
+
+_BPEE_ORACLE_ITER = """,
+p{i} AS (
+  SELECT unnest(l[:-2]) AS a, unnest(l[2:]) AS b, cnt
+  FROM (SELECT str_split(substr(rep, 2, length(rep) - 2), ')(') AS l, cnt
+        FROM v{p})
+),
+m{i} AS (
+  SELECT a, b FROM p{i} GROUP BY a, b ORDER BY SUM(cnt) DESC, a, b LIMIT 1
+),
+v{i} AS (
+  SELECT wd, replace(rep, '(' || m.a || ')(' || m.b || ')',
+                     '(' || m.a || m.b || ')') AS rep, cnt
+  FROM v{p} CROSS JOIN m{i} m
+)"""
+
+_BPEE_ORACLE_TAIL = f""",
+dw AS (
+  SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS wd
+        FROM documents)
+  WHERE length(wd) >= 2 GROUP BY 1, 2
+),
+enc AS (
+  SELECT wd,
+         CAST(len(str_split(substr(rep, 2, length(rep) - 2), ')(')) AS BIGINT)
+           AS n_sub
+  FROM v{_BPEL_ITERS}
+)
+SELECT dw.doc_id,
+       CAST(sum(dw.c) AS BIGINT) AS n_words,
+       CAST(sum(dw.c * enc.n_sub) AS BIGINT) AS n_tokens,
+       CAST((sum(dw.c * enc.n_sub) * 10000) // sum(dw.c) AS BIGINT)
+         AS tokens_per_word_e4
+FROM dw JOIN enc ON enc.wd = dw.wd
+GROUP BY 1
+"""
+
+_BPEE_ORACLE = (
+    _BPEE_ORACLE_HEAD
+    + "".join(
+        _BPEE_ORACLE_ITER.format(i=i, p=i - 1)
+        for i in range(1, _BPEL_ITERS + 1)
+    )
+    + _BPEE_ORACLE_TAIL
+)
+
+
+@register(
+    "bpe_encode_stats",
+    oracle=_BPEE_ORACLE,
+    tags=("training", "tokenizer", "text", "iterative"),
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the learned BPE tokenizer: join
+    each document's (word, count) profile against the merged vocabulary
+    (shared with `bpe_learn_merges` via `_bpe_merged_vocab` — identical
+    merges by construction) and report n_words, n_tokens and the
+    tokens-per-word fertility as an exact scaled integer (x 10^4, no
+    floats — the bigram_lm_doc_scores discipline). Words are the
+    trainer's domain: lowercase letter runs of length >= 2.
+
+    Scale: encode = one vocab-sized projection (symbols per merged word)
+    + one corpus equi-join on the word key + one doc_id aggregation; the
+    iterative work stays in the shared trainer loop over the cached
+    distinct-word table."""
+    vocab = _bpe_merged_vocab(spark, sf_dir)
+    enc = vocab.select(
+        "wd", F.expr(f"size({_BPEL_SYMS})").cast("long").alias("n_sub")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("wd"),
+        )
+        .filter(F.length("wd") >= 2)
+        .groupBy("doc_id", "wd")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        dw.join(enc, "wd")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_sub")).cast("long").alias("n_tokens"),
+            F.expr("CAST((sum(c * n_sub) * 10000) DIV sum(c) AS BIGINT)").alias(
+                "tokens_per_word_e4"
+            ),
+        )
     )
