@@ -266,8 +266,15 @@ def main() -> None:
         # warmup with the SAME noop-sink plan as the timed run (count() prunes
         # projections, so it compiles a different plan): the timed run then
         # measures steady-state execution, not one-time codegen/classloading —
-        # symmetric with the DuckDB comparator, which also times its second run
-        _timed_save(name)
+        # symmetric with the DuckDB comparator, which also times its second run.
+        # EAGER-tagged entries skip it: their _timed_save rebuilds the whole
+        # pipeline (replay/write/iteration) from scratch every pass, so the
+        # count() above already warmed everything a warmup could warm, and at
+        # 176 registry entries the redundant full replays were what pushed
+        # pass 1 past BENCH_BUDGET_S and silently disabled re-timing
+        # (timing_passes=1 -> single-sample GC-noise numbers).
+        if not (EAGER_TAGS & set(q.tags)):
+            _timed_save(name)
         t0 = time.perf_counter()
         _timed_save(name)
         timings[name] = round(time.perf_counter() - t0, 3)
