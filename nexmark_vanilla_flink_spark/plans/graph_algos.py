@@ -301,3 +301,103 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tri_cnt"), "part_id")
         .limit(_TRI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# copurchase_kcore — bounded k-core peeling over the support graph
+# ---------------------------------------------------------------------------
+# The degeneracy primitive the tier still lacked: repeatedly delete nodes
+# of degree < k; what survives is the k-core (dense-community / spam-ring
+# backbone). Three peel rounds unrolled declaratively — each round is a
+# degree aggregation + a semi-join of the edge list against survivors,
+# exactly the PageRank unroll shape (no driver action). On the
+# support-thresholded graph the peeling converges almost immediately, but
+# the plan is round-count-bounded regardless of convergence, which is the
+# property that matters at scale.
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+_KCORE_ORACLE_HEAD = f"""
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_TRI_SUPPORT}
+),
+e0 AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs)
+"""
+
+_KCORE_ORACLE_ITER = f""",
+d{{i}} AS (SELECT u, count(*) AS d FROM e{{p}} GROUP BY 1),
+s{{i}} AS (SELECT u FROM d{{i}} WHERE d >= {_KCORE_K}),
+e{{i}} AS (
+  SELECT e.u, e.v FROM e{{p}} e
+  WHERE EXISTS (SELECT 1 FROM s{{i}} s WHERE s.u = e.u)
+    AND EXISTS (SELECT 1 FROM s{{i}} s WHERE s.u = e.v)
+)"""
+
+_KCORE_ORACLE_TAIL = f"""
+SELECT CAST(u AS BIGINT) AS part_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM e{_KCORE_ROUNDS}
+GROUP BY 1
+"""
+
+_KCORE_ORACLE = (
+    _KCORE_ORACLE_HEAD
+    + "".join(
+        _KCORE_ORACLE_ITER.format(i=i, p=i - 1)
+        for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    + _KCORE_ORACLE_TAIL
+)
+
+
+@register(
+    "copurchase_kcore",
+    oracle=_KCORE_ORACLE,
+    tags=("graph", "tpch"),
+)
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the support-thresholded co-purchase graph after three
+    unrolled peel rounds: per round, drop every part with fewer than 3
+    surviving co-purchase partners and keep only edges between survivors.
+    Output = surviving parts with their in-core degree.
+
+    Scale: each round is one degree aggregation (partial-combined on the
+    node key) and one survivor semi-join per endpoint — hash-partitioned
+    equi-joins on a monotonically SHRINKING edge list, never corpus².
+    The round count bounds the plan depth independent of convergence
+    (full k-core needs a fixpoint loop; three rounds removes the
+    overwhelming majority of sub-core mass on real degree distributions
+    and is the deterministic, restart-free form)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _TRI_SUPPORT)
+        .select("u", "v")
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        surv = deg.filter(F.col("d") >= _KCORE_K).select("u")
+        edges = (
+            edges.join(surv, "u", "left_semi")
+            .join(surv.select(F.col("u").alias("v")), "v", "left_semi")
+        )
+    return edges.groupBy(F.col("u").cast("long").alias("part_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
