@@ -262,7 +262,16 @@ def main() -> None:
         if qi and qi % 20 == 0:
             spark.sparkContext._jvm.System.gc()
         q = REGISTRY[name]
-        out_rows[name] = q.spark(spark, sf_dir).count()
+        # result_rows is diagnostic telemetry (the correctness driver
+        # row-counts every query itself); for LAZY entries the count() was a
+        # third full execution per query on top of warmup + timed save, and
+        # at 177 entries that alone pushed pass 1 past the re-timing budget.
+        # Eager entries keep it: it doubles as their only warmup and their
+        # rebuild-per-run makes rows genuinely this-run's output.
+        if EAGER_TAGS & set(q.tags) or os.environ.get("BENCH_ROWS", "0") != "0":
+            out_rows[name] = q.spark(spark, sf_dir).count()
+        else:
+            out_rows[name] = -1  # not counted; see CORRECTNESS_r*.json
         # warmup with the SAME noop-sink plan as the timed run (count() prunes
         # projections, so it compiles a different plan): the timed run then
         # measures steady-state execution, not one-time codegen/classloading —
