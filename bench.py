@@ -245,15 +245,53 @@ def main() -> None:
     # tests/test_bench_guard.py so nothing slips out of the timer silently;
     # the tag set itself lives in plans/registry.py (shared, ADVICE r3)
 
-    def _timed_save(name, cache={}):
+    # Per-query hygiene (VERDICT r6 task 1): plan-level .cache()s inside
+    # query builds (similarity3/training/graph_algos) were never unpersisted
+    # and accumulated storage-memory pressure for the REST of the sweep —
+    # the judge reproduced source_dup_matrix at 35 s in-sweep vs 1.2 s
+    # isolated with this as the prime suspect. Every query now gets a clean
+    # cache slate after its timing; its OWN caches are populated by its
+    # warmup save and live only for its timed save. Skipped in the opt-in
+    # BENCH_CACHE=1 mode, where table caches must survive the sweep.
+    _keep_table_cache = os.environ.get("SPARK_GRAFT_CACHE_TABLES", "0") != "0"
+
+    def _post_query_cleanup():
+        if not _keep_table_cache:
+            spark.catalog.clearCache()
+
+    def _time_once(name) -> float:
+        """One symmetric timing sample: build the DataFrame (untimed Py4J
+        construction for lazy entries), run one UNTIMED warmup save with the
+        identical noop-sink plan (populates the query's own plan caches and
+        one-time codegen — symmetric with the DuckDB comparator, which also
+        times its second run), then time one save. EAGER-tagged entries
+        (replays/sinks/iterative) rebuild inside the timer — for those the
+        work IS in the build — and their count() in pass 1 is the warmup.
+        Because _post_query_cleanup clears caches between queries, every
+        sample (pass 1 or retime) pays the same cache-population profile:
+        retimes are like-for-like with pass 1, not flattered by a cache a
+        previous pass left behind."""
         q = REGISTRY[name]
         if EAGER_TAGS & set(q.tags):
-            df = q.spark(spark, sf_dir)
-        else:
-            df = cache.get(name)
-            if df is None:
-                df = cache[name] = q.spark(spark, sf_dir)
+            t0 = time.perf_counter()
+            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 3)
+        df = q.spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    # Outlier alarm (VERDICT r6 task 1c): any pass-1 sample above
+    # BENCH_OUTLIER_S is immediately re-taken after a cache clear + GC, up
+    # to 2 retries, min kept — the r6 artifact's 46 s source_dup_matrix was
+    # exactly this failure mode (sweep-accumulated JVM state landing on one
+    # query), and an immediate clean retake reads the real number. Retries
+    # are globally budgeted so a genuinely-slow tail can't double the sweep.
+    outlier_s = float(os.environ.get("BENCH_OUTLIER_S", "5.0"))
+    outlier_budget_s = float(os.environ.get("BENCH_OUTLIER_BUDGET_S", "120"))
+    outlier_spent = 0.0
+    outlier_log: dict[str, list[float]] = {}
 
     timings: dict[str, float] = {}
     out_rows: dict[str, int] = {}
@@ -272,21 +310,22 @@ def main() -> None:
             out_rows[name] = q.spark(spark, sf_dir).count()
         else:
             out_rows[name] = -1  # not counted; see CORRECTNESS_r*.json
-        # warmup with the SAME noop-sink plan as the timed run (count() prunes
-        # projections, so it compiles a different plan): the timed run then
-        # measures steady-state execution, not one-time codegen/classloading —
-        # symmetric with the DuckDB comparator, which also times its second run.
-        # EAGER-tagged entries skip it: their _timed_save rebuilds the whole
-        # pipeline (replay/write/iteration) from scratch every pass, so the
-        # count() above already warmed everything a warmup could warm, and at
-        # 176 registry entries the redundant full replays were what pushed
-        # pass 1 past BENCH_BUDGET_S and silently disabled re-timing
-        # (timing_passes=1 -> single-sample GC-noise numbers).
-        if not (EAGER_TAGS & set(q.tags)):
-            _timed_save(name)
-        t0 = time.perf_counter()
-        _timed_save(name)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        t = _time_once(name)
+        retries = 0
+        while t > outlier_s and retries < 2 and outlier_spent < outlier_budget_s:
+            outlier_log.setdefault(name, [t])
+            _post_query_cleanup()
+            spark.sparkContext._jvm.System.gc()
+            r0 = time.perf_counter()
+            t2 = _time_once(name)
+            outlier_spent += time.perf_counter() - r0
+            outlier_log[name].append(t2)
+            t = min(t, t2)
+            retries += 1
+            if t2 <= outlier_s:
+                break
+        timings[name] = t
+        _post_query_cleanup()
     out_path = os.environ.get(
         "BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"),
@@ -326,14 +365,28 @@ def main() -> None:
             -timings[n],
         ),
     )
-    while passes < repeat and time.perf_counter() - sweep_t0 < budget_s:
+    # Guaranteed floor (VERDICT r6 task 1b): even if pass 1 ate the whole
+    # budget — exactly how BENCH_r06 collapsed to timing_passes=1 and
+    # shipped single-sample GC noise as the headline — the slowest
+    # BENCH_MIN_RETIME batch entries are re-timed anyway. Their retime cost
+    # is bounded by the head of the distribution (~tens of seconds), and
+    # they are precisely the entries whose pass-1 noise moves the ratio.
+    min_retime = int(os.environ.get("BENCH_MIN_RETIME", "12"))
+    forced = set(retime_order[:min_retime])
+    retimed: set[str] = set()
+    while passes < repeat:
+        progressed = False
         for name in retime_order:
-            if time.perf_counter() - sweep_t0 >= budget_s:
-                break
-            t0 = time.perf_counter()
-            _timed_save(name)
-            timings[name] = min(timings[name], round(time.perf_counter() - t0, 3))
+            over = time.perf_counter() - sweep_t0 >= budget_s
+            if over and not (name in forced and name not in retimed):
+                continue
+            timings[name] = min(timings[name], _time_once(name))
+            retimed.add(name)
+            progressed = True
+            _post_query_cleanup()
         passes += 1
+        if not progressed:
+            break
 
     total = round(sum(timings.values()), 3)
     # input-side throughput: events rows / total nexmark-query time is noisy;
@@ -349,6 +402,10 @@ def main() -> None:
         "floor_sec": floor_sec,
         "stream_floor_sec": stream_floor_sec,
         "timing_passes": passes,
+        "retimed": len(retimed),
+        # every pass-1 sample that tripped the outlier alarm, with its
+        # clean retakes — [first, retake, ...]; min is what's in `queries`
+        "outliers": {k: v for k, v in sorted(outlier_log.items())},
     }
     _flush(result)
 
@@ -439,30 +496,52 @@ def main() -> None:
     # Emit a compact summary as the very LAST line: same schema, but the
     # "queries" dict keeps only the slowest entries that fit the budget
     # (full detail lives in the line above and in bench_result.json).
+    # net-of-floor LEADS (VERDICT r6 task 5): the raw streaming factor in
+    # BENCH_r06's tail (32.9) was pure stream-floor inflation on a noisy
+    # box while the honest net_factor sat unquoted in the full JSON — the
+    # scale-relevant net numbers now come first at every level.
     compact = {
         "metric": result["metric"],
         "value": result["value"],
         "unit": "sec",
         "sf": sf,
-        "timing_passes": passes,
-        "n_queries": len(timings),
-        "floor_sec": floor_sec,
-        "stream_floor_sec": stream_floor_sec,
-        "queries_full": os.path.basename(out_path),
     }
+    if "comparator" in result:
+        compact["net_ratio"] = result["comparator"]["net_ratio"]
+    if "streaming_overhead" in result:
+        compact["stream_net_factor"] = result["streaming_overhead"]["net_factor"]
+    compact.update(
+        {
+            "timing_passes": passes,
+            "retimed": len(retimed),
+            "n_outliers": len(outlier_log),
+            "n_queries": len(timings),
+            "floor_sec": floor_sec,
+            "stream_floor_sec": stream_floor_sec,
+            "queries_full": os.path.basename(out_path),
+        }
+    )
     if "comparator" in result:
         c = result["comparator"]
         compact["comparator"] = {
             "engine": c["engine"],
+            "net_ratio": c["net_ratio"],
+            "net_of_floor_sec": c["net_of_floor_sec"],
+            "ratio": c["ratio"],
             "spark_batch_sec": c["spark_batch_sec"],
             "duckdb_sec": c["duckdb_sec"],
-            "ratio": c["ratio"],
-            "net_of_floor_sec": c["net_of_floor_sec"],
-            "net_ratio": c["net_ratio"],
             "n": len(c["queries"]),
         }
     if "streaming_overhead" in result:
-        compact["streaming_overhead"] = result["streaming_overhead"]
+        so = result["streaming_overhead"]
+        compact["streaming_overhead"] = {
+            "net_factor": so["net_factor"],
+            "net_of_floor_sec": so["net_of_floor_sec"],
+            "factor": so["factor"],
+            "spark_stream_sec": so["spark_stream_sec"],
+            "duckdb_batch_sec": so["duckdb_batch_sec"],
+            "n": so["n"],
+        }
     slowest = sorted(timings, key=timings.get, reverse=True)
     compact["queries"] = {}
     for name in slowest:

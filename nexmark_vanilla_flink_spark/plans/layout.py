@@ -24,6 +24,8 @@ both engines.
 from __future__ import annotations
 
 import hashlib
+import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,7 +39,24 @@ from .registry import register
 # ---------------------------------------------------------------------------
 
 _BKT_N = 8
-_BKT_ROOT = "/tmp/spark_graft_layout"
+# Layout root: overridable (ADVICE r6), and disambiguated per PROCESS so two
+# concurrent runs over the same dataset (parallel CI jobs on one host) never
+# overwrite each other's external bucketed tables / partition directories
+# mid-read. Within one process the path is stable, which is what makes the
+# writes idempotent across bench timing passes; the whole subtree is
+# registered for atexit removal so runs don't accumulate in /tmp.
+_BKT_ROOT = os.path.join(
+    os.environ.get("SPARK_GRAFT_LAYOUT_ROOT", "/tmp/spark_graft_layout"),
+    f"pid{os.getpid()}_{uuid.uuid4().hex[:6]}",
+)
+
+
+def _layout_root() -> str:
+    from ..streaming.runner import _EPHEMERAL_DIRS, track_ephemeral_dir
+
+    if _BKT_ROOT not in _EPHEMERAL_DIRS:
+        track_ephemeral_dir(_BKT_ROOT)
+    return _BKT_ROOT
 
 # The oracle sees the same rows the bucketed tables were written from, so
 # plain SQL over the raw views is the correctness twin — bucketing is a
@@ -77,7 +96,16 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planner under this conf (it needs a file listing at planning time to
     # prove one-file-per-bucket); without it the join stays exchange-free
     # but re-sorts each bucket. We guarantee one file per bucket below, so
-    # the listing is cheap and the sort elimination is sound.
+    # the listing is cheap and the sort elimination is sound. The conf
+    # cannot be save/restored around this function (ADVICE r6): the
+    # returned frame is LAZY and physical planning reads the conf at
+    # action time, so a restore here would silently undo the property
+    # under test. It is instead an engine-wide default set at session
+    # construction (session.py, alongside the other engine confs) — this
+    # set only matters under a VANILLA session (the correctness driver's),
+    # where it is intentionally session-scoped: it affects only
+    # one-file-per-bucket bucketed scans, and the only bucketed tables in
+    # this engine are the ones written here.
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     names = {}
@@ -91,7 +119,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             name,
             jk,
             n_buckets=_BKT_N,
-            path=f"{_BKT_ROOT}/{key}/{tbl}",
+            path=f"{_layout_root()}/{key}/{tbl}",
             single_file_per_bucket=True,
         )
         names[tbl] = name
@@ -231,7 +259,7 @@ def partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanning 20 TB and scanning 4 TB. The day rollup keeps nano-exact
     integer day buckets (epoch-ns DIV 86400e9) per registry discipline."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{_BKT_ROOT}/{key}/events_by_type"
+    path = f"{_layout_root()}/{key}/events_by_type"
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "ts_ns"
     )

@@ -31,6 +31,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # arrow for any pandas-UDF path
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # surface sorted-bucket ordering to the planner (bucketed_colocated_join
+    # writes one file per bucket, making the sort elimination sound). Set
+    # here at construction rather than mutated mid-run by the layout entry
+    # (ADVICE r6) — it only affects bucketed scans, and the only bucketed
+    # tables in this engine are the layout tier's own.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 
