@@ -384,9 +384,9 @@ def main() -> None:
             retimed.add(name)
             progressed = True
             _post_query_cleanup()
-        passes += 1
         if not progressed:
             break
+        passes += 1
 
     total = round(sum(timings.values()), 3)
     # input-side throughput: events rows / total nexmark-query time is noisy;

@@ -80,17 +80,26 @@ def bigram_pmi_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate product can leave the 2^53-exact integer range even at
     large corpus scale, then rounded to 6 places.
 
-    Scale: one explode feeds BOTH count aggregations (token counts and
-    bigram counts — each one map-side-combinable shuffle bounded by
-    vocabulary, not corpus); unigram counts join back by BROADCAST
-    (vocabulary ≪ corpus at any scale); N and N2 are scalar aggregates
-    cross-joined as broadcasts (the q11/q15 de-funnel pattern — only
-    partial-agg rows ever cross a SinglePartition exchange)."""
+    Scale: TWO corpus scans total. Spark does not share identical
+    subtrees across join branches, so the original five-consumer shape
+    (ux, uy, N off the token explode; the pair table and N2 off the
+    bigram explode) re-ran the scan+split+explode FIVE times (r7
+    finding: 1.43 s vs the oracle's 0.09 s). The two vocab-sized count
+    aggregates are now cached — each one map-side-combinable shuffle
+    bounded by vocabulary, not corpus — and every consumer reads them:
+    unigram counts join back by BROADCAST (vocabulary ≪ corpus at any
+    scale), and the scalar totals are vocab-sized sums over the cached
+    tables (N = Σ n_t, N2 = Σ n_xy over the unfiltered pair table), not
+    separate corpus scans. Both stay broadcast scalars cross-joined in
+    (the q11/q15 de-funnel pattern — only partial-agg/vocab rows ever
+    cross a SinglePartition exchange). At 100 TB these caches are the
+    "write the term-frequency table once" step every corpus-statistics
+    pipeline shares."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     w = docs.select("doc_id", F.split("text", " ").alias("ws"))
     tok = w.select(F.explode("ws").alias("t"))
-    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
-    nn = tok.agg(F.count(F.lit(1)).alias("n"))
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n_t")).cache()
+    nn = uni.agg(F.sum("n_t").alias("n"))
     bg = w.filter(F.size("ws") >= 2).select(
         F.explode(
             F.expr(
@@ -99,10 +108,12 @@ def bigram_pmi_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     )
-    big = bg.groupBy(
-        F.col("b.x").alias("tok_x"), F.col("b.y").alias("tok_y")
-    ).agg(F.count(F.lit(1)).alias("n_xy"))
-    n2 = bg.agg(F.count(F.lit(1)).alias("n2"))
+    big = (
+        bg.groupBy(F.col("b.x").alias("tok_x"), F.col("b.y").alias("tok_y"))
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .cache()
+    )
+    n2 = big.agg(F.sum("n_xy").alias("n2"))
     ux = uni.select(F.col("t").alias("tok_x"), F.col("n_t").alias("n_x"))
     uy = uni.select(F.col("t").alias("tok_y"), F.col("n_t").alias("n_y"))
     lift = F.round(
@@ -425,10 +436,15 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the bit table is DISTINCT over ≤ m rows regardless of corpus
     size (one map-side-combinable exchange); probes join it broadcast;
-    the per-probe verdict is a k-row bool_and. Filter build is one corpus
-    scan."""
+    the per-probe verdict is a k-row bool_and. Filter build is ONE
+    corpus scan: the skinny (doc_id, digest) table is cached because two
+    branches consume it (the bit build and the present-probe side) and
+    Spark does not share subtrees across branches — uncached, each
+    branch re-ran the full-text md5 over the fat corpus (r7: 1.10 s vs
+    the oracle's 0.02 s; the digest table is the thing a production
+    pipeline persists anyway)."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    d = docs.select("doc_id", F.md5("text").alias("digest"))
+    d = docs.select("doc_id", F.md5("text").alias("digest")).cache()
     j = F.explode(F.expr(f"sequence(0, {_BLOOM_K - 1})")).alias("j")
     pos_of = lambda key: (  # noqa: E731
         F.conv(

@@ -287,7 +287,12 @@ WHERE levenshtein(a_name, b_name) <= {_ER_LEV_MAX}
 
 
 def _er_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    cust = ensure_parallelism(load_table(spark, sf_dir, "customer"))
+    # cached: the clean side, the dirty side, and (downstream) both
+    # blocking passes and the pass-2 block-size window each hang off this
+    # one frame, and Spark re-runs the scan + ensure_parallelism exchange
+    # per branch otherwise (r7: 5 customer scans in the ER plan, 1.06 s vs
+    # the oracle's 0.14 s)
+    cust = ensure_parallelism(load_table(spark, sf_dir, "customer")).cache()
     return _er_sides_from(cust)
 
 

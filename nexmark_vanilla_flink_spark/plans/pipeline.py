@@ -562,16 +562,26 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(transform(cv, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
         )
     )
-    csim = e.join(broadcast(carr), "label").select(
-        "vec_id",
-        "label",
-        F.round(
-            F.expr(
-                "aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-            )
-            / (F.col("nrm") * cnrm),
-            6,
-        ).alias("centroid_sim"),
+    # csim feeds THREE consumers (both endpoint joins of the loser rule and
+    # the final verdict) and Spark does not share subtrees across branches —
+    # uncached, each branch re-ran the embeddings scan + centroid M-step +
+    # cosine fold (r7: 1.34 s vs the oracle's 0.18 s). Skinny cache:
+    # (vec_id, label, centroid_sim) — the per-vector verdict input a
+    # production SemDeDup materializes anyway.
+    csim = (
+        e.join(broadcast(carr), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+                )
+                / (F.col("nrm") * cnrm),
+                6,
+            ).alias("centroid_sim"),
+        )
+        .cache()
     )
     dup = embedding_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
     a = csim.select(F.col("vec_id").alias("vec_a"), F.col("centroid_sim").alias("sim_a"))
@@ -1387,16 +1397,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1: the extra shuffle costs ~0.25 s/query and saves nothing;
     # at scale the parquet scan has thousands of splits anyway).
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    ).withColumn(
-        "nrm",
-        F.sqrt(
-            F.expr(
-                "aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-            )
-        ),
+    # the normed-vector table feeds FOUR consumers (centroid subset, the
+    # assignment cross-join, the candidate side and the query side of the
+    # fine scoring) and Spark does not share subtrees across branches —
+    # uncached, the scan + double-cast + norm fold re-ran per consumer
+    # (r7: 1.60 s -> one scan; at 100 TB this is the "persist the normed
+    # embedding table once" step every ANN pipeline shares)
+    n = (
+        emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.expr(
+                    "aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+                )
+            ),
+        )
+        .cache()
     )
     c = n.filter(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("c_id"),
@@ -1406,10 +1426,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot_vc = F.expr(
         "aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
     )
-    ac = n.crossJoin(broadcast(c)).select(
-        "vec_id",
-        "c_id",
-        F.round(dot_vc / (F.col("nrm") * F.col("cnrm")), 6).alias("cs"),
+    # the corpus×centroid score table feeds both the coarse assignment and
+    # the probe branch — cached so the O(n·nlist·d) dot-product pass runs
+    # once (skinny: 3 columns per (vec, centroid) pair)
+    ac = (
+        n.crossJoin(broadcast(c))
+        .select(
+            "vec_id",
+            "c_id",
+            F.round(dot_vc / (F.col("nrm") * F.col("cnrm")), 6).alias("cs"),
+        )
+        .cache()
     )
     # Coarse assignment as a struct-MIN aggregate (asc -cs ≡ desc cs, then
     # asc c_id): partial-aggregates map-side under the broadcast join, so
