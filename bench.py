@@ -48,19 +48,37 @@ def relayout(sf_dir: str) -> tuple[str, float]:
     Both engines read the SAME relayouted files; the one-time cost is
     reported in the JSON as relayout_sec, not folded into query timings.
 
-    OFF BY DEFAULT (BENCH_RELAYOUT=1 opts in): measured at sf0.1, physical
-    layout swings BOTH engines — multi-splitting documents un-handicaps
-    DuckDB's single-threaded list-heavy CTEs far more than Spark's doc ops
-    (which already recover parallelism at runtime via the repartition
-    guard, a capability DuckDB's layout-bound scanner lacks). The default
-    therefore times the SHIPPED layout, the least-manipulated configuration
-    and the one BASELINE.md's round-1 numbers were measured on; the
-    relayout path stays for layout experiments (SCALE_NOTES.md).
+    DEFAULT since r7: BENCH_RELAYOUT=rel — relational tables only;
+    documents/embeddings pass through byte-identical (hard links). The
+    r7 three-way A/B at sf0.1 (identical code, same box, full 177-entry
+    sweeps):
+      shipped layout   raw 2.27 / net 1.93   (spark 97.1, duck 42.8)
+      full relayout    raw 1.87 / net 1.34   (spark 100.2, duck 53.7)
+      relational-only  raw 1.96 / net 1.68   (spark 83.1,  duck 42.5)
+    The relational-only mode is the honest one: DuckDB's total is
+    UNCHANGED (42.5 vs 42.8 — the ratio gain is not denominator
+    manipulation), and the full mode's duck slowdown concentrated in two
+    iterated-join oracles (triangles 5.8->18.4 s) that did NOT reproduce
+    in isolation — noise this mode does not invite. What relational-only
+    fixes is purely the tiny-SF artifact: the driver ships ONE row group
+    per file, so every 600 K-row lineitem scan is a single Spark task
+    regardless of cores, while DuckDB parallelizes inside the row group —
+    at production scale files carry thousands of row groups and the
+    default 128 MB splitting gives full scan parallelism for free. The
+    doc/embedding tables stay shipped because their ops already recover
+    parallelism at runtime (repartition guard) and the r7 full-mode A/B
+    showed multi-splitting them mostly reshuffles noise for both engines.
+    BENCH_RELAYOUT=0 times the shipped layout (the pre-r7 comparable
+    series); BENCH_RELAYOUT=1 is the full mode for layout experiments
+    (SCALE_NOTES.md).
     """
     import duckdb
 
+    mode = os.environ.get("BENCH_RELAYOUT", "0")
     out = os.path.join(
-        "/tmp", f"bench_relayout_{os.path.basename(sf_dir.rstrip('/'))}"
+        "/tmp",
+        f"bench_relayout{'_rel' if mode == 'rel' else ''}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
     )
     t0 = time.perf_counter()
     os.makedirs(out, exist_ok=True)
@@ -68,6 +86,27 @@ def relayout(sf_dir: str) -> tuple[str, float]:
     for t in TABLE_NAMES:
         src, dst = f"{sf_dir.rstrip('/')}/{t}.parquet", f"{out}/{t}.parquet"
         if os.path.exists(dst) and os.path.getmtime(dst) > os.path.getmtime(src):
+            continue
+        if mode == "rel" and t in ("documents", "embeddings"):
+            # BENCH_RELAYOUT=rel: relational tables only. The doc/embedding
+            # entries already recover parallelism at runtime (repartition
+            # guard) and the r7 full-relayout A/B showed the multi-file
+            # split mostly reshuffles NOISE for both engines on these two;
+            # the single-row-group handicap that matters is the relational
+            # scans (a 600 K-row lineitem scan is one task no matter how
+            # many cores). Hard-link/copy the originals so the out dir is
+            # self-contained.
+            import shutil
+
+            if os.path.isdir(src):
+                shutil.copytree(src, dst, dirs_exist_ok=True)
+            else:
+                try:
+                    if os.path.exists(dst):
+                        os.remove(dst)
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
             continue
         if t in ("documents", "embeddings"):
             # the small-but-heavy tables (5 K rows of fat text / vectors,
@@ -111,7 +150,8 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     relayout_sec = None
-    if os.environ.get("BENCH_RELAYOUT", "0") == "1":
+    os.environ.setdefault("BENCH_RELAYOUT", "rel")
+    if os.environ.get("BENCH_RELAYOUT") != "0":
         sf_dir, relayout_sec = relayout(sf_dir)
     only = os.environ.get("BENCH_QUERIES")
     names = (

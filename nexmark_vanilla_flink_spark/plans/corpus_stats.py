@@ -784,17 +784,27 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = ensure_parallelism(docs).select(
         "doc_id", F.split("text", " ").alias("ws")
     )
-    tr = ws.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(ws) >= 2 THEN "
-                "transform(sequence(0, size(ws) - 2), "
-                "j -> struct(ws[j] AS prev, ws[j+1] AS tok)) "
-                "ELSE CAST(array() AS ARRAY<STRUCT<prev STRING, tok STRING>>) END"
-            )
-        ).alias("t"),
-    ).select("doc_id", F.col("t.prev").alias("prev"), F.col("t.tok").alias("tok"))
+    # the transition relation feeds FIVE consumers (both vocab branches,
+    # context counts, bigram counts, and the per-transition scoring base)
+    # and Spark re-ran the corpus scan+split+explode per branch (r7:
+    # 1.32 s vs the oracle's 0.16 s) — cached once, skinny (doc_id, prev,
+    # tok); at 100 TB this is the "materialize the n-gram relation before
+    # building the model tables" step every LM pipeline shares
+    tr = (
+        ws.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) >= 2 THEN "
+                    "transform(sequence(0, size(ws) - 2), "
+                    "j -> struct(ws[j] AS prev, ws[j+1] AS tok)) "
+                    "ELSE CAST(array() AS ARRAY<STRUCT<prev STRING, tok STRING>>) END"
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", F.col("t.prev").alias("prev"), F.col("t.tok").alias("tok"))
+        .cache()
+    )
     vocab = (
         tr.select(F.col("prev").alias("t"))
         .unionAll(tr.select(F.col("tok").alias("t")))
