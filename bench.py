@@ -264,8 +264,10 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return round(best, 3)
 
-    floor_sec = _floor_batch()
-    stream_floor_sec = _floor_stream()
+    floor_start = _floor_batch()
+    stream_floor_start = _floor_stream()
+    floor_sec = floor_start
+    stream_floor_sec = stream_floor_start
 
     # Timed quantity per query: JVM-side work — Catalyst analysis +
     # optimization + scheduling + execution through the noop sink. For
@@ -428,6 +430,19 @@ def main() -> None:
             break
         passes += 1
 
+    # Floors re-measured at sweep END, min taken (r7, after a sweep whose
+    # START coincided with transient host contention: floor read 0.505 s
+    # vs the 0.095 s typical, so net-of-floor over-subtracted 5x and the
+    # honest net ratio came out absurd). A floor is a FIXED cost — the
+    # best observation is the estimate; both raw readings stay in the
+    # JSON and a >3x start/end disagreement flags the box as degraded.
+    floor_end = _floor_batch()
+    stream_floor_end = _floor_stream()
+    floor_sec = min(floor_start, floor_end)
+    stream_floor_sec = min(stream_floor_start, stream_floor_end)
+    hi, lo = max(floor_start, floor_end), max(floor_sec, 1e-9)
+    degraded_box = hi / lo > 3.0
+
     total = round(sum(timings.values()), 3)
     # input-side throughput: events rows / total nexmark-query time is noisy;
     # report per-query sec plus result rows so rows/s is derivable either way
@@ -441,6 +456,9 @@ def main() -> None:
         "relayout_sec": relayout_sec,
         "floor_sec": floor_sec,
         "stream_floor_sec": stream_floor_sec,
+        "floor_start_end": [floor_start, floor_end],
+        "stream_floor_start_end": [stream_floor_start, stream_floor_end],
+        "degraded_box": degraded_box,
         "timing_passes": passes,
         "retimed": len(retimed),
         # every pass-1 sample that tripped the outlier alarm, with its
@@ -473,12 +491,20 @@ def main() -> None:
             if not q.oracle or "streaming" in q.tags or "sink" in q.tags:
                 continue
             con.execute(q.oracle).fetchall()  # warmup (buffer-pool parity)
+            # adaptive min-of-N (r7): the comparator denominator swung
+            # +-40% across identical sweeps on host noise alone; keep
+            # sampling (max 4) until a sample lands within 15% of the
+            # running min, so a transient stall can't inflate an oracle
+            # reading the way it inflated the r6-era per-query numbers
             best = None
-            for _ in range(2):
+            for i in range(4):
                 t0 = time.perf_counter()
                 con.execute(q.oracle).fetchall()
                 dt = time.perf_counter() - t0
+                prev = best
                 best = dt if best is None else min(best, dt)
+                if i >= 1 and dt <= best * 1.15 and prev is not None:
+                    break
             duck[name] = round(best, 3)
         spark_batch = round(sum(timings[n] for n in duck), 3)
         duck_total = round(sum(duck.values()), 3)
@@ -558,6 +584,7 @@ def main() -> None:
             "n_queries": len(timings),
             "floor_sec": floor_sec,
             "stream_floor_sec": stream_floor_sec,
+            "degraded_box": degraded_box,
             "queries_full": os.path.basename(out_path),
         }
     )
