@@ -1192,16 +1192,16 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfw = fp.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("fp_hash"))
     )
-    # cached: BOTH sides of the pair self-join hang off this frame, and
-    # Spark re-derives the whole winnowing subtree (k-gram explode +
-    # window min + distinct + df window) per branch otherwise (r7: 1.07 s
-    # vs the oracle's 0.22 s); skinny (doc_id, fp_hash) — the fingerprint
-    # index a production MOSS materializes anyway
-    keep = (
-        dfw.filter(F.col("df") <= _WINNOW_DF_CAP)
-        .select("doc_id", "fp_hash")
-        .cache()
-    )
+    # NOT cached (r7, tried and reverted): the self-join's two sides
+    # canonicalize identically, so the fp_hash exchange — and everything
+    # upstream of it, the whole winnowing chain — is already shared at
+    # runtime via ReusedExchange (pinned by tests/test_plan_quality.py::
+    # test_winnow_overlap_reuses_fingerprint_exchange); a cache here only
+    # replaces that reuse with an InMemoryTableScan. This is the
+    # exception that proves the branch-reuse audit rule: reuse is free
+    # exactly when the branches are byte-identical subtrees ending in the
+    # same exchange.
+    keep = dfw.filter(F.col("df") <= _WINNOW_DF_CAP).select("doc_id", "fp_hash")
     b = keep.select(
         F.col("doc_id").alias("doc_b"), F.col("fp_hash").alias("fp_hash")
     )
