@@ -948,7 +948,10 @@ def quality_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / size(ws)) AS BIGINT)"
         ).alias("q"),
     )
-    seeds = tq.filter(F.col("doc_id") % 5 == 0)
+    # cached: seeds feeds five branches (both spreads' label input and
+    # anti-join, the l1 union, and the final union) — uncached, each
+    # re-ran the corpus scan + split + type-token-ratio projection
+    seeds = tq.filter(F.col("doc_id") % 5 == 0).cache()
 
     wide = _minhash_wide(spark, sf_dir)
     bands = wide.select(
@@ -968,10 +971,21 @@ def quality_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_b"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    ed = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v"), "w"
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"), "w")
+    # cached: spread() consumes the edge relation twice, and the second
+    # iteration's input l1 embeds the first spread, so the banded pair
+    # self-join over the MinHash signature frame would otherwise execute
+    # ~3x in one plan (the two spread branches do not canonicalize
+    # identically — different label inputs — so ReusedExchange cannot
+    # share them, unlike winnow_overlap's byte-identical sides). Skinny
+    # (u, v, w), bounded by the banded candidate set.
+    ed = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"), "w")
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("u"), F.col("doc_a").alias("v"), "w"
+            )
+        )
+        .cache()
     )
 
     def spread(labels: DataFrame) -> DataFrame:
