@@ -397,13 +397,22 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionAll(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).cache()
-    for _ in range(_KCORE_ROUNDS):
+    for rnd in range(_KCORE_ROUNDS):
         deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         surv = deg.filter(F.col("d") >= _KCORE_K).select("u")
         edges = (
             edges.join(surv, "u", "left_semi")
             .join(surv.select(F.col("u").alias("v")), "v", "left_semi")
         )
+        # intermediate rounds are materialized (the final round stays
+        # lazy): round i's edge list feeds BOTH round i+1's degree
+        # aggregation and its semi-join left side, and uncached the
+        # recompute compounds across rounds — the same re-evaluation
+        # amplification this entry's DuckDB oracle needed MATERIALIZED
+        # CTEs for. Per-round persist is the standard distributed-peeling
+        # idiom (operators/graph.py does the same in its fixpoint loop).
+        if rnd < _KCORE_ROUNDS - 1:
+            edges = edges.cache()
     return edges.groupBy(F.col("u").cast("long").alias("part_id")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     )
