@@ -319,9 +319,15 @@ def test_containment_materializes_index_once(spark, sf_dir):
     # dedupe in the explain text reflects)
     assert plan.count("InMemoryTableScan") >= 4
     # every Generate in the text is the cached relation's child being
-    # PRINTED under its scan, not a consumer re-deriving the explode:
-    # one printed child per InMemoryRelation occurrence, none outside
-    assert plan.count("Generate explode") <= plan.count("InMemoryRelation")
+    # PRINTED under its scan, not a consumer re-deriving the explode.
+    # The print-count itself is session-order-dependent (a CacheManager
+    # hit from an earlier test substitutes a relation whose stored child
+    # carries its own AQE initial/final sections), so assert the
+    # structural property instead: the consuming spine ABOVE the first
+    # cached relation contains no explode at all.
+    first_imr = plan.find("InMemoryRelation")
+    assert first_imr > 0
+    assert "Generate explode" not in plan[:first_imr]
 
 
 def test_simhash_guard_no_cartesian_and_unions_paths(spark, sf_dir):
