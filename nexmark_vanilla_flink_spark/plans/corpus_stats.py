@@ -333,6 +333,10 @@ def user_value_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     size is span/bucket per user (bounded by retention policy, not by
     event volume), and the explode is map-side from the tiny bounds
     frame."""
+    # NOT cached (the branch-reuse audit boundary): the survivor window
+    # and the bounds aggregate are separate branches, but this frame is a
+    # raw FACT projection — at 100 TB you re-scan with pushdown rather
+    # than cache the fact table, and locally the second scan is cheap
     ev = ensure_parallelism(load_table(spark, sf_dir, "events")).select(
         "user_id",
         "event_id",
@@ -671,7 +675,13 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
-    c = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    # cached: the row totals derive from this tiny count table, and
+    # uncached the tot branch re-ran the scan + lead window + groupBy
+    c = (
+        t.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
     tot = c.groupBy("from_type").agg(F.sum("n").alias("row_n"))
     return (
         c.join(F.broadcast(tot), "from_type")
