@@ -57,78 +57,73 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # this round. The remainder follows in module-import order. Entries that fall
 # past the cap are still oracled every CI run by tests/test_oracle_parity.py
 # and were driver-green in a prior round's CORRECTNESS_r*.json.
-# Round-7 head (rotation policy: COVERAGE.md "Driver-gate rotation").
-# Tier 1 — NEVER driver-checked: the three entries added after the final
-# r6 head cut (VERDICT r6 task 2); with these gated, cumulative driver
-# coverage reaches 177/177. Tier 3 — changed in r7: the two oracle
-# restructures (ngram_jaccard_pairs posting-list rewrite,
-# golden_record_merge MATERIALIZED CTEs — copurchase_kcore's oracle also
-# changed but it is tier-1 already) and the two layout entries whose
-# write mechanics changed (per-process layout root; ordering conf moved
-# to session construction). Tier 4 — regression rotation, oldest
-# last-green first: the three remaining r2-last-green entries, then 40
-# of the 44 r3-last-green entries. Deferred to r8 with the least
-# re-gate risk: nexmark_q0_passthrough / q1_currency / q2_selection
-# (stateless projections/filters, static since r3) and cm_load_per_job
-# (static whitespace-text source, round-trip-tested every CI run) — all
-# four stay CI-parity-locked below the cap.
-# 3 + 4 + 43 = 50. Everything below the cap stays pytest-oracle-locked
-# every CI run (tests/test_oracle_parity.py).
+# Round-8 head (rotation policy: COVERAGE.md "Driver-gate rotation").
+# Tier 2 — changed in r8: the BPE pair (merge-table materialization,
+# VERDICT r7 task 3) and the two Python-stateful replay twins whose
+# batching/flush cadence changed (task 4). Tier 3 — plans changed in r7
+# but not re-gated then (ADVICE r7: branch-reuse caches and the
+# bigram_pmi_lift N/N2 restructure shipped in the r7 diff after the head
+# was cut). Tier 4 — regression rotation, oldest last-green first: the
+# four r3-last-green entries deferred from r7 (nexmark_q0/q1/q2 +
+# cm_load_per_job), then ALL 33 r4-last-green entries — after this round
+# the cumulative freshness floor moves to r5.
+# 4 + 9 + 4 + 33 = 50. Everything below the cap stays pytest-oracle-
+# locked every CI run (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
-    # --- tier 1: never driver-checked ---
-    "cdc_snapshot_delta",
+    # --- tier 2: implementation changes this round (r8) ---
+    "bpe_learn_merges",
     "bpe_encode_stats",
-    "copurchase_kcore",
-    # --- tier 3: oracle or write mechanics changed in round 7 ---
-    "ngram_jaccard_pairs",
-    "golden_record_merge",
-    "bucketed_colocated_join",
-    "partitioned_pruned_scan",
-    # --- tier 4: regression rotation, r2-last-green ---
-    "events_semi_anti_join",
-    "nation_distinct_segments",
-    "user_event_pivot",
-    # --- tier 4: regression rotation, r3-last-green ---
-    "bid_binary_decode",
-    "bottomk_consistent_sample",
-    "chunk_dedup_rewrite",
-    "chunk_dedup_stats",
-    "countmin_sketch_table",
-    "curation_funnel",
-    "dedup_clusters",
-    "doc_bigram_rarity",
-    "domain_mixing_weights",
-    "event_type_stats",
-    "highest_bid_per_window",
-    "histogram_quantiles",
-    "hot_items_salted_join",
-    "kmeans_refine_once",
-    "leakage_safe_splits",
-    "mixture_rebalanced_sample",
-    "multimodal_audio_windows",
-    "nexmark_q13_side_input_join",
-    "nexmark_q18_last_bid",
-    "nexmark_q19_auction_top10",
-    "nexmark_q20_bid_auction",
-    "nexmark_q21_channel_id",
-    "nexmark_q22_url_dirs",
-    "nexmark_q3_local_suggest",
-    "nexmark_q7_highest_bid",
-    "ngram_containment_pairs",
-    "person_binary_decode",
-    "pq_codes",
-    "q11_user_bids",
-    "q5_hot_items",
-    "q5_sliding",
-    "q8_new_users_auctions",
-    "qx_winning_bids",
-    "sessions_by_bidder",
-    "sessions_dynamic_gap",
-    "simhash_neardup_pairs",
-    "source_dup_matrix",
-    "stratified_sample",
-    "text_normalize_fingerprints",
-    "union_tagged_daily",
+    "scd2_stream_replay",
+    "skipgram_pairs_stream_replay",
+    # --- tier 3: plan changed in r7 after the r7 head was cut ---
+    "bigram_pmi_lift",
+    "bloom_membership_audit",
+    "bigram_lm_doc_scores",
+    "semdedup_prune",
+    "ann_ivf_topk",
+    "entity_resolution_pairs",
+    "quality_label_propagation",
+    "event_transition_matrix",
+    "tfidf_cosine_topk",
+    # --- tier 4: regression rotation, r3-last-green (deferred from r7) ---
+    "nexmark_q0_passthrough",
+    "nexmark_q1_currency",
+    "nexmark_q2_selection",
+    "cm_load_per_job",
+    # --- tier 4: regression rotation, r4-last-green (all 33) ---
+    "auction_binary_decode",
+    "cosine_topk_bruteforce",
+    "dedup_exact_docs",
+    "doc_fingerprints",
+    "eval_decontamination",
+    "generated_hot_seller_histogram",
+    "generated_q3_person_join",
+    "grouped_median_pandas",
+    "label_centroids",
+    "lang_guess",
+    "minhash_estimate_error",
+    "minhash_lsh_pairs",
+    "multimodal_frame_extract",
+    "multimodal_meta",
+    "pii_scrub",
+    "q5_hot_items_sql",
+    "q8_left_outer",
+    "simhash_fingerprints",
+    "text_quality_scores",
+    "token_counts",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipmode_buckets",
+    "tpch_q14_promo_share",
+    "tpch_q16_part_suppliers",
+    "tpch_q18_volume_customers",
+    "tpch_q1_pricing_summary",
+    "tpch_q22_global_acctbal",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "vocab_top_tokens",
 ]
 
 
