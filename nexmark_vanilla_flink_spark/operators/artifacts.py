@@ -1,0 +1,114 @@
+"""Content-keyed corpus-index artifacts — the shared materialization
+pattern behind every "build the index once, ship it as a table" operator.
+
+A production pipeline does not rebuild its inverted index / merge table /
+edge relation inside every consumer query: an indexing job writes the
+artifact once per corpus state and consumers read it like any other table.
+Round 8 proved the pattern on the BPE merge table (plans/training.py) and
+round 7 on the dedup corpus index (plans/curation.py); this module is the
+single generalized implementation (VERDICT r8 task 1), used by
+
+  * the BPE merge table                     (plans/training.py)
+  * the MinHash dedup corpus index          (plans/curation.py)
+  * the shingle postings + prefix index     (plans/similarity3.py)
+  * the co-purchase edge relation           (plans/graph_algos.py)
+  * the bigram LM / PMI model tables        (plans/corpus_stats.py)
+
+Key properties (each fixing a reviewed defect):
+
+  * **Content fingerprint**: the cache tag is the leaf-file
+    (mtime_ns, size) walk of the source table (`sources.binary._cache_tag`)
+    — a regenerated corpus can never reuse a stale artifact.
+  * **Logic version** (ADVICE r8 medium): the tag also carries a
+    caller-supplied version string, bumped whenever the builder's logic
+    changes — a long-lived host can't serve an old-algorithm artifact
+    after a code change. Stale-version entries for the same corpus prune
+    exactly like stale-fingerprint ones.
+  * **Atomic publish**: builders write into a private staging dir and
+    `os.rename` it into place; the loser of a publish race discards its
+    stage. On any OTHER rename failure the helper now verifies the
+    destination is a COMPLETE artifact (`_DONE` present) and raises if it
+    is not (ADVICE r8 medium) — never returns a half-state path.
+  * **Auditable amortization**: every build appends (name, tag, wall
+    seconds) to a module-level log that bench.py drains per query and
+    publishes as `artifact_build_sec`, so the one-time index cost stays
+    visible next to the steady-state query times (VERDICT r8 "What's
+    wrong" #5 / ADVICE r8 low).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+import uuid
+from typing import Callable
+
+from pyspark.sql import SparkSession
+
+from ..sources.binary import _cache_tag, prune_stale_cache
+
+# Every artifact build lands one record here: {"name", "tag", "sec"}.
+# bench.py drains it (pop_build_log) around each timed query so the JSON
+# can report exactly which timed samples amortized a build.
+_BUILD_LOG: list[dict] = []
+
+
+def pop_build_log() -> list[dict]:
+    """Drain and return the artifact-build records accumulated since the
+    last drain (bench.py calls this per query; tests per assertion)."""
+    out = list(_BUILD_LOG)
+    _BUILD_LOG.clear()
+    return out
+
+
+def artifact_root(name: str) -> str:
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    return os.path.join(base, f"spark_graft_{name}")
+
+
+def artifact_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    name: str,
+    version: str,
+    source_table: str,
+    build: Callable[[str], None],
+) -> str:
+    """Return the directory of the `name` artifact for the corpus state of
+    `source_table` under `sf_dir`, building it (once) if absent.
+
+    `build(stage_dir)` must write the artifact's parquet table(s) under
+    `stage_dir`; publication (the `_DONE` marker + atomic rename) is this
+    helper's job. `version` is the builder-logic version — bump it whenever
+    `build`'s semantics change, or a warm host serves stale results."""
+    root = artifact_root(name)
+    # version BEFORE the content fingerprint would break prune_stale_cache's
+    # `{sf_basename}-` prefix match, so it suffixes: stale-version dirs for
+    # the same sf share the prefix and prune exactly like stale-fingerprint
+    # ones.
+    tag = f"{_cache_tag(sf_dir, source_table)}-{version}"
+    prune_stale_cache(root, os.path.basename(sf_dir.rstrip("/")), {tag})
+    out = os.path.join(root, tag)
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    stage = os.path.join(root, f".stage_{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage, exist_ok=True)
+    t0 = time.perf_counter()
+    build(stage)
+    open(os.path.join(stage, "_DONE"), "w").close()
+    try:
+        os.rename(stage, out)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+        # the intended case is losing a publish race (out is complete);
+        # anything else must raise here, not as an unrelated-looking
+        # read error downstream (ADVICE r8 medium)
+        if not os.path.exists(os.path.join(out, "_DONE")):
+            raise
+    _BUILD_LOG.append(
+        {"name": name, "tag": tag, "sec": round(time.perf_counter() - t0, 3)}
+    )
+    return out

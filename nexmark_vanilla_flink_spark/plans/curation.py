@@ -471,53 +471,48 @@ def _corpus_index_dir(spark: SparkSession, sf_dir: str) -> str:
     of the incremental-dedup deployment shape. Fingerprint = the same
     leaf-file (mtime_ns, size) walk the binary frame cache uses, so a
     regenerated documents table can never reuse a stale index. Built in a
-    private staging dir and published with an atomic rename, so a
-    concurrent builder (driver run + local test) can never observe — or
-    clobber — a half-written index; the rename loser just discards its
-    staging copy."""
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    from ..sources.binary import _cache_tag, prune_stale_cache
+    private staging dir and published with an atomic rename (shared
+    helper, operators/artifacts.py); the logic version pins the signature
+    spec (_N_HASHES/_BAND_ROWS/_NEW_MOD) so a spec change can never serve
+    a stale index from a warm host."""
+    from ..operators.artifacts import artifact_dir
     from .pipeline import _BAND_ROWS, _N_HASHES, _minhash_wide
 
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    root = os.path.join(base, "spark_graft_dedup_index")
-    tag = _cache_tag(sf_dir, "documents")
-    prune_stale_cache(root, os.path.basename(sf_dir.rstrip("/")), {tag})
-    out = os.path.join(root, tag)
-    if os.path.exists(os.path.join(out, "_DONE")):
-        return out
-    stage = os.path.join(root, f".stage_{uuid.uuid4().hex[:8]}")
-    is_new = F.col("doc_id") % _NEW_MOD == _NEW_MOD - 1
-    docs_b = load_table(spark, sf_dir, "documents")
-    (
-        docs_b.filter(~is_new)
-        .select(F.col("doc_id").alias("c_id"), F.md5("text").alias("dg"))
-        .write.mode("overwrite")
-        .parquet(f"{stage}/digests")
-    )
-    (
-        _minhash_wide(spark, sf_dir)
-        .filter(~is_new)
-        .select(
-            F.col("doc_id").alias("c_id"),
-            F.posexplode(
-                F.array(*[F.col(f"sig{b}") for b in range(_N_HASHES // _BAND_ROWS)])
-            ).alias("band", "sig"),
+    def _build(stage: str) -> None:
+        is_new = F.col("doc_id") % _NEW_MOD == _NEW_MOD - 1
+        docs_b = load_table(spark, sf_dir, "documents")
+        (
+            docs_b.filter(~is_new)
+            .select(F.col("doc_id").alias("c_id"), F.md5("text").alias("dg"))
+            .write.mode("overwrite")
+            .parquet(f"{stage}/digests")
         )
-        .write.mode("overwrite")
-        .parquet(f"{stage}/bands")
+        (
+            _minhash_wide(spark, sf_dir)
+            .filter(~is_new)
+            .select(
+                F.col("doc_id").alias("c_id"),
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.col(f"sig{b}")
+                            for b in range(_N_HASHES // _BAND_ROWS)
+                        ]
+                    )
+                ).alias("band", "sig"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{stage}/bands")
+        )
+
+    return artifact_dir(
+        spark,
+        sf_dir,
+        name="dedup_index",
+        version=f"v1-h{_N_HASHES}b{_BAND_ROWS}m{_NEW_MOD}",
+        source_table="documents",
+        build=_build,
     )
-    open(os.path.join(stage, "_DONE"), "w").close()
-    try:
-        os.rename(stage, out)
-    except OSError:
-        # another builder published first; its index is complete — use it
-        shutil.rmtree(stage, ignore_errors=True)
-    return out
 
 
 @register(

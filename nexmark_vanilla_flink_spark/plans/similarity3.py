@@ -27,7 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.parallelism import ensure_parallelism
 from ..sources.tables import load_table
 from .registry import register
 
@@ -78,74 +77,117 @@ WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.9
 """
 
 
-def _doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc DISTINCT word-3-gram shingle sets. Shingles, not unigrams:
-    the driver corpus is built from a ~31-word template vocabulary, so
-    unigram sets make every token a stop token (df ≈ n) and the prefix
-    filter degenerates toward C(n,2) — measured 48 s at sf0.1. The shingle
-    vocabulary is ~27k with max df 25 at sf0.1: postings are short, the
-    rarest-first prefix actually prunes, and the same feature space feeds
-    the MinHash tier (pipeline.py), so estimates and exact pairs align.
+def _postings_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the corpus shingle index ONCE per corpus state — the
+    `_corpus_index_dir`/`_bpe_vocab_dir` deployment shape generalized in
+    operators/artifacts.py (VERDICT r8 task 1): a production similarity
+    service builds its inverted index in an indexing job and every
+    consumer reads it as a table; re-deriving the posting relation, the
+    global rarest-first prefix order, AND the idf-weighted index inside
+    every query (the r7/r8 shape — plan `.cache()`s whose population was
+    re-paid per timed run) put `prefix_filter_jaccard_pairs` at 18.5 s vs
+    a 0.47 s oracle. Four tables, one corpus scan:
 
-    No ensure_parallelism: the explode itself fans out the work, and a
-    pre-repartition of the wide text column costs more than it buys at
-    bench SF (the cosine_topk_bruteforce argument); at scale the parquet
-    scan has thousands of splits anyway."""
-    docs = load_table(spark, sf_dir, "documents")
-    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    return ws.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                "CASE WHEN size(ws) >= 3 THEN "
-                "transform(sequence(0, size(ws) - 3), "
-                "j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2])) "
-                "ELSE CAST(array() AS ARRAY<STRING>) END"
+      postings/ : (doc_id, tok)      — distinct word-3-gram shingles
+      sizes/    : (doc_id, sz)       — per-doc distinct-shingle count
+      prefix/   : (doc_id, sz, tok)  — the tau=0.9 rarest-first prefix
+      tfidf/    : (doc_id, tok, w)   — integer-idf-weighted postings,
+                                       stop shingles (df > N/10) pruned
+
+    Shingles, not unigrams: the driver corpus is built from a ~31-word
+    template vocabulary, so unigram sets make every token a stop token
+    (df ≈ n) and the prefix filter degenerates toward C(n,2) — measured
+    48 s at sf0.1. The shingle vocabulary is ~27k with max df 25 at
+    sf0.1: postings are short, the rarest-first prefix actually prunes,
+    and the same feature space feeds the MinHash tier (pipeline.py).
+
+    The version string pins the feature + filter spec (3-gram shingles,
+    tau = 9/10, idf scale 1000, df cap N/10) — bump it if any of those
+    change (ADVICE r8 medium)."""
+    from ..operators.artifacts import artifact_dir
+
+    def _build(stage: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+        tf = (
+            ws.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(ws) >= 3 THEN "
+                        "transform(sequence(0, size(ws) - 3), "
+                        "j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2])) "
+                        "ELSE CAST(array() AS ARRAY<STRING>) END"
+                    )
+                ).alias("tok"),
             )
-        ).alias("toks"),
+            .groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .cache()
+        )
+        toks = tf.select("doc_id", "tok")
+        toks.write.mode("overwrite").parquet(f"{stage}/postings")
+        sizes = tf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        sizes.write.mode("overwrite").parquet(f"{stage}/sizes")
+        dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        # one global total order: (df asc, tok asc). Per-doc prefix = one
+        # row_number window over the doc's postings in that order — a
+        # single doc_id exchange whose partitions are posting-list-sized.
+        w_rank = Window.partitionBy("doc_id").orderBy("df", "tok")
+        w_sz = Window.partitionBy("doc_id")
+        (
+            toks.join(dfreq, "tok")
+            .withColumn("rn", F.row_number().over(w_rank))
+            .withColumn("sz", F.count(F.lit(1)).over(w_sz))
+            .filter(
+                F.col("rn")
+                <= F.col("sz") - F.expr("(9 * sz + 9) DIV 10") + F.lit(1)
+            )
+            .select("doc_id", "sz", "tok")
+            .write.mode("overwrite")
+            .parquet(f"{stage}/prefix")
+        )
+        n1 = docs.agg(F.count("*").alias("n_docs"))
+        (
+            tf.join(dfreq, "tok")
+            .crossJoin(F.broadcast(n1))
+            .filter(F.col("df") <= F.expr("n_docs DIV 10"))
+            # true integer DIV (not double-divide-then-truncate: a 0.5-ulp
+            # round-up across an integer boundary would break exactness)
+            .withColumn("w", F.expr("tf * ((n_docs * 1000) DIV df)"))
+            .select("doc_id", "tok", "w")
+            .write.mode("overwrite")
+            .parquet(f"{stage}/tfidf")
+        )
+        tf.unpersist()
+
+    return artifact_dir(
+        spark,
+        sf_dir,
+        name="doc_postings",
+        version="v1-g3-t90-s1000-c10",
+        source_table="documents",
+        build=_build,
     )
 
 
 def _doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The skinny (doc_id, shingle) posting relation — materialized once
-    (lineage-cut checkpoint), because it is the base of FOUR consumers
-    (df table, prefix build, and both sides of the verification join);
-    uncached, Spark recomputes the shingle explode per consumer and the
-    string work dominates the query. (A lineage-cut checkpoint variant was
-    measured and reverted — see the tfidf posting-table comment below:
-    the cut costs AQE stats and broadcast decisions downstream; eviction
-    pressure is instead eliminated at the harness, which clears plan
-    caches between queries.)"""
-    d = _doc_token_sets(spark, sf_dir)
-    return d.select("doc_id", F.explode("toks").alias("tok")).cache()
+    """The skinny (doc_id, shingle) posting relation, read from the
+    materialized per-corpus index (`_postings_index_dir`)."""
+    return spark.read.parquet(f"{_postings_index_dir(spark, sf_dir)}/postings")
+
+
+def _doc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{_postings_index_dir(spark, sf_dir)}/sizes")
 
 
 def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs from the rarest-token prefix join —
     a provable superset of every pair with J >= 0.9, and the relation
     whose size (<< C(n,2)) is the point of the filter
-    (tests/test_similarity_quality.py pins the pruning)."""
-    toks = _doc_postings(spark, sf_dir)
-    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    # one global total order: (df asc, tok asc). Per-doc prefix = one
-    # row_number window over the doc's postings in that order — a single
-    # doc_id exchange whose partitions are posting-list-sized (AQE turns
-    # the df-table join into a broadcast at bench SF; at vocab scale it is
-    # an ordinary equi-join). This replaces a collect_list/array_sort/
-    # slice/re-explode chain that built per-doc struct arrays only to
-    # flatten them again (~1 s slower at sf0.1).
-    w_rank = Window.partitionBy("doc_id").orderBy("df", "tok")
-    w_sz = Window.partitionBy("doc_id")
-    pref = (
-        toks.join(dfreq, "tok")
-        .withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("sz", F.count(F.lit(1)).over(w_sz))
-        .filter(
-            F.col("rn")
-            <= F.col("sz") - F.expr("(9 * sz + 9) DIV 10") + F.lit(1)
-        )
-        .select("doc_id", "sz", "tok")
-    )
+    (tests/test_similarity_quality.py pins the pruning). The prefix
+    relation itself comes from the materialized index."""
+    pref = spark.read.parquet(f"{_postings_index_dir(spark, sf_dir)}/prefix")
     a = pref.select(
         F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "tok"
     )
@@ -177,13 +219,16 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from an equi-join of rarest-shingle
     prefixes (plus the 10*min>=9*max length filter), then only candidates
     are verified with exact intersections — computed RELATIONALLY from the
-    cached posting table (candidate ⋈ postings_a ⋈ postings_b on shingle),
-    so verification work is candidate-tokens, stays skinny/codegen, and
-    never materializes per-doc arrays twice. Every stage is linear in the
-    posting lists — the quadratic blowup of a naive self-join is
-    structurally impossible, and unlike LSH there are no false negatives."""
+    materialized posting table (candidate ⋈ postings_a ⋈ postings_b on
+    shingle), so verification work is candidate-tokens, stays
+    skinny/codegen, and never materializes per-doc arrays twice. Every
+    stage is linear in the posting lists — the quadratic blowup of a naive
+    self-join is structurally impossible, and unlike LSH there are no
+    false negatives. Postings/prefix/sizes come from the once-per-corpus
+    index artifact (`_postings_index_dir`) — the indexing-job deployment
+    shape; the steady-state query never re-derives them."""
     toks = _doc_postings(spark, sf_dir)
-    sz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sz = _doc_sizes(spark, sf_dir)
     cand = _prefix_candidates(spark, sf_dir)
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
@@ -283,57 +328,15 @@ def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`cosine_topk_bruteforce`, `ann_ivf_topk`): same contract, lexical
     feature space. DECIMAL(38,0) accumulators keep sums exact at any
     scale; the per-doc_a top-k window runs over candidate pairs (already
-    sub-quadratic thanks to the df cap), not the corpus."""
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    # corpus size as a broadcast scalar agg — no driver collect, stays lazy
-    n1 = docs.agg(F.count("*").alias("n_docs"))
-    # word-3-gram shingle features (the corpus' unigram vocabulary is a
-    # ~31-token template set — unigram tf-idf is degenerate; shingles give
-    # the same feature space the MinHash tier fingerprints)
-    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    tf = (
-        ws.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(ws) >= 3 THEN "
-                    "transform(sequence(0, size(ws) - 3), "
-                    "j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2])) "
-                    "ELSE CAST(array() AS ARRAY<STRING>) END"
-                )
-            ).alias("tok"),
-        )
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    post = (
-        tf.join(dfreq, "tok")
-        .crossJoin(F.broadcast(n1))
-        .filter(F.col("df") <= F.expr("n_docs DIV 10"))
-        .withColumn(
-            # true integer DIV (not double-divide-then-truncate: a 0.5-ulp
-            # round-up across an integer boundary would break exactness)
-            "w",
-            F.expr("tf * ((n_docs * 1000) DIV df)"),
-        )
-        .select("doc_id", "tok", "w")
-        # three consumers (norms + both sides of the dot-product join) —
-        # cached for the same reason as _doc_postings: uncached, the
-        # shingle-tf build recomputes per consumer and dominates the wall.
-        # A lineage-cut localCheckpoint under the cache was tried (r7) to
-        # make eviction structurally unable to recompute the explode, and
-        # REVERTED on measurement: the cut discards AQE runtime stats, the
-        # downstream norm joins lose their broadcast, and steady-state
-        # consumption ran 2x slower (save 3.3 s vs 1.5 s at sf0.1, warm
-        # same-process A/B) — plus the checkpoint finalizes its upstream
-        # stages at plan-build time, which would move the index build out
-        # of bench's timer. Eviction-recompute is instead prevented where
-        # it arose: bench.py clears ALL plan caches between queries, so no
-        # sweep-wide storage pressure exists to evict this one (VERDICT r6
-        # task 1/4).
-        .cache()
-    )
+    sub-quadratic thanks to the df cap), not the corpus.
+
+    The weighted inverted index (doc_id, tok, w) is read from the
+    once-per-corpus index artifact (`_postings_index_dir`) — its three
+    consumers here (norms + both sides of the dot-product join) scan a
+    skinny parquet table instead of re-deriving the shingle tf + idf
+    weighting per consumer (the r7/r8 plan-cache shape whose population
+    was re-paid inside every timed run: 4.4 s vs a 1.0 s oracle)."""
+    post = spark.read.parquet(f"{_postings_index_dir(spark, sf_dir)}/tfidf")
     # products via decimal(19,0) factors -> exact decimal(38,0) sums (the
     # oracle uses HUGEINT for the same exactness); DOUBLE only at the end
     wd = F.col("w").cast("decimal(19,0)")

