@@ -218,6 +218,29 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Corpus-index artifacts (VERDICT r8 task 1): the once-per-corpus-state
+    # index tables (postings/prefix/tfidf, co-purchase edges, bigram model
+    # tables, BPE merges, dedup index) that steady-state queries read
+    # instead of re-deriving. Force-rebuilt HERE, timed, and reported as
+    # `artifact_build_sec` + per-artifact `artifact_builds`, so the
+    # amortization stays auditable next to the query times (ADVICE r8 low:
+    # without this, a pre-materialized /dev/shm artifact makes the ratio
+    # unreadable as same-work-vs-same-work). BENCH_ARTIFACTS=keep reuses
+    # whatever /dev/shm already holds (builds still logged if any happen).
+    from nexmark_vanilla_flink_spark.operators.artifacts import (  # noqa: E402
+        ARTIFACT_BUILDERS,
+        pop_build_log,
+        purge_artifact_roots,
+    )
+
+    if os.environ.get("BENCH_ARTIFACTS", "rebuild") == "rebuild":
+        purge_artifact_roots()
+    for _afn in ARTIFACT_BUILDERS.values():
+        _afn(spark, sf_dir)
+    spark.catalog.clearCache()
+    artifact_builds = pop_build_log()
+    artifact_build_sec = round(sum(b["sec"] for b in artifact_builds), 3)
+
     # Measured per-query FLOORS (VERDICT r3 task 6): the fixed cost any
     # query pays regardless of data volume, reported so per-query ratios can
     # be graded net-of-floor. floor_sec = an empty batch plan through the
@@ -228,6 +251,15 @@ def main() -> None:
     # zero at production scale; at sf0.1 they dominate sub-second entries.
     def _floor_batch() -> float:
         df = spark.range(1)
+        # throwaway warm-ups of the SAME probe plan (VERDICT r8 "What's
+        # wrong" #3): the start floor was measured on a cold JVM, so
+        # first-probe codegen/JIT inflated floor_start 3-4x on EVERY sweep
+        # and degraded_box fired on quiet boxes too — the flag could no
+        # longer adjudicate a bad draw. A floor is the REPEATING fixed
+        # cost; warm-up belongs outside it (the stream floor probe already
+        # did this).
+        for _ in range(3):
+            df.write.format("noop").mode("overwrite").save()
         best = None
         for _ in range(5):
             t0 = time.perf_counter()
@@ -250,10 +282,14 @@ def main() -> None:
             stream_events,
         )
 
-        # one untimed warmup: the first streaming query in a session pays
+        # untimed warmups: the first streaming query in a session pays
         # one-off planner/state-machinery init that no steady-state replay
-        # repeats — a floor must measure the repeating cost
-        run_available_now_hashed(stream_events(spark, sf_dir).select("event_id"))
+        # repeats — a floor must measure the repeating cost (two rounds:
+        # the second catches stragglers JIT'd only after the first replay)
+        for _ in range(2):
+            run_available_now_hashed(
+                stream_events(spark, sf_dir).select("event_id")
+            )
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
@@ -347,6 +383,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     out_rows: dict[str, int] = {}
+    stray_builds: dict[str, list] = {}
     sweep_t0 = time.perf_counter()
     for qi, name in enumerate(names):
         if qi and qi % 20 == 0:
@@ -377,6 +414,9 @@ def main() -> None:
             if t2 <= outlier_s:
                 break
         timings[name] = t
+        built = pop_build_log()
+        if built:
+            stray_builds[name] = built
         _post_query_cleanup()
     out_path = os.environ.get(
         "BENCH_OUT",
@@ -398,6 +438,8 @@ def main() -> None:
             "result_rows": out_rows,
             "sf": sf,
             "relayout_sec": relayout_sec,
+            "artifact_build_sec": artifact_build_sec,
+            "artifact_builds": artifact_builds,
             "floor_sec": floor_sec,
             "stream_floor_sec": stream_floor_sec,
             "timing_passes": 1,
@@ -480,6 +522,15 @@ def main() -> None:
         "result_rows": out_rows,
         "sf": sf,
         "relayout_sec": relayout_sec,
+        # one-time corpus-index cost, paid upfront and reported so the
+        # per-query ratios below can't be read as same-work-vs-same-work
+        # for index-consuming entries (the oracle re-derives per run)
+        "artifact_build_sec": artifact_build_sec,
+        "artifact_builds": artifact_builds,
+        # any build that happened INSIDE the sweep (should be empty: the
+        # pre-build covers every registered artifact; non-empty means an
+        # unregistered artifact hid its build in a timed sample)
+        "artifact_builds_in_sweep": stray_builds,
         "floor_sec": floor_sec,
         "stream_floor_sec": stream_floor_sec,
         "floor_start_end": [floor_start, floor_end],

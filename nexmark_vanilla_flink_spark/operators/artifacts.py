@@ -54,6 +54,30 @@ from ..sources.binary import _cache_tag, prune_stale_cache
 # can report exactly which timed samples amortized a build.
 _BUILD_LOG: list[dict] = []
 
+# name -> dir_fn(spark, sf_dir) for every artifact in the repo, so
+# bench.py can force-rebuild them all at sweep start and report a
+# deterministic `artifact_build_sec` regardless of /dev/shm state (the
+# amortization-visibility requirement, VERDICT r8 "What's wrong" #5).
+ARTIFACT_BUILDERS: "dict[str, Callable[[SparkSession, str], str]]" = {}
+
+
+def register_artifact(name: str):
+    """Register an artifact's dir-function under its cache-root name."""
+
+    def deco(fn):
+        ARTIFACT_BUILDERS[name] = fn
+        return fn
+
+    return deco
+
+
+def purge_artifact_roots() -> None:
+    """Delete every registered artifact root — forces the next dir call
+    to rebuild from the live corpus. bench.py uses this so each sweep
+    measures (and reports) the full one-time index cost itself."""
+    for name in ARTIFACT_BUILDERS:
+        shutil.rmtree(artifact_root(name), ignore_errors=True)
+
 
 def pop_build_log() -> list[dict]:
     """Drain and return the artifact-build records accumulated since the
@@ -61,6 +85,53 @@ def pop_build_log() -> list[dict]:
     out = list(_BUILD_LOG)
     _BUILD_LOG.clear()
     return out
+
+
+def write_artifact_table(df, stage: str, table: str) -> None:
+    """Write one artifact table plus a schema sidecar. The sidecar lets
+    `read_artifact_table` attach an explicit schema instead of running
+    parquet footer inference — `spark.read.parquet` launches a one-file
+    schema job at every DataFrame CONSTRUCTION, which both violates the
+    lazy-entry construction contract (tests/test_bench_guard.py) and
+    taxes every eager-entry timed sample."""
+    import json
+
+    df.write.mode("overwrite").parquet(f"{stage}/{table}")
+    with open(f"{stage}/{table}.schema.json", "w") as f:
+        json.dump(df.schema.jsonValue(), f)
+
+
+def read_artifact_table(spark: SparkSession, adir: str, table: str):
+    """Read an artifact table with its sidecar schema (no inference job);
+    falls back to inference for pre-sidecar artifacts."""
+    import json
+
+    path = f"{adir}/{table}"
+    sidecar = f"{path}.schema.json"
+    if os.path.exists(sidecar):
+        from pyspark.sql.types import StructType
+
+        with open(sidecar) as f:
+            schema = StructType.fromJson(json.load(f))
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)
+
+
+def artifact_table_partitions(
+    adir: str, table: str, target_bytes: int = 64 * 1024 * 1024
+) -> int:
+    """Partition width for a computation over an artifact table, derived
+    from its on-disk size (driver-side stat, no job): ~target_bytes per
+    partition, min 1. Lets iterative consumers (k-core peeling) coalesce
+    a tiny signal graph to one task — killing per-round multi-task stage
+    overhead at bench SF — while the SAME code fans out proportionally
+    when the artifact is 1000x larger."""
+    total = 0
+    root = os.path.join(adir, table)
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            total += os.stat(os.path.join(dirpath, f)).st_size
+    return max(1, -(-total // target_bytes))
 
 
 def artifact_root(name: str) -> str:

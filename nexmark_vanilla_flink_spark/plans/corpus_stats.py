@@ -27,6 +27,7 @@ from pyspark.sql.functions import broadcast
 
 from ..operators.parallelism import ensure_parallelism
 from ..sources.tables import load_table
+from ..operators.artifacts import read_artifact_table, register_artifact
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -36,6 +37,7 @@ from .registry import register
 _PMI_MIN_COUNT = 5
 
 
+@register_artifact("bigram_tables")
 def _bigram_tables_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the corpus n-gram model tables ONCE per corpus state —
     the shared corpus-index-artifact pattern (operators/artifacts.py,
@@ -52,15 +54,17 @@ def _bigram_tables_dir(spark: SparkSession, sf_dir: str) -> str:
       ctx/   : (prev, c_prev)          — context counts (LM denominator)
       vocab/ : (v)                     — distinct-token count (LM add-one)
     """
-    from ..operators.artifacts import artifact_dir
+    from ..operators.artifacts import artifact_dir, write_artifact_table
 
     def _build(stage: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
         w = docs.select(F.split("text", " ").alias("ws"))
         tok = w.select(F.explode("ws").alias("t"))
-        tok.groupBy("t").agg(F.count(F.lit(1)).alias("n_t")).write.mode(
-            "overwrite"
-        ).parquet(f"{stage}/uni")
+        write_artifact_table(
+            tok.groupBy("t").agg(F.count(F.lit(1)).alias("n_t")),
+            stage,
+            "uni",
+        )
         tr = (
             w.filter(F.size("ws") >= 2)
             .select(
@@ -77,16 +81,20 @@ def _bigram_tables_dir(spark: SparkSession, sf_dir: str) -> str:
         big = tr.groupBy("tok_x", "tok_y").agg(
             F.count(F.lit(1)).alias("n_xy")
         )
-        big.write.mode("overwrite").parquet(f"{stage}/big")
-        tr.groupBy(F.col("tok_x").alias("prev")).agg(
-            F.count(F.lit(1)).alias("c_prev")
-        ).write.mode("overwrite").parquet(f"{stage}/ctx")
-        (
+        write_artifact_table(big, stage, "big")
+        write_artifact_table(
+            tr.groupBy(F.col("tok_x").alias("prev")).agg(
+                F.count(F.lit(1)).alias("c_prev")
+            ),
+            stage,
+            "ctx",
+        )
+        write_artifact_table(
             tr.select(F.col("tok_x").alias("t"))
             .unionAll(tr.select(F.col("tok_y").alias("t")))
-            .agg(F.countDistinct("t").alias("v"))
-            .write.mode("overwrite")
-            .parquet(f"{stage}/vocab")
+            .agg(F.countDistinct("t").alias("v")),
+            stage,
+            "vocab",
         )
         tr.unpersist()
 
@@ -156,8 +164,8 @@ def bigram_pmi_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q11/q15 de-funnel pattern — only partial-agg/vocab rows ever
     cross a SinglePartition exchange)."""
     idx = _bigram_tables_dir(spark, sf_dir)
-    uni = spark.read.parquet(f"{idx}/uni")
-    big = spark.read.parquet(f"{idx}/big")
+    uni = read_artifact_table(spark, idx, "uni")
+    big = read_artifact_table(spark, idx, "big")
     nn = uni.agg(F.sum("n_t").alias("n"))
     n2 = big.agg(F.sum("n_xy").alias("n2"))
     ux = uni.select(F.col("t").alias("tok_x"), F.col("n_t").alias("n_x"))
@@ -859,9 +867,9 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.col("t.prev").alias("prev"), F.col("t.tok").alias("tok")
     )
-    vocab = spark.read.parquet(f"{idx}/vocab")
-    ctx = spark.read.parquet(f"{idx}/ctx")
-    big = spark.read.parquet(f"{idx}/big").select(
+    vocab = read_artifact_table(spark, idx, "vocab")
+    ctx = read_artifact_table(spark, idx, "ctx")
+    big = read_artifact_table(spark, idx, "big").select(
         F.col("tok_x").alias("prev"),
         F.col("tok_y").alias("tok"),
         F.col("n_xy").alias("c_big"),

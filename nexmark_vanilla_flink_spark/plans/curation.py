@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..operators.parallelism import ensure_parallelism
 from ..sources.tables import load_table
+from ..operators.artifacts import register_artifact
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -464,6 +465,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_artifact("dedup_index")
 def _corpus_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the static corpus dedup index (content digests + MinHash
     band signatures of the non-"new" docs) to a content-fingerprinted
@@ -475,19 +477,20 @@ def _corpus_index_dir(spark: SparkSession, sf_dir: str) -> str:
     helper, operators/artifacts.py); the logic version pins the signature
     spec (_N_HASHES/_BAND_ROWS/_NEW_MOD) so a spec change can never serve
     a stale index from a warm host."""
-    from ..operators.artifacts import artifact_dir
+    from ..operators.artifacts import artifact_dir, write_artifact_table
     from .pipeline import _BAND_ROWS, _N_HASHES, _minhash_wide
 
     def _build(stage: str) -> None:
         is_new = F.col("doc_id") % _NEW_MOD == _NEW_MOD - 1
         docs_b = load_table(spark, sf_dir, "documents")
-        (
-            docs_b.filter(~is_new)
-            .select(F.col("doc_id").alias("c_id"), F.md5("text").alias("dg"))
-            .write.mode("overwrite")
-            .parquet(f"{stage}/digests")
+        write_artifact_table(
+            docs_b.filter(~is_new).select(
+                F.col("doc_id").alias("c_id"), F.md5("text").alias("dg")
+            ),
+            stage,
+            "digests",
         )
-        (
+        write_artifact_table(
             _minhash_wide(spark, sf_dir)
             .filter(~is_new)
             .select(
@@ -500,9 +503,9 @@ def _corpus_index_dir(spark: SparkSession, sf_dir: str) -> str:
                         ]
                     )
                 ).alias("band", "sig"),
-            )
-            .write.mode("overwrite")
-            .parquet(f"{stage}/bands")
+            ),
+            stage,
+            "bands",
         )
 
     return artifact_dir(
@@ -558,9 +561,11 @@ def incremental_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFra
     # re-evaluates its static subtree EVERY batch — recomputing the 12-hash
     # MinHash over the whole corpus each time. The batch `incremental_dedup`
     # entry keeps full index-build timing.
+    from ..operators.artifacts import read_artifact_table
+
     idx_dir = _corpus_index_dir(spark, sf_dir)
-    corpus_digests = spark.read.parquet(f"{idx_dir}/digests")
-    corpus_bands = spark.read.parquet(f"{idx_dir}/bands")
+    corpus_digests = read_artifact_table(spark, idx_dir, "digests")
+    corpus_bands = read_artifact_table(spark, idx_dir, "bands")
 
     # streaming side: new docs as a file stream; signatures per ROW
     from ..streaming.sources import cached_parquet_schema

@@ -59,14 +59,17 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # and were driver-green in a prior round's CORRECTNESS_r*.json.
 # Round-8 head (rotation policy: COVERAGE.md "Driver-gate rotation").
 # Tier 2 — changed in r8: the BPE pair (merge-table materialization,
-# VERDICT r7 task 3) and the two Python-stateful replay twins whose
-# batching/flush cadence changed (task 4). Tier 3 — plans changed in r7
-# but not re-gated then (ADVICE r7: branch-reuse caches and the
-# bigram_pmi_lift N/N2 restructure shipped in the r7 diff after the head
-# was cut). Tier 4 — regression rotation, oldest last-green first: the
-# four r3-last-green entries deferred from r7 (nexmark_q0/q1/q2 +
-# cm_load_per_job), then ALL 33 r4-last-green entries — after this round
-# the cumulative freshness floor moves to r5.
+# VERDICT r7 task 3). scd2/skipgram stream replays were slotted for a
+# batching/flush change (r7 task 4) that did NOT ship before the round
+# truncated — they stayed in the head as plain regression re-gates
+# (correction recorded per VERDICT r8 "What's wrong" #4; the flush work
+# lands in r9). Tier 3 — plans changed in r7 but not re-gated then
+# (ADVICE r7: branch-reuse caches and the bigram_pmi_lift N/N2
+# restructure shipped in the r7 diff after the head was cut). Tier 4 —
+# regression rotation, oldest last-green first: the four r3-last-green
+# entries deferred from r7 (nexmark_q0/q1/q2 + cm_load_per_job), then
+# ALL 33 r4-last-green entries — after r8 the cumulative freshness
+# floor moved to r5.
 # 4 + 9 + 4 + 33 = 50. Everything below the cap stays pytest-oracle-
 # locked every CI run (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [

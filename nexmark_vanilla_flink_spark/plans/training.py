@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..sources.tables import load_table
+from ..operators.artifacts import register_artifact
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -584,6 +585,7 @@ _BPEL_ORACLE = (
 _BPEL_SYMS = "split(substring(rep, 2, length(rep) - 2), '\\\\)\\\\(')"
 
 
+@register_artifact("bpe_vocab")
 def _bpe_vocab_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the learned merge table ONCE per corpus state — the
     `_corpus_index_dir` deployment shape (plans/curation.py): a production
@@ -596,11 +598,11 @@ def _bpe_vocab_dir(spark: SparkSession, sf_dir: str) -> str:
     count and a spec revision, so changing `_BPEL_ITERS`, the tie-break,
     or the merge-apply logic can never serve a stale artifact from a warm
     host (ADVICE r8 medium)."""
-    from ..operators.artifacts import artifact_dir
+    from ..operators.artifacts import artifact_dir, write_artifact_table
 
     def _build(stage: str) -> None:
         merged, cached_base = _bpe_learn_loop(spark, sf_dir)
-        merged.write.mode("overwrite").parquet(f"{stage}/vocab")
+        write_artifact_table(merged, stage, "vocab")
         cached_base.unpersist()
 
     return artifact_dir(
@@ -616,7 +618,9 @@ def _bpe_vocab_dir(spark: SparkSession, sf_dir: str) -> str:
 def _bpe_merged_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned merge table (wd, rep, cnt), read from the materialized
     per-corpus artifact — see `_bpe_vocab_dir`."""
-    return spark.read.parquet(f"{_bpe_vocab_dir(spark, sf_dir)}/vocab")
+    from ..operators.artifacts import read_artifact_table
+
+    return read_artifact_table(spark, _bpe_vocab_dir(spark, sf_dir), "vocab")
 
 
 def _bpe_learn_loop(spark: SparkSession, sf_dir: str):

@@ -488,23 +488,24 @@ _AUCTION_SPARK_SCHEMA = ", ".join(
 )
 
 
-def _make_auction_chunk_decoder():
-    """Build the (worker-side) chunk decoder: takes a list of frame-aligned
-    binary chunks, walks each frame's header (checksum filter + per-frame
-    record count), and decodes all surviving records in ONE
-    ``np.frombuffer`` structured-dtype pass, returning an Arrow
-    RecordBatch. Shared by the Kafka-shaped per-frame decoder and the
-    ranged file reader."""
+def _make_chunk_decoder(dtype_fields, checksum, record_size):
+    """Build a (worker-side) chunk decoder for ANY framed fixed-width
+    layout: takes a list of frame-aligned binary chunks, walks each
+    frame's header (checksum filter + per-frame record count), and
+    decodes all surviving records in ONE ``np.frombuffer``
+    structured-dtype pass, returning an Arrow RecordBatch. Shared by the
+    Kafka-shaped per-frame decoders and the ranged file readers for the
+    auction (269 B) and person (206 B) wire formats."""
     import numpy as np
     import pyarrow as pa
 
-    rec_dtype = np.dtype(_AUCTION_DTYPE_FIELDS)
-    assert rec_dtype.itemsize == AUCTION_RECORD_SIZE
+    rec_dtype = np.dtype(dtype_fields)
+    assert rec_dtype.itemsize == record_size
     hdr_dtype = np.dtype([("checksum", ">u4"), ("n", ">i4"), ("backlog", ">i8")])
     out_schema_pa = pa.schema(
         [
             (name, pa.string() if np_t.startswith("S") else pa.int64())
-            for name, np_t in _AUCTION_DTYPE_FIELDS
+            for name, np_t in dtype_fields
         ]
     )
 
@@ -515,17 +516,15 @@ def _make_auction_chunk_decoder():
                 continue
             for off in range(0, len(raw) - HEADER_SIZE + 1, FRAME_SIZE):
                 hdr = np.frombuffer(raw, dtype=hdr_dtype, count=1, offset=off)[0]
-                if int(hdr["checksum"]) != AUCTION_CHECKSUM:
+                if int(hdr["checksum"]) != checksum:
                     continue
                 lo = off + HEADER_SIZE
-                payloads.append(
-                    raw[lo : lo + int(hdr["n"]) * AUCTION_RECORD_SIZE]
-                )
+                payloads.append(raw[lo : lo + int(hdr["n"]) * record_size])
         if not payloads:
             return pa.RecordBatch.from_pylist([], schema=out_schema_pa)
         recs = np.frombuffer(b"".join(payloads), dtype=rec_dtype)
         arrays = []
-        for name, np_t in _AUCTION_DTYPE_FIELDS:
+        for name, np_t in dtype_fields:
             col = recs[name]
             if np_t.startswith("S"):
                 arrays.append(
@@ -536,6 +535,12 @@ def _make_auction_chunk_decoder():
         return pa.RecordBatch.from_arrays(arrays, schema=out_schema_pa)
 
     return decode_chunks
+
+
+def _make_auction_chunk_decoder():
+    return _make_chunk_decoder(
+        _AUCTION_DTYPE_FIELDS, AUCTION_CHECKSUM, AUCTION_RECORD_SIZE
+    )
 
 
 def decode_auction_frame_col_arrow(frames: DataFrame) -> DataFrame:
@@ -612,9 +617,26 @@ def decode_auction_frames_arrow(
     Needs the path visible from executors (local FS here, shared FS/NFS on
     a cluster); object-store deployments use the binaryFile chunk path
     (``_chunked_file_frames`` + ``decode_auction_frame_col_arrow``)."""
-    import numpy as np  # noqa: F401  (imported for the worker closure)
-    import pyarrow as pa
+    return _decode_frames_ranged(
+        spark,
+        path,
+        _make_auction_chunk_decoder(),
+        _AUCTION_SPARK_SCHEMA,
+        n_chunks,
+    )
 
+
+def _decode_frames_ranged(
+    spark: SparkSession,
+    path: str,
+    decode_chunks,
+    out_schema: str,
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """Generic ranged-read Arrow decode: one frame-aligned byte range per
+    task (``spark.range(n_chunks)``), each task opens the file, reads ONLY
+    its range, and numpy-decodes it with ``decode_chunks``. Zero shuffle,
+    zero driver bytes — see ``decode_auction_frames_arrow``."""
     if n_chunks is None:
         n_chunks = spark.sparkContext.defaultParallelism
     size = os.path.getsize(path)
@@ -622,8 +644,6 @@ def decode_auction_frames_arrow(
     chunk_frames = max(1, -(-n_frames // n_chunks))
     chunk_bytes = chunk_frames * FRAME_SIZE
     n_chunks = max(1, -(-n_frames // chunk_frames))
-
-    decode_chunks = _make_auction_chunk_decoder()
 
     def _read_ranges(batches):
         for batch in batches:
@@ -636,4 +656,71 @@ def decode_auction_frames_arrow(
             yield decode_chunks(raws)
 
     rng = spark.range(0, n_chunks, numPartitions=n_chunks)
-    return rng.mapInArrow(_read_ranges, _AUCTION_SPARK_SCHEMA)
+    return rng.mapInArrow(_read_ranges, out_schema)
+
+
+# numpy structured dtype of one 206-byte person record, big-endian (the
+# encode_person layout above; reference PersonDeserializationSchema.java:
+# 41-91). Field sizes sum to exactly PERSON_RECORD_SIZE (align=False).
+_PERSON_DTYPE_FIELDS = [
+    ("person_id", ">i8"),
+    ("p_name", "S32"),
+    ("p_surname", "S32"),
+    ("p_domain", "S32"),
+    ("city", "S32"),
+    ("country", "S32"),
+    ("cc0", ">i8"),
+    ("cc1", ">i8"),
+    ("prov_a", ">i4"),
+    ("zip_b", ">i4"),
+    ("sub_c", ">i4"),
+    ("flag", ">i2"),
+    ("ts_ms", ">i8"),
+]
+
+_PERSON_RAW_SPARK_SCHEMA = ", ".join(
+    f"{name} {'string' if np_t.startswith('S') else 'bigint'}"
+    for name, np_t in _PERSON_DTYPE_FIELDS
+)
+
+
+def decode_person_frames_arrow(
+    spark: SparkSession, path: str, n_chunks: int | None = None
+) -> DataFrame:
+    """Ranged-read Arrow decode of framed person binary files — the
+    person twin of ``decode_auction_frames_arrow`` (VERDICT r8: the
+    column-plan person decode re-paid its frame explode + 13 interpreted
+    substring/conv expressions per record inside every timed run — the
+    auction layout's fix applies verbatim). The numpy pass yields the RAW
+    wire fields; the P5 decode-time derivations (name concat, email
+    concat, credit-card sum, province/zipcode arithmetic) stay JVM-side
+    codegen column expressions, identical in semantics to
+    ``decode_person_frame_col`` (tests/test_binary_source.py asserts the
+    two decoders row-identical; the column plan remains the
+    oracle-shared reference path and the Kafka value decoder)."""
+    raw = _decode_frames_ranged(
+        spark,
+        path,
+        _make_chunk_decoder(
+            _PERSON_DTYPE_FIELDS, CHECKSUM, PERSON_RECORD_SIZE
+        ),
+        _PERSON_RAW_SPARK_SCHEMA,
+        n_chunks,
+    )
+    return raw.select(
+        "person_id",
+        F.concat_ws(" ", "p_name", "p_surname").alias("full_name"),
+        F.concat(
+            F.col("p_name"),
+            F.lit("."),
+            F.col("p_surname"),
+            F.lit("@"),
+            F.col("p_domain"),
+        ).alias("email"),
+        "city",
+        "country",
+        (F.col("cc0") + F.col("cc1")).alias("credit_card"),
+        (F.col("prov_a") - F.col("sub_c")).alias("province"),
+        (F.col("zip_b") - F.col("sub_c")).alias("zipcode"),
+        "ts_ms",
+    )

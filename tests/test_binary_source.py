@@ -177,3 +177,29 @@ def test_auction_arrow_decode_matches_column_plan(spark, sf_dir, tmp_path):
     c = sorted([tuple(r) for r in col.collect()])
     assert a == c
     assert len(a) > 0
+
+
+def test_person_arrow_decode_matches_column_plan(spark, sf_dir, tmp_path):
+    """The ranged-read Arrow person decoder (r9, the auction twin's shape)
+    and the pure column-expression plan are row-identical — the column
+    plan stays the oracle-shared reference path and the Kafka value
+    decoder, the Arrow path is the hot path."""
+    from nexmark_vanilla_flink_spark.sources.binary import (
+        decode_person_frames_arrow,
+        write_person_frames,
+    )
+
+    path = str(tmp_path / "persons.bin")
+    write_person_frames(sf_dir, path)
+    col = decode_person_frames(spark, path)
+    arrow = decode_person_frames_arrow(spark, path)
+    assert [f.name for f in arrow.schema.fields] == [
+        f.name for f in col.schema.fields
+    ]
+    assert [f.dataType for f in arrow.schema.fields] == [
+        f.dataType for f in col.schema.fields
+    ]
+    a = sorted([tuple(r) for r in arrow.collect()])
+    c = sorted([tuple(r) for r in col.collect()])
+    assert a == c
+    assert len(a) > 0

@@ -37,6 +37,19 @@ Scheme (replica i of K, replica 0 byte-identical to the original):
     (nationkey+cents, segment+name-suffix) cannot merge replicas into one
     block: ER candidates and verified matches stay linear in K.
 
+  * FIXED-CARDINALITY DIMENSION ATTRIBUTES replicate verbatim — and that
+    is deliberate, not a key-collision bug (ADVICE r8): events.props.k is
+    a 100-value dimension (the nexmark category/item dimension — its
+    whole domain is [0, 100) at every SF), documents.source (~20 values)
+    and documents.lang (6 values) likewise. Real 10x data growth keeps
+    dimension domains fixed and grows rows-per-key 10x — exactly like
+    region/nation staying 5/25 at every TPC-H SF. Queries that GROUP BY a
+    props-/source-/lang-derived key therefore keep a constant key count
+    with 10x heavier groups in the scaling table; only entity-keyed state
+    (user_id, doc_id, *_key, event_id) measures key-space growth. The
+    scaling table's linearity conclusions should read dimension-keyed
+    entries as rows-per-key growth, not state-size growth.
+
 Output: single-file-per-table parquet (named {t}.parquet like the driver
 testdata) with 64 Ki-row row groups so both engines parallelize the scan;
 schemas are preserved from the source files (timestamp[us] stays
@@ -90,9 +103,17 @@ OFFSETS = {
 
 
 def _name_tag(i: int) -> str:
-    """Per-replica customer-name prefix; pairwise lev >= 3 (3 repeated
-    letters + the replica number), and >= 4 vs replica 0's empty tag."""
-    return "" if i == 0 else f"{chr(96 + (i % 26))}{chr(96 + (i % 26))}{chr(96 + (i % 26))}{i}"
+    """Per-replica customer-name prefix with pairwise Levenshtein >= 3 for
+    ANY two distinct replicas (and >= 3 vs replica 0's empty tag): each of
+    the three letters is an independent base-26 digit of i, repeated 3x —
+    two distinct i differ in at least one digit, hence in >= 3 positions.
+    (ADVICE r8: the old `i % 26`-letter + decimal-suffix tag collapsed to
+    edit distance 2 for i ≡ i' mod 26, and i % 26 == 0 produced a backtick
+    — both broke the ER blocking-key linearity argument at K > 26.)"""
+    if i == 0:
+        return ""
+    d0, d1, d2 = i % 26, (i // 26) % 26, (i // 676) % 26
+    return "".join(chr(97 + d) * 3 for d in (d2, d1, d0))
 
 
 def _flip_mask(i: int, dim: int) -> np.ndarray:
