@@ -766,12 +766,15 @@ def user_value_ewma_stream_replay(
     import os
 
     from ..streaming.runner import run_available_now
-    from ..streaming.stateful import ewma_stateful
+    from ..streaming.stateful import ewma_stateful_bucketed
     from .linkage import _sentinel_event_stream
 
     stream, flush_ms = _sentinel_event_stream(spark, sf_dir, with_value=True)
     return run_available_now(
-        ewma_stateful(stream, flush_ms),
+        # bucketed state (r9): same fold, same flush-only emission —
+        # per-key parity pinned by tests/test_bucketed_stateful.py; the
+        # per-key replica `ewma_stateful` remains the reference form
+        ewma_stateful_bucketed(stream, flush_ms),
         output_mode="append",
         shuffle_partitions=int(
             os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")

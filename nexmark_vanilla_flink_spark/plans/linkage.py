@@ -854,17 +854,22 @@ def scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate.
 
     Scale: durable state is one (state, from, version) triple per key
-    plus the watermark-lag-bounded pending buffer; everything keys on
-    user_id. The flush sentinel is the bounded-replay analog of Flink's
-    end-of-input watermark (shared helper with the funnel twin)."""
+    plus the watermark-lag-bounded pending buffer, coarsened into hash
+    buckets (streaming/stateful.py::bucketed_stateful, r9: the per-key
+    Python replica paid ~2 s of per-key group-call machinery at sf0.1;
+    per-key parity pinned by tests/test_bucketed_stateful.py, and the
+    per-key replica `scd2_stateful` remains the reference form);
+    everything keys on user_id. The flush sentinel is the bounded-replay
+    analog of Flink's end-of-input watermark (shared helper with the
+    funnel twin)."""
     import os
 
     from ..streaming.runner import run_available_now
-    from ..streaming.stateful import scd2_stateful
+    from ..streaming.stateful import scd2_stateful_bucketed
 
     stream, flush_ms = _sentinel_event_stream(spark, sf_dir)
     out = run_available_now(
-        scd2_stateful(stream, flush_ms),
+        scd2_stateful_bucketed(stream, flush_ms),
         output_mode="append",
         shuffle_partitions=int(
             os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")

@@ -433,12 +433,15 @@ def skipgram_pairs_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..streaming.runner import run_available_now
-    from ..streaming.stateful import skipgram_stateful
+    from ..streaming.stateful import skipgram_stateful_bucketed
     from .linkage import _sentinel_event_stream
 
     stream, flush_ms = _sentinel_event_stream(spark, sf_dir)
     out = run_available_now(
-        skipgram_stateful(stream, flush_ms),
+        # bucketed state (r9): same fold, same emitted pair multiset —
+        # per-key parity pinned by tests/test_bucketed_stateful.py; the
+        # per-key replica `skipgram_stateful` remains the reference form
+        skipgram_stateful_bucketed(stream, flush_ms),
         output_mode="append",
         shuffle_partitions=int(
             os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")

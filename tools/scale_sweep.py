@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Full-registry scale sweep (VERDICT r7 task 1 / r8 task 2): run EVERY
+registry entry at one or more SF dirs — typically sf0.1 and the 10x
+replica built by tools/scale10.py — hash-compare each oracled entry
+against DuckDB on the same parquet (the driver's correctness gate,
+via tests.oracle_utils.compare), and record per-query Spark/DuckDB walls
+so superlinear growth is named, not asserted.
+
+    python tools/scale10.py 10 /tmp/sf1.0          # build the replica
+    python tools/scale_sweep.py /root/testdata/sf0.1 /tmp/sf1.0
+
+Output JSON (SCALE_SWEEP_OUT, default docs/scaling_r9.json):
+  per sf dir: {query: {spark_s, duck_s, match, rows}}, artifact builds,
+  and a cross-sf summary naming every entry whose Spark wall grew more
+  than GROWTH_FLAG x between the first and last sf (after subtracting
+  the measured per-query floor — sub-second entries are floor-dominated
+  and a 10x data growth inside one task shows up as ~1x wall).
+
+Timing discipline mirrors bench.py: lazy entries time the save with
+construction outside; one untimed warmup save; min-of-2 timed saves.
+Hash compare runs ONCE per (query, sf) — the sweep is a correctness
+gate first, a wall table second.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nexmark_vanilla_flink_spark.plans import REGISTRY  # noqa: E402
+from nexmark_vanilla_flink_spark.plans.registry import EAGER_TAGS  # noqa: E402
+
+GROWTH_FLAG = float(os.environ.get("SCALE_GROWTH_FLAG", "15"))
+# 10x data on 32 local cores: perfectly linear work with fixed overheads
+# lands well under 10x wall; 15x flags genuinely superlinear growth.
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/tmp/sf1.0"]
+    out_path = os.environ.get(
+        "SCALE_SWEEP_OUT",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "docs",
+            "scaling_r9.json",
+        ),
+    )
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName("scale_sweep")
+        .getOrCreate()
+    )
+    from nexmark_vanilla_flink_spark.operators.artifacts import (
+        ARTIFACT_BUILDERS,
+        pop_build_log,
+    )
+    from tests.oracle_utils import compare
+
+    result: dict = {"sweeps": {}, "growth_flag": GROWTH_FLAG}
+    names = list(REGISTRY)
+    for sf_dir in sf_dirs:
+        # floor: the fixed per-query cost at this session state
+        fl = spark.range(1)
+        for _ in range(3):
+            fl.write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        fl.write.format("noop").mode("overwrite").save()
+        floor_s = time.perf_counter() - t0
+
+        for fn in ARTIFACT_BUILDERS.values():
+            fn(spark, sf_dir)
+        spark.catalog.clearCache()
+        builds = pop_build_log()
+        sweep: dict = {
+            "floor_s": round(floor_s, 3),
+            "artifact_build_sec": round(sum(b["sec"] for b in builds), 3),
+            "artifact_builds": builds,
+            "queries": {},
+        }
+        for name in names:
+            q = REGISTRY[name]
+            rec: dict = {}
+            try:
+                eager = bool(EAGER_TAGS & set(q.tags))
+                if eager:
+                    t0 = time.perf_counter()
+                    df = q.spark(spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    spark_s = time.perf_counter() - t0
+                else:
+                    df = q.spark(spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    spark.catalog.clearCache()
+                    spark_s = None
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        df.write.format("noop").mode("overwrite").save()
+                        dt = time.perf_counter() - t0
+                        spark_s = dt if spark_s is None else min(spark_s, dt)
+                        spark.catalog.clearCache()
+                rec["spark_s"] = round(spark_s, 3)
+                if q.oracle:
+                    t0 = time.perf_counter()
+                    ok, msg = compare(
+                        q.spark(spark, sf_dir), sf_dir, q.oracle
+                    )
+                    rec["compare_s"] = round(time.perf_counter() - t0, 3)
+                    rec["match"] = ok
+                    if not ok:
+                        rec["mismatch"] = msg[:400]
+                else:
+                    rec["rows"] = q.spark(spark, sf_dir).count()
+                    rec["match"] = rec["rows"] >= 0
+            except Exception as exc:  # noqa: BLE001 — sweep must finish
+                rec["error"] = f"{type(exc).__name__}: {exc}"[:400]
+                rec["match"] = False
+            sweep["queries"][name] = rec
+            spark.catalog.clearCache()
+            stray = pop_build_log()
+            if stray:
+                rec["artifact_builds_in_query"] = stray
+            print(
+                f"[{sf_dir}] {name}: {rec.get('spark_s', '-')}s "
+                f"match={rec.get('match')}",
+                flush=True,
+            )
+        ok_n = sum(1 for r in sweep["queries"].values() if r.get("match"))
+        sweep["green"] = f"{ok_n}/{len(names)}"
+        result["sweeps"][sf_dir] = sweep
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+
+    if len(sf_dirs) >= 2:
+        lo, hi = sf_dirs[0], sf_dirs[-1]
+        ql, qh = (
+            result["sweeps"][lo]["queries"],
+            result["sweeps"][hi]["queries"],
+        )
+        fl_lo = result["sweeps"][lo]["floor_s"]
+        fl_hi = result["sweeps"][hi]["floor_s"]
+        growth = {}
+        for name in names:
+            a = ql.get(name, {}).get("spark_s")
+            b = qh.get(name, {}).get("spark_s")
+            if a is None or b is None:
+                continue
+            net_a = max(a - fl_lo, 1e-3)
+            net_b = max(b - fl_hi, 1e-3)
+            growth[name] = round(net_b / net_a, 2)
+        result["growth_net_of_floor"] = dict(
+            sorted(growth.items(), key=lambda kv: -kv[1])
+        )
+        result["superlinear_flagged"] = [
+            n for n, g in growth.items() if g > GROWTH_FLAG
+        ]
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+    print(f"wrote {out_path}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
