@@ -57,76 +57,74 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # this round. The remainder follows in module-import order. Entries that fall
 # past the cap are still oracled every CI run by tests/test_oracle_parity.py
 # and were driver-green in a prior round's CORRECTNESS_r*.json.
-# Round-8 head (rotation policy: COVERAGE.md "Driver-gate rotation").
-# Tier 2 — changed in r8: the BPE pair (merge-table materialization,
-# VERDICT r7 task 3). scd2/skipgram stream replays were slotted for a
-# batching/flush change (r7 task 4) that did NOT ship before the round
-# truncated — they stayed in the head as plain regression re-gates
-# (correction recorded per VERDICT r8 "What's wrong" #4; the flush work
-# lands in r9). Tier 3 — plans changed in r7 but not re-gated then
-# (ADVICE r7: branch-reuse caches and the bigram_pmi_lift N/N2
-# restructure shipped in the r7 diff after the head was cut). Tier 4 —
-# regression rotation, oldest last-green first: the four r3-last-green
-# entries deferred from r7 (nexmark_q0/q1/q2 + cm_load_per_job), then
-# ALL 33 r4-last-green entries — after r8 the cumulative freshness
-# floor moved to r5.
-# 4 + 9 + 4 + 33 = 50. Everything below the cap stays pytest-oracle-
-# locked every CI run (tests/test_oracle_parity.py).
+# Round-9 head (rotation policy: COVERAGE.md "Driver-gate rotation").
+# Tier 2 — implementation changed in r9 (15): every entry re-pointed at
+# a materialized corpus-index artifact (similarity3 postings/prefix/
+# tfidf: prefix_filter + tfidf; graph edges: pagerank/triangles/kcore;
+# bigram model tables: pmi + lm; BPE vocab refactor: both BPE entries;
+# dedup index refactor: incremental_dedup + its stream replay), the
+# Arrow ranged-read person decode, and the three bucketed-state replay
+# twins (scd2/skipgram/ewma, VERDICT r8 task 3). Tier 4 — regression
+# rotation, oldest last-green first: the r5-last-green cohort is 40
+# entries, one of which (incremental_dedup_stream_replay) already sits
+# in tier 2, leaving 39; the cap fits 35, so the four alphabetically-
+# last (user_value_resample_ffill, value_outliers, winnow_fingerprints,
+# winnow_overlap_pairs) are DEFERRED to the r10 head. 15 + 35 = 50.
+# Everything below the cap stays pytest-oracle-locked every CI run
+# (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
-    # --- tier 2: implementation changes this round (r8) ---
+    # --- tier 2: implementation changes this round (r9) ---
+    "prefix_filter_jaccard_pairs",
+    "tfidf_cosine_topk",
+    "copurchase_pagerank",
+    "copurchase_triangles",
+    "copurchase_kcore",
+    "bigram_pmi_lift",
+    "bigram_lm_doc_scores",
+    "person_binary_decode",
     "bpe_learn_merges",
     "bpe_encode_stats",
+    "incremental_dedup",
+    "incremental_dedup_stream_replay",
     "scd2_stream_replay",
     "skipgram_pairs_stream_replay",
-    # --- tier 3: plan changed in r7 after the r7 head was cut ---
-    "bigram_pmi_lift",
-    "bloom_membership_audit",
-    "bigram_lm_doc_scores",
-    "semdedup_prune",
-    "ann_ivf_topk",
-    "entity_resolution_pairs",
-    "quality_label_propagation",
-    "event_transition_matrix",
-    "tfidf_cosine_topk",
-    # --- tier 4: regression rotation, r3-last-green (deferred from r7) ---
-    "nexmark_q0_passthrough",
-    "nexmark_q1_currency",
-    "nexmark_q2_selection",
-    "cm_load_per_job",
-    # --- tier 4: regression rotation, r4-last-green (all 33) ---
-    "auction_binary_decode",
-    "cosine_topk_bruteforce",
-    "dedup_exact_docs",
-    "doc_fingerprints",
-    "eval_decontamination",
-    "generated_hot_seller_histogram",
-    "generated_q3_person_join",
-    "grouped_median_pandas",
-    "label_centroids",
-    "lang_guess",
-    "minhash_estimate_error",
-    "minhash_lsh_pairs",
-    "multimodal_frame_extract",
-    "multimodal_meta",
-    "pii_scrub",
-    "q5_hot_items_sql",
-    "q8_left_outer",
-    "simhash_fingerprints",
-    "text_quality_scores",
-    "token_counts",
-    "tpch_q10_returned_items",
-    "tpch_q12_shipmode_buckets",
-    "tpch_q14_promo_share",
-    "tpch_q16_part_suppliers",
-    "tpch_q18_volume_customers",
-    "tpch_q1_pricing_summary",
-    "tpch_q22_global_acctbal",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue",
-    "vocab_top_tokens",
+    "user_value_ewma_stream_replay",
+    # --- tier 4: regression rotation, r5-last-green (35 of 39) ---
+    "bids_asof_profile",
+    "cm_stream_replay",
+    "corpus_curation",
+    "dedup_cluster_rewrite",
+    "deterministic_splits",
+    "doc_chunks_udtf",
+    "doc_top_terms",
+    "embedding_neardup_pairs",
+    "generated_event_mix_stats",
+    "kmv_distinct_estimate",
+    "multimodal_resize",
+    "nexmark_q10_log_partitioned",
+    "nexmark_q14_calculation",
+    "nexmark_q4_category_avg",
+    "nexmark_q6_seller_avg",
+    "nexmark_q9_winning_bid_rows",
+    "orders_rollup",
+    "pii_scrub_stream_replay",
+    "q5_hot_items_stream_replay",
+    "q5_sliding_stream_replay",
+    "q7_highest_bid_stream_replay",
+    "q8_join_stream_replay",
+    "quality_classifier_scores",
+    "qx_interval_join_stream_replay",
+    "scalar_quantize_embeddings",
+    "scd2_user_state",
+    "sessions_dynamic_gap_stream_replay",
+    "sessions_stream_replay",
+    "srp_lsh_buckets",
+    "stream_dedup_replay",
+    "stream_static_enrich",
+    "top_customers_per_nation",
+    "tpch_q11_important_parts",
+    "tpch_q15_top_supplier",
+    "user_history_sequences",
 ]
 
 
