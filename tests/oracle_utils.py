@@ -131,3 +131,123 @@ def compare(spark_df, sf_dir: str, oracle: str) -> tuple[bool, str]:
         diff = [(a, b) for a, b in zip(cs, cd) if a != b][:5]
         return False, f"value mismatch, first diffs: {diff}"
     return True, f"ok ({len(s_rows)} rows)"
+
+
+# ---------------------------------------------------------------------------
+# Capped compare for scale sweeps (tools/scale_sweep.py)
+# ---------------------------------------------------------------------------
+# The driver-faithful ``compare`` collects BOTH result sets into Python and
+# sorts them — exact, but O(rows) driver memory. At 10x data the entries
+# whose TRUE output grows quadratically under replication (the interval
+# join keys on the fixed 100-value category dimension, so 10x auctions x
+# 10x bids per key = ~100x output rows; see tools/scale10.py's
+# fixed-cardinality-dimension note) produce tens of millions of rows —
+# a dual collect would OOM the sweep. Above a row cap we fall back to a
+# DISTRIBUTED aggregate fingerprint: row count + per-column typed
+# aggregates (exact decimal sums for integrals / string lengths / epoch
+# micros, null counts, min/max; tolerance-banded double sums), computed
+# engine-side in both engines with matched semantics. Weaker than the
+# full row-set hash — the sweep records which mode ran so the scaling
+# table can say so.
+
+COMPARE_CAP_ROWS = 2_000_000
+_DOUBLE_REL_TOL = 1e-6
+
+
+def _fingerprint_exprs(cols: list[str], dtypes: dict[str, str]):
+    """(spark_exprs, duck_exprs, labels) — matched aggregate semantics."""
+    spark_e, duck_e, labels = [], [], []
+
+    def add(lbl, s, d):
+        labels.append(lbl)
+        spark_e.append(f"{s} AS `{lbl}`")
+        duck_e.append(f'{d} AS "{lbl}"')
+
+    add("n_rows", "COUNT(*)", "CAST(COUNT(*) AS BIGINT)")
+    for c in sorted(cols):
+        dt = dtypes[c]
+        add(f"{c}#nulls", f"COUNT(*) - COUNT(`{c}`)",
+            f'CAST(COUNT(*) - COUNT("{c}") AS BIGINT)')
+        if dt in ("tinyint", "smallint", "int", "bigint"):
+            add(f"{c}#sum", f"SUM(CAST(`{c}` AS DECIMAL(38,0)))",
+                f'SUM(CAST("{c}" AS HUGEINT))')
+            add(f"{c}#min", f"MIN(`{c}`)", f'CAST(MIN("{c}") AS BIGINT)')
+            add(f"{c}#max", f"MAX(`{c}`)", f'CAST(MAX("{c}") AS BIGINT)')
+        elif dt in ("double", "float"):
+            add(f"{c}#fsum", f"SUM(CAST(`{c}` AS DOUBLE))",
+                f'SUM(CAST("{c}" AS DOUBLE))')
+            add(f"{c}#fmin", f"MIN(`{c}`)", f'MIN("{c}")')
+            add(f"{c}#fmax", f"MAX(`{c}`)", f'MAX("{c}")')
+        elif dt == "string":
+            add(f"{c}#lsum", f"SUM(CAST(LENGTH(`{c}`) AS DECIMAL(38,0)))",
+                f'SUM(CAST(LENGTH("{c}") AS HUGEINT))')
+            add(f"{c}#min", f"MIN(`{c}`)", f'MIN("{c}")')
+            add(f"{c}#max", f"MAX(`{c}`)", f'MAX("{c}")')
+        elif dt.startswith("timestamp"):
+            add(f"{c}#usum",
+                f"SUM(CAST(unix_micros(`{c}`) AS DECIMAL(38,0)))",
+                f'SUM(CAST(epoch_us("{c}") AS HUGEINT))')
+            add(f"{c}#min", f"CAST(unix_micros(MIN(`{c}`)) AS BIGINT)",
+                f'CAST(epoch_us(MIN("{c}")) AS BIGINT)')
+            add(f"{c}#max", f"CAST(unix_micros(MAX(`{c}`)) AS BIGINT)",
+                f'CAST(epoch_us(MAX("{c}")) AS BIGINT)')
+        elif dt == "boolean":
+            add(f"{c}#tsum", f"SUM(CAST(`{c}` AS INT))",
+                f'CAST(SUM(CAST("{c}" AS INT)) AS HUGEINT)')
+        elif dt == "date":
+            add(f"{c}#min", f"MIN(`{c}`)", f'MIN("{c}")')
+            add(f"{c}#max", f"MAX(`{c}`)", f'MAX("{c}")')
+        # array/map/struct/binary: null-count only (added above)
+    return spark_e, duck_e, labels
+
+
+def _fp_equal(lbl: str, a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if "#f" in lbl:  # double aggregates: tolerance-banded
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return abs(fa - fb) <= _DOUBLE_REL_TOL * max(1.0, abs(fa), abs(fb))
+    if isinstance(a, Decimal) or isinstance(b, Decimal):
+        return int(a) == int(b)
+    return a == b
+
+
+def compare_capped(
+    spark_df, sf_dir: str, oracle: str, cap: int = COMPARE_CAP_ROWS
+) -> tuple[bool, str]:
+    """Driver-exact ``compare`` when the oracle result fits under ``cap``
+    rows; distributed aggregate-fingerprint compare above it. Returns
+    (ok, msg); msg starts with "agg-fingerprint" in the capped mode."""
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    n = con.execute(f"SELECT COUNT(*) FROM ({oracle}) t").fetchone()[0]
+    if n <= cap:
+        con.close()
+        return compare(spark_df, sf_dir, oracle)
+
+    s_cols = spark_df.columns
+    s_dtypes = dict(spark_df.dtypes)
+    spark_e, duck_e, labels = _fingerprint_exprs(s_cols, s_dtypes)
+    s_row = spark_df.selectExpr(*spark_e).collect()[0]
+    d_tbl = con.execute(
+        f"SELECT {', '.join(duck_e)} FROM ({oracle}) t"
+    ).fetch_arrow_table()
+    con.close()
+    d_row = {f.name: d_tbl.column(i).to_pylist()[0]
+             for i, f in enumerate(d_tbl.schema)}
+    # column-set equality is structural: the duck aggregates are built from
+    # the SPARK column list, so a column missing from the oracle errors out
+    # in the duck execution above rather than passing silently.
+    bad = [
+        (lbl, s_row[lbl], d_row[lbl])
+        for lbl in labels
+        if not _fp_equal(lbl, s_row[lbl], d_row[lbl])
+    ]
+    if bad:
+        return False, f"agg-fingerprint mismatch ({n} rows): {bad[:5]}"
+    return True, f"agg-fingerprint ok ({n} rows, cap={cap})"

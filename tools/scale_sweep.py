@@ -67,11 +67,22 @@ def main() -> None:
         ARTIFACT_BUILDERS,
         pop_build_log,
     )
-    from tests.oracle_utils import compare
+    from tests.oracle_utils import compare_capped as compare
 
+    # Resume: a prior partial sweep (killed mid-sf) keeps its per-query
+    # records — the JSON is rewritten after EVERY query below, so only the
+    # in-flight entry is ever lost.
     result: dict = {"sweeps": {}, "growth_flag": GROWTH_FLAG}
+    if os.path.exists(out_path) and os.environ.get("SCALE_SWEEP_FRESH") != "1":
+        with open(out_path) as f:
+            prior = json.load(f)
+        result["sweeps"] = prior.get("sweeps", {})
     names = list(REGISTRY)
     for sf_dir in sf_dirs:
+        done = result["sweeps"].get(sf_dir, {}).get("queries", {})
+        done = {
+            n: r for n, r in done.items() if "error" not in r
+        }
         # floor: the fixed per-query cost at this session state
         fl = spark.range(1)
         for _ in range(3):
@@ -88,9 +99,12 @@ def main() -> None:
             "floor_s": round(floor_s, 3),
             "artifact_build_sec": round(sum(b["sec"] for b in builds), 3),
             "artifact_builds": builds,
-            "queries": {},
+            "queries": dict(done),
         }
+        result["sweeps"][sf_dir] = sweep
         for name in names:
+            if name in done:
+                continue
             q = REGISTRY[name]
             rec: dict = {}
             try:
@@ -119,6 +133,9 @@ def main() -> None:
                     )
                     rec["compare_s"] = round(time.perf_counter() - t0, 3)
                     rec["match"] = ok
+                    if msg.startswith("agg-fingerprint"):
+                        rec["compare_mode"] = "agg_fingerprint"
+                        rec["compare_note"] = msg[:200]
                     if not ok:
                         rec["mismatch"] = msg[:400]
                 else:
@@ -137,6 +154,8 @@ def main() -> None:
                 f"match={rec.get('match')}",
                 flush=True,
             )
+            with open(out_path, "w") as f:
+                json.dump(result, f, indent=1)
         ok_n = sum(1 for r in sweep["queries"].values() if r.get("match"))
         sweep["green"] = f"{ok_n}/{len(names)}"
         result["sweeps"][sf_dir] = sweep
