@@ -1348,7 +1348,10 @@ n AS (
          sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
   FROM e
 ),
-c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 97 = 0),
+c AS (
+  SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
+  WHERE vec_id % (SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM e) = 0
+),
 ac AS (
   SELECT a.vec_id, c.c_id,
          round(list_aggregate(list_transform(list_zip(a.v, c.cv), s -> s[1] * s[2]), 'sum')
@@ -1389,6 +1392,37 @@ SELECT q_id, vec_id, cos_sim, rn FROM (
 """
 
 
+def parquet_num_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet FOOTER metadata — a pure-Python read, no
+    Spark job, so lazy entries can size plan constants at construction
+    without violating the no-jobs-at-construction contract
+    (tests/test_bench_guard.py)."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as papq
+
+    path = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    if os.path.isdir(path):
+        return pads.dataset(path, format="parquet").count_rows()
+    return papq.ParquetFile(path).metadata.num_rows
+
+
+def ivf_modulus(n_vecs: int) -> int:
+    """Centroid-subset modulus: vec_id % m == 0 picks ~N/m centroids, and
+    m = floor(sqrt(N)) keeps nlist ≈ √N — the classic IVF sizing that holds
+    assignment work to N·√N and inverted-list length to √N. A FIXED modulus
+    (the pre-r9 ``% 97``) makes nlist grow linearly with the corpus, so the
+    coarse assignment cross-join goes quadratic: the r9 10× scale sweep
+    (docs/scaling_r9.json) measured 0.54 s → 27.1 s (50×) at 10× data.
+    Both engines derive m from the same COUNT so they stay in lockstep at
+    any SF (DuckDB: FLOOR(SQRT(COUNT(*))); IEEE sqrt of a perfect square is
+    exact, so floor matches isqrt)."""
+    import math
+
+    return max(1, math.isqrt(max(n_vecs, 0)))
+
+
 @register(
     "ann_ivf_topk",
     oracle=_IVF_ORACLE,
@@ -1396,10 +1430,11 @@ SELECT q_id, vec_id, cos_sim, rn FROM (
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-5: a deterministic coarse-quantizer subset
-    (vec_id % 97 == 0) plays the centroid table; every vector is assigned to
-    its nearest centroid; queries probe their 2 nearest centroids and search
-    only those inverted lists. At 100 TB the corpus is scanned once to
-    assign (centroids broadcast), and each query touches ~nprobe/nlist of the
+    (vec_id % floor(sqrt(N)) == 0, i.e. nlist ≈ √N — see ``ivf_modulus``)
+    plays the centroid table; every vector is assigned to its nearest
+    centroid; queries probe their 2 nearest centroids and search only those
+    inverted lists. At 100 TB the corpus is scanned once to assign
+    (centroids broadcast), and each query touches ~nprobe/nlist of the
     data — the classic IVF trade. The oracle reproduces it exactly, so
     recall-vs-bruteforce is measurable in tests."""
     # No ensure_parallelism: the embeddings relation is narrow and the
@@ -1428,7 +1463,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    c = n.filter(F.col("vec_id") % 97 == 0).select(
+    # parquet-footer row count (no Spark job at construction) sizes
+    # nlist ≈ √N
+    m = ivf_modulus(parquet_num_rows(sf_dir, "embeddings"))
+    c = n.filter(F.col("vec_id") % m == 0).select(
         F.col("vec_id").alias("c_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),

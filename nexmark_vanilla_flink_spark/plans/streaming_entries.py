@@ -526,7 +526,12 @@ def ann_ivf_topk_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    c = n.filter(F.col("vec_id") % 97 == 0).select(
+    # nlist ≈ √N (see plans.pipeline.ivf_modulus) — shared spec with the
+    # batch entry and the oracle, derived from the same row count
+    from .pipeline import ivf_modulus, parquet_num_rows
+
+    m = ivf_modulus(parquet_num_rows(sf_dir, "embeddings"))
+    c = n.filter(F.col("vec_id") % m == 0).select(
         F.col("vec_id").alias("c_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
@@ -565,7 +570,10 @@ def ann_ivf_topk_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     root = os.path.join(base, "spark_graft_ivf_assign")
-    tag = _cache_tag(sf_dir, "embeddings")
+    # logic-version suffix (ADVICE r8): the assignment spec changed in r9
+    # (fixed % 97 -> nlist ≈ √N), so a warm host must not serve the old
+    # index for the same corpus fingerprint
+    tag = _cache_tag(sf_dir, "embeddings") + "-ivf2"
     prune_stale_cache(root, os.path.basename(sf_dir.rstrip("/")), {tag})
     out_tbl = os.path.join(root, tag)
     if not os.path.exists(os.path.join(out_tbl, "_SUCCESS")):

@@ -27,11 +27,17 @@ def duckdb_run(sf_dir: str, sql: str):
     (driver-faithful typing: HUGEINT→Decimal, DECIMAL stays Decimal),
     arrow_types is {col: str(pa.DataType)} for the dtype assertion."""
     con = duckdb.connect()
-    for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    tbl = con.execute(sql).fetch_arrow_table()
+    try:
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        tbl = con.execute(sql).fetch_arrow_table()
+    finally:
+        # An unclosed connection keeps its buffer pool alive; sweeps that
+        # run hundreds of oracles in one process compound leaked pools into
+        # host-wide DuckDB "bad allocation" OOMs (observed r9, 10x sweep).
+        con.close()
     cols = tbl.schema.names
     arrow_types = {f.name: str(f.type) for f in tbl.schema}
     # Column-wise to_pylist: python scalars (int/float/Decimal/str/bytes/
@@ -221,23 +227,27 @@ def compare_capped(
     rows; distributed aggregate-fingerprint compare above it. Returns
     (ok, msg); msg starts with "agg-fingerprint" in the capped mode."""
     con = duckdb.connect()
-    for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    n = con.execute(f"SELECT COUNT(*) FROM ({oracle}) t").fetchone()[0]
-    if n <= cap:
-        con.close()
-        return compare(spark_df, sf_dir, oracle)
+    try:
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        n = con.execute(f"SELECT COUNT(*) FROM ({oracle}) t").fetchone()[0]
+        if n <= cap:
+            return compare(spark_df, sf_dir, oracle)
 
-    s_cols = spark_df.columns
-    s_dtypes = dict(spark_df.dtypes)
-    spark_e, duck_e, labels = _fingerprint_exprs(s_cols, s_dtypes)
-    s_row = spark_df.selectExpr(*spark_e).collect()[0]
-    d_tbl = con.execute(
-        f"SELECT {', '.join(duck_e)} FROM ({oracle}) t"
-    ).fetch_arrow_table()
-    con.close()
+        s_cols = spark_df.columns
+        s_dtypes = dict(spark_df.dtypes)
+        spark_e, duck_e, labels = _fingerprint_exprs(s_cols, s_dtypes)
+        s_row = spark_df.selectExpr(*spark_e).collect()[0]
+        d_tbl = con.execute(
+            f"SELECT {', '.join(duck_e)} FROM ({oracle}) t"
+        ).fetch_arrow_table()
+    finally:
+        # A leaked connection retains its buffer pool; across a 177-entry
+        # sweep that compounds into host-wide DuckDB OOM (observed r9).
+        con.close()
     d_row = {f.name: d_tbl.column(i).to_pylist()[0]
              for i, f in enumerate(d_tbl.schema)}
     # column-set equality is structural: the duck aggregates are built from
