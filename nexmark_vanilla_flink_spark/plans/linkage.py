@@ -795,36 +795,45 @@ def funnel_conversion_stream_replay(
 ) -> DataFrame:
     """The funnel pattern matcher UNDER STREAMING EXECUTION — the CEP
     deployment shape (match `view ->> click ->> purchase within 7d` as
-    events arrive, emit each user's final funnel when the watermark
-    proves it can no longer change). Keyed state via
-    applyInPandasWithState with PER-KEY event-time timers at
-    `view + 7d` — the reference's timer-per-auction pattern
-    (NexmarkQueryX.java:465): each key emits and frees its state the
-    moment the watermark proves its row immutable, not at a global
-    horizon. Keys the batch semantics leave open-ended (view but no
-    click — the click has no upper bound) hold to the end-of-input
-    horizon; the one-row flush sentinel (ts = max event time + 8 days,
-    the bounded-replay analog of Flink's end-of-input watermark) settles
-    those, which is what lets this replay share the batch funnel oracle
-    verbatim. Incremental pre-horizon emission is pinned live by
-    tests/test_continuous_cep.py.
+    events arrive). This bounded-replay entry runs the BUCKETED twin
+    (streaming/stateful.py::funnel_stateful_bucketed, r9): the identical
+    ``funnel_fold`` over watermark-finalized prefixes, state coarsened
+    into hash buckets of user_id, one row per matched user at the flush
+    horizon — emission timing is unobservable under the batch oracle, and
+    the per-key Python group-call machinery was the replay's dominant
+    cost. The PER-KEY-TIMER replica (funnel_stateful(per_key_timers=True)
+    — the reference's timer-per-auction pattern, NexmarkQueryX.java:465:
+    each key emits and frees its state the moment the watermark proves
+    its row immutable) remains the continuous deployment form, with its
+    incremental pre-horizon emission pinned live by
+    tests/test_continuous_cep.py and its row-set parity with this twin
+    pinned by tests/test_bucketed_stateful.py. The one-row flush sentinel
+    (ts = max event time + 8 days, the bounded-replay analog of Flink's
+    end-of-input watermark) settles the open-ended keys, which is what
+    lets this replay share the batch funnel oracle verbatim.
 
     Scale: matched state is three BIGINTs per user plus a pending buffer
-    bounded by the watermark lag, hash-partitioned on user_id; per-key
-    timers free state continuously instead of accumulating every key to
-    a global flush."""
+    bounded by the watermark lag, hash-partitioned on user_id (bucket
+    count rides the shuffle-partition count at real scale); the per-key
+    timer form frees state continuously instead of accumulating every
+    key to a global flush."""
     import os
 
     from ..streaming.runner import run_available_now
-    from ..streaming.stateful import funnel_stateful
+    from ..streaming.stateful import funnel_stateful_bucketed
 
     stream, flush_ms = _sentinel_event_stream(spark, sf_dir)
     out = run_available_now(
-        funnel_stateful(stream, flush_ms, _FUNNEL_WINDOW_US, per_key_timers=True),
+        # bucketed state (r9): identical funnel_fold, one row per matched
+        # user at the flush horizon — per-key parity pinned by
+        # tests/test_bucketed_stateful.py. The per-key-timer replica
+        # (funnel_stateful(per_key_timers=True)) remains the continuous
+        # deployment form, exercised live by tests/test_continuous_cep.py.
+        funnel_stateful_bucketed(stream, flush_ms, _FUNNEL_WINDOW_US),
         output_mode="append",
         # Python-stateful replica: Arrow-batch worker parallelism beats
-        # store-commit savings (the q8_union_join_lowlevel r5 A/B), so pin
-        # 8 instead of the local replay default of 4
+        # store-commit savings (the q8_union_join_lowlevel r5 A/B, re-held
+        # in the r9 8/4/2 A/B), so pin 8 instead of the local default of 4
         shuffle_partitions=int(
             os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")
         ),

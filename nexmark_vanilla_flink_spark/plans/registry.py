@@ -58,22 +58,25 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # past the cap are still oracled every CI run by tests/test_oracle_parity.py
 # and were driver-green in a prior round's CORRECTNESS_r*.json.
 # Round-9 head (rotation policy: COVERAGE.md "Driver-gate rotation").
-# Tier 2 — implementation changed in r9 (17): every entry re-pointed at
+# Tier 2 — implementation changed in r9 (18): every entry re-pointed at
 # a materialized corpus-index artifact (similarity3 postings/prefix/
 # tfidf: prefix_filter + tfidf; graph edges: pagerank/triangles/kcore;
 # bigram model tables: pmi + lm; BPE vocab refactor: both BPE entries;
 # dedup index refactor: incremental_dedup + its stream replay), the
 # Arrow ranged-read person decode, the three bucketed-state replay
-# twins (scd2/skipgram/ewma, VERDICT r8 task 3), and the two IVF-ANN
-# entries whose centroid sizing changed to nlist ≈ √N (the r9 10×
-# scale sweep caught the fixed-modulus assignment going quadratic —
+# twins (scd2/skipgram/ewma, VERDICT r8 task 3) plus the funnel replay
+# (bucketed in r9 the same way — the per-key-timer replica stays the
+# live/continuous form), and the two IVF-ANN entries whose centroid
+# sizing changed to nlist ≈ √N (the r9 10× scale sweep caught the
+# fixed-modulus assignment going quadratic —
 # plans/pipeline.py::ivf_modulus). Tier 4 — regression rotation,
 # oldest last-green first: the r5-last-green cohort is 40 entries, one
 # of which (incremental_dedup_stream_replay) already sits in tier 2,
-# leaving 39; the cap fits 33, so the six alphabetically-last
-# (tpch_q15_top_supplier, user_history_sequences,
-# user_value_resample_ffill, value_outliers, winnow_fingerprints,
-# winnow_overlap_pairs) are DEFERRED to the r10 head. 17 + 33 = 50.
+# leaving 39; the cap fits 32, so the seven alphabetically-last
+# (tpch_q11_important_parts, tpch_q15_top_supplier,
+# user_history_sequences, user_value_resample_ffill, value_outliers,
+# winnow_fingerprints, winnow_overlap_pairs) are DEFERRED to the r10
+# head. 18 + 32 = 50.
 # Everything below the cap stays pytest-oracle-locked every CI run
 # (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
@@ -95,7 +98,8 @@ DRIVER_HEAD: list[str] = [
     "scd2_stream_replay",
     "skipgram_pairs_stream_replay",
     "user_value_ewma_stream_replay",
-    # --- tier 4: regression rotation, r5-last-green (35 of 39) ---
+    "funnel_conversion_stream_replay",
+    # --- tier 4: regression rotation, r5-last-green (32 of 39) ---
     "bids_asof_profile",
     "cm_stream_replay",
     "corpus_curation",
@@ -128,7 +132,6 @@ DRIVER_HEAD: list[str] = [
     "stream_dedup_replay",
     "stream_static_enrich",
     "top_customers_per_nation",
-    "tpch_q11_important_parts",
 ]
 
 

@@ -12,9 +12,12 @@ import pytest
 
 from nexmark_vanilla_flink_spark.plans.linkage import _sentinel_event_stream
 from nexmark_vanilla_flink_spark.streaming.runner import run_available_now
+from nexmark_vanilla_flink_spark.plans.linkage import _FUNNEL_WINDOW_US
 from nexmark_vanilla_flink_spark.streaming.stateful import (
     ewma_stateful,
     ewma_stateful_bucketed,
+    funnel_stateful,
+    funnel_stateful_bucketed,
     scd2_stateful,
     scd2_stateful_bucketed,
     skipgram_stateful,
@@ -25,6 +28,13 @@ PAIRS = {
     "ewma": (ewma_stateful, ewma_stateful_bucketed, True),
     "scd2": (scd2_stateful, scd2_stateful_bucketed, False),
     "skipgram": (skipgram_stateful, skipgram_stateful_bucketed, False),
+    # per-key-TIMER form vs bucketed flush-horizon emission: the row SET
+    # must be identical even though emission timing differs
+    "funnel": (
+        lambda s, f: funnel_stateful(s, f, _FUNNEL_WINDOW_US, per_key_timers=True),
+        lambda s, f: funnel_stateful_bucketed(s, f, _FUNNEL_WINDOW_US),
+        False,
+    ),
 }
 
 
