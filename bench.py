@@ -669,6 +669,11 @@ def main() -> None:
             "stream_floor_sec": stream_floor_sec,
             "degraded_box": degraded_box,
             "queries_full": os.path.basename(out_path),
+            # one-time corpus-index cost, surfaced in the HEADLINE line so
+            # the per-query ratios for index-consuming entries can't be
+            # read as same-work-vs-same-work (the DuckDB oracle re-derives
+            # per run by design; VERDICT r8 "What's wrong" #5)
+            "artifact_build_sec": result.get("artifact_build_sec"),
         }
     )
     if "comparator" in result:
