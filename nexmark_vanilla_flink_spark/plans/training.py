@@ -298,22 +298,54 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HNM_TOPK = 3
 
+# The oracle re-derives the IVF index (√N centroids, nearest-centroid
+# assignment, 2-probe candidate lists) exactly like ann_ivf_topk's oracle,
+# then mines positives/negatives over the candidate set — the
+# fresh-derivation twin of the artifact-served Spark plan below.
 _HNM_ORACLE = f"""
 WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-         sqrt(list_aggregate(list_transform(embedding, x ->
-              CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
-  FROM embeddings
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-q AS (
-  SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
-  FROM e WHERE vec_id % 50 = 0
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+c AS (
+  SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
+  WHERE vec_id % (SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM e) = 0
+),
+ac AS (
+  SELECT a.vec_id, c.c_id,
+         round(list_aggregate(list_transform(list_zip(a.v, c.cv), s -> s[1] * s[2]), 'sum')
+               / (a.nrm * c.cnrm), 6) AS cs
+  FROM n a CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+    FROM ac
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, c_id FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+    FROM ac WHERE vec_id % 50 = 0
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.q_id, a.vec_id FROM probes p
+  JOIN assign a ON a.c_id = p.c_id AND a.vec_id <> p.q_id
 ),
 s AS (
-  SELECT q.q_id, q.q_label, e.vec_id, e.label,
-         round(list_aggregate(list_transform(list_zip(q.qv, e.v),
-               p -> p[1] * p[2]), 'sum') / (q.qn * e.nrm), 6) AS cos_sim
-  FROM q JOIN e ON e.vec_id <> q.q_id
+  SELECT cand.q_id, q.label AS q_label, cand.vec_id, d.label,
+         round(list_aggregate(list_transform(list_zip(q.v, d.v), z -> z[1] * z[2]), 'sum')
+               / (q.nrm * d.nrm), 6) AS cos_sim
+  FROM cand
+  JOIN n q ON q.vec_id = cand.q_id
+  JOIN n d ON d.vec_id = cand.vec_id
 ),
 pos AS (
   SELECT q_id, max(cos_sim) AS pos_sim
@@ -335,53 +367,70 @@ WHERE n.neg_rank <= {_HNM_TOPK}
 @register(
     "hard_negative_mining",
     oracle=_HNM_ORACLE,
-    tags=("training", "similarity", "contrastive"),
+    tags=("training", "similarity", "contrastive", "ann"),
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contrastive-training example mining: for each query embedding
-    (vec_id % 50 == 0), the 3 most-similar CROSS-label vectors
-    (hard negatives) plus the best same-label similarity and the triplet
-    margin (pos_sim − neg_sim) — the margin ranks which queries need the
-    mined negatives most (small/negative margin = confusable classes).
+    """ANN-mined contrastive-training examples: for each query embedding
+    (vec_id % 50 == 0), retrieve its IVF probe candidate set (2 nearest
+    centroids' inverted lists, served from the materialized ``ivf_index``
+    artifact — the exact probe path ``ann_ivf_topk`` serves), then emit the
+    3 most-similar CROSS-label candidates (hard negatives) plus the best
+    same-label candidate similarity and the triplet margin
+    (pos_sim − neg_sim). This is how production retrieval-training
+    pipelines mine hard negatives (ANN-retrieved, not exhaustive — the
+    pre-r10 registered form scanned the full corpus per query, which the
+    10× scale sweep measured at 93 s / 177× growth: O(N²/50) by spec;
+    docs/scaling_r9.json).
 
-    Scale: the query side is broadcast and the corpus streams through
-    map-side exactly like ``cosine_topk_bruteforce``; the per-query
-    positive is a conditional MAX aggregate and the negative top-k is a
-    rank window over the query-subset-sized score frame (2% of corpus ×
-    queries), never the corpus. The IVF-bucketed variant swaps the scan
-    for ``ann_ivf_topk``'s probe path unchanged."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    ).withColumn(
-        "nrm",
-        F.sqrt(
-            F.expr(
-                "aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-            )
-        ),
+    Scale: probe selection is (queries × nlist) with nlist ≈ √N; each
+    query then scores ~2·N/nlist ≈ 2√N candidates through stream-static
+    equi-joins against the artifact frames — N^1.5/50 total, the same
+    asymptotics as the serving path, with the N·√N coarse assignment paid
+    once offline in the index build (artifact_build_sec)."""
+    from ..operators.artifacts import read_artifact_table
+    from .pipeline import _ivf_index_dir
+
+    adir = _ivf_index_dir(spark, sf_dir)
+    n = read_artifact_table(spark, adir, "normed")
+    c = read_artifact_table(spark, adir, "centroids")
+    assign = read_artifact_table(spark, adir, "assign")
+    dot_vc = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
     )
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
+    qn_sub = n.filter(F.col("vec_id") % 50 == 0)
+    qc = qn_sub.crossJoin(broadcast(c)).select(
+        "vec_id",
+        "c_id",
+        F.round(dot_vc / (F.col("nrm") * F.col("cnrm")), 6).alias("cs"),
+    )
+    w_vc = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("c_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(w_vc))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("vec_id").alias("q_id"), "c_id")
+    )
+    cand = broadcast(probes).join(assign, "c_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    qv = qn_sub.select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
+    dot_qd = F.expr(
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
     s = (
-        e.join(broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                F.expr(
-                    "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-                )
-                / (F.col("qn") * F.col("nrm")),
-                6,
-            ),
+        cand.join(n, "vec_id")
+        .join(broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(dot_qd / (F.col("qn") * F.col("nrm")), 6).alias("cos_sim"),
         )
-        .select("q_id", "q_label", "vec_id", "label", "cos_sim")
     )
     pos = (
         s.filter(F.col("label") == F.col("q_label"))
