@@ -71,12 +71,26 @@ def register_artifact(name: str):
     return deco
 
 
+# Cache roots RETIRED by refactors (ADVICE r9 low): nothing writes them
+# anymore, but pre-refactor directories persist on long-lived hosts'
+# tmpfs until something deletes them. purge_artifact_roots() (every bench
+# sweep) and the ivf_index build both sweep these.
+RETIRED_ROOTS = ("spark_graft_ivf_assign",)
+
+
+def purge_retired_roots() -> None:
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    for name in RETIRED_ROOTS:
+        shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+
+
 def purge_artifact_roots() -> None:
     """Delete every registered artifact root — forces the next dir call
     to rebuild from the live corpus. bench.py uses this so each sweep
     measures (and reports) the full one-time index cost itself."""
     for name in ARTIFACT_BUILDERS:
         shutil.rmtree(artifact_root(name), ignore_errors=True)
+    purge_retired_roots()
 
 
 def pop_build_log() -> list[dict]:

@@ -708,66 +708,109 @@ _SENTINEL_CACHE: dict[tuple[int, str], tuple[int, str]] = {}
 def _sentinel_event_stream(
     spark: SparkSession, sf_dir: str, with_value: bool = False
 ) -> tuple[DataFrame, int]:
-    """The event stream UNIONED with a one-row flush sentinel (user_id -1,
+    """The event stream plus a one-row flush sentinel (user_id -1,
     ts = max event time + 8 days): the bounded-replay analog of Flink's
     end-of-input watermark. Returns (stream, flush_ms) — the horizon
     every keyed flush timer registers at. Shared by the funnel and SCD2
-    streaming twins. The max-ts probe and the sentinel file are cached
-    per (session, events-file content) — the sentinel depends only on
-    the source data, not on the consuming query. ``with_value`` adds the
-    quantized value column ``v_fp`` (1e-3 fixed point, 0 on the
-    sentinel row) for value-folding consumers like the EWMA twin."""
+    streaming twins.
+
+    SINGLE-SOURCE form (r10): the sentinel is written as a RAW-schema
+    parquet file (pyarrow, copying the events file's exact arrow schema)
+    into a combined scratch dir beside a link to events.parquet, and the
+    replay runs ONE file source over that dir. The pre-r10 two-source
+    union paid a second source's listing + offset-log + getBatch on every
+    micro-batch of every sentinel replay — machinery the stream floor
+    probe (one source) never pays, i.e. pure net-of-floor overhead. The
+    max-ts probe and the combined dir are cached per (session,
+    events-file content) — the sentinel depends only on the source data,
+    not on the consuming query. ``with_value`` adds the quantized value
+    column ``v_fp`` (1e-3 fixed point, 0 on the sentinel row, whose raw
+    value is written as 0) for value-folding consumers like the EWMA
+    twin."""
     import os
+    import shutil
     import uuid
 
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-        TimestampType,
-    )
-
     from ..streaming.runner import track_ephemeral_dir
-    from ..streaming.sources import stream_events
+    from ..streaming.sources import cached_parquet_schema, stream_events_dir
 
     ev_path = f"{sf_dir.rstrip('/')}/events.parquet"
     st = os.stat(ev_path)
     ck = (id(spark), f"{ev_path}:{st.st_mtime_ns}:{st.st_size}")
     cached = _SENTINEL_CACHE.get(ck)
     if cached is not None and os.path.isdir(cached[1]):
-        max_ts_ns, sent_dir = cached
+        max_ts_ns, comb_dir = cached
     else:
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
         max_ts_ns = (
             load_table(spark, sf_dir, "events")
             .agg(F.max("ts_ns").alias("m"))
             .collect()[0]["m"]
         )
         sent_us = max_ts_ns // 1000 + 8 * 86400 * 1_000_000
-        sent_dir = track_ephemeral_dir(
+        comb_dir = track_ephemeral_dir(
             os.path.join(
                 "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp",
-                f"spark_graft_flush_sentinel_{uuid.uuid4().hex[:8]}",
+                f"spark_graft_flush_combined_{uuid.uuid4().hex[:8]}",
             )
         )
-        spark.createDataFrame(
-            [(-1, "flush", sent_us, -1)],
-            "user_id long, event_type string, us long, event_id long",
-        ).withColumn("ts", F.timestamp_micros(F.col("us"))).write.mode(
-            "overwrite"
-        ).parquet(sent_dir)
-        _SENTINEL_CACHE[ck] = (max_ts_ns, sent_dir)
+        os.makedirs(comb_dir, exist_ok=True)
+        # link (or copy) the events file(s) into the combined dir
+        srcs = (
+            [
+                (os.path.join(ev_path, f), f"events_{i:02d}.parquet")
+                for i, f in enumerate(sorted(os.listdir(ev_path)))
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(ev_path)
+            else [(ev_path, "events.parquet")]
+        )
+        for src, dst_name in srcs:
+            dst = os.path.join(comb_dir, dst_name)
+            try:
+                os.link(src, dst)
+            except OSError:
+                try:
+                    os.symlink(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+        # the sentinel row in the EXACT raw arrow schema of the events file
+        raw_schema = papq.ParquetFile(srcs[0][0]).schema_arrow
+        arrays = []
+        for field in raw_schema:
+            if field.name in ("user_id", "event_id"):
+                arr = pa.array([-1], type=pa.int64()).cast(field.type)
+            elif field.name == "event_type":
+                arr = pa.array(["flush"]).cast(field.type)
+            elif field.name == "ts":
+                if pa.types.is_integer(field.type):
+                    # nanos-as-long layout
+                    v = max_ts_ns + 8 * 86400 * 1_000_000_000
+                else:
+                    unit = field.type.unit
+                    mult = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[
+                        unit
+                    ]
+                    v = sent_us * 1000 if unit == "ns" else sent_us // mult
+                arr = pa.array([v], type=pa.int64()).cast(field.type)
+            elif field.name == "value":
+                arr = pa.array([0.0], type=pa.float64()).cast(field.type)
+            elif field.name == "props":
+                arr = pa.array([""]).cast(field.type)
+            else:
+                arr = pa.array([None], type=field.type)
+            arrays.append(arr)
+        papq.write_table(
+            pa.Table.from_arrays(arrays, schema=raw_schema),
+            os.path.join(comb_dir, "zz_sentinel.parquet"),
+        )
+        _SENTINEL_CACHE[ck] = (max_ts_ns, comb_dir)
     flush_ms = max_ts_ns // 1_000_000 + 1
-    sent_schema = StructType(
-        [
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("us", LongType()),
-            StructField("event_id", LongType()),
-            StructField("ts", TimestampType()),
-        ]
-    )
-    ev = stream_events(spark, sf_dir).select(
+    ev = stream_events_dir(
+        spark, comb_dir, cached_parquet_schema(spark, ev_path)
+    ).select(
         "user_id",
         "event_type",
         F.expr("ts_ns DIV 1000").alias("us"),
@@ -779,10 +822,7 @@ def _sentinel_event_stream(
             else []
         ),
     )
-    sent = spark.readStream.schema(sent_schema).parquet(sent_dir)
-    if with_value:
-        sent = sent.withColumn("v_fp", F.lit(0).cast("long"))
-    return ev.unionByName(sent), flush_ms
+    return ev, flush_ms
 
 
 @register(
@@ -823,6 +863,15 @@ def funnel_conversion_stream_replay(
     from ..streaming.stateful import funnel_stateful_bucketed
 
     stream, flush_ms = _sentinel_event_stream(spark, sf_dir)
+    # JVM-side pre-filter (r10): the funnel fold only reads
+    # view/click/purchase rows — signup/error (~40% of the stream) used to
+    # ride the full shuffle + state-buffer + Arrow + pickle machinery just
+    # to be skipped inside Python. The sentinel row (user_id < 0) must
+    # pass: it advances the watermark to the flush horizon.
+    stream = stream.filter(
+        (F.col("user_id") < 0)
+        | F.col("event_type").isin("view", "click", "purchase")
+    )
     out = run_available_now(
         # bucketed state (r9): identical funnel_fold, one row per matched
         # user at the flush horizon — per-key parity pinned by

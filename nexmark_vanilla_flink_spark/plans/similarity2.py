@@ -753,7 +753,10 @@ FROM ({_DEDUP_CLUSTERS_ORACLE}) c
 @register(
     "leakage_safe_splits",
     oracle=_leakage_split_oracle(),
-    tags=("pipeline", "dedup", "sampling", "iterative"),
+    # lazy since r10: the CC loop runs inside the dedup_clusters artifact
+    # build (priced via artifact_build_sec), not at plan construction —
+    # this entry's r9 1.36→2.13 s regression was re-deriving that subtree
+    tags=("pipeline", "dedup", "sampling"),
 )
 def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val assignment that CANNOT leak near-duplicates across the
@@ -765,8 +768,9 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     and inflates eval; this is the curation-grade variant. ~10% val via
     md5(cluster_id) slot, deterministic and growth-stable.
 
-    Scale: inherits `dedup_clusters`' posture (banded candidates, bounded
-    driver union-find fast path with distributed min-label fallback); the
+    Scale: reads the materialized cluster-map artifact (`dedup_clusters`'
+    build posture: banded candidates, bounded driver union-find fast path
+    with distributed min-label fallback, built once per corpus state); the
     split itself is one md5 per row, zero additional shuffles."""
     from .pipeline import dedup_clusters
 

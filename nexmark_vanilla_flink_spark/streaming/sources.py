@@ -35,6 +35,24 @@ def cached_parquet_schema(spark: SparkSession, path: str):
     return schema
 
 
+def _normalize_events(sdf: DataFrame) -> DataFrame:
+    """Schema-adaptive normalization shared by every events stream source
+    (same as the batch loader, sources.tables.load_table): driver testdata
+    has shipped ts both as TIMESTAMP(NANOS)-as-long and as
+    TIMESTAMP(MICROS); k is the item key parsed from props."""
+    if dict(sdf.dtypes)["ts"] == "bigint":
+        sdf = sdf.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+        )
+    else:
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+        )
+    return sdf.withColumn(
+        "k", F.regexp_extract("props", r":\s*([0-9]+)", 1).cast("long")
+    )
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream the driver's events table with the same derived columns
     the batch loader produces (ts from nanos, item key k from props)."""
@@ -47,20 +65,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    # same schema-adaptive normalization as the batch loader
-    # (sources.tables.load_table): driver testdata has shipped ts both as
-    # TIMESTAMP(NANOS)-as-long and as TIMESTAMP(MICROS)
-    if dict(sdf.dtypes)["ts"] == "bigint":
-        sdf = sdf.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
-        )
-    else:
-        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
-            "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
-        )
-    return sdf.withColumn(
-        "k", F.regexp_extract("props", r":\s*([0-9]+)", 1).cast("long")
-    )
+    return _normalize_events(sdf)
+
+
+def stream_events_dir(spark: SparkSession, dir_path: str, schema) -> DataFrame:
+    """Events stream over an arbitrary directory of raw-schema parquet
+    files — ONE file source for callers that stage extra raw-schema files
+    (e.g. the flush sentinel) next to the events table, instead of a
+    two-source union whose second source pays its own listing/offset-log/
+    getBatch machinery every micro-batch."""
+    configure_runtime(spark)
+    return _normalize_events(spark.readStream.schema(schema).parquet(dir_path))
 
 
 def stream_nexmark(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

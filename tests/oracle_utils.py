@@ -22,22 +22,28 @@ import duckdb
 from nexmark_vanilla_flink_spark.sources.tables import TABLE_NAMES
 
 
-def duckdb_run(sf_dir: str, sql: str):
+def duckdb_run(sf_dir: str, sql: str, con=None):
     """Returns (cols, rows, arrow_types). Values come from the Arrow table
     (driver-faithful typing: HUGEINT→Decimal, DECIMAL stays Decimal),
-    arrow_types is {col: str(pa.DataType)} for the dtype assertion."""
-    con = duckdb.connect()
+    arrow_types is {col: str(pa.DataType)} for the dtype assertion.
+    Pass ``con`` to reuse a caller-owned connection (compare_capped's
+    materialize-once path); the caller then owns view setup + close."""
+    owned = con is None
+    if owned:
+        con = duckdb.connect()
     try:
-        for t in TABLE_NAMES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-            )
+        if owned:
+            for t in TABLE_NAMES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                )
         tbl = con.execute(sql).fetch_arrow_table()
     finally:
         # An unclosed connection keeps its buffer pool alive; sweeps that
         # run hundreds of oracles in one process compound leaked pools into
         # host-wide DuckDB "bad allocation" OOMs (observed r9, 10x sweep).
-        con.close()
+        if owned:
+            con.close()
     cols = tbl.schema.names
     arrow_types = {f.name: str(f.type) for f in tbl.schema}
     # Column-wise to_pylist: python scalars (int/float/Decimal/str/bytes/
@@ -115,11 +121,11 @@ def canonicalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
-def compare(spark_df, sf_dir: str, oracle: str) -> tuple[bool, str]:
+def compare(spark_df, sf_dir: str, oracle: str, con=None) -> tuple[bool, str]:
     s_cols = spark_df.columns
     s_dtypes = dict(spark_df.dtypes)
     s_rows = [tuple(r) for r in spark_df.collect()]
-    d_cols, d_rows, d_types = duckdb_run(sf_dir, oracle)
+    d_cols, d_rows, d_types = duckdb_run(sf_dir, oracle, con=con)
     if sorted(s_cols) != sorted(d_cols):
         return False, f"schema mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
     bad_types = [
@@ -203,6 +209,18 @@ def _fingerprint_exprs(cols: list[str], dtypes: dict[str, str]):
         elif dt == "date":
             add(f"{c}#min", f"MIN(`{c}`)", f'MIN("{c}")')
             add(f"{c}#max", f"MAX(`{c}`)", f'MAX("{c}")')
+        elif dt.startswith("decimal"):
+            # exact decimal aggregates (ADVICE r9 low: decimals previously
+            # fell through to null-count-only, so a decimal value
+            # divergence above the cap passed silently). A common
+            # DECIMAL(38,6) cast on both sides makes the sums exact and
+            # scale-aligned regardless of each engine's declared scale.
+            add(f"{c}#dsum", f"SUM(CAST(`{c}` AS DECIMAL(38,6)))",
+                f'SUM(CAST("{c}" AS DECIMAL(38,6)))')
+            add(f"{c}#dmin", f"MIN(CAST(`{c}` AS DECIMAL(38,6)))",
+                f'MIN(CAST("{c}" AS DECIMAL(38,6)))')
+            add(f"{c}#dmax", f"MAX(CAST(`{c}` AS DECIMAL(38,6)))",
+                f'MAX(CAST("{c}" AS DECIMAL(38,6)))')
         # array/map/struct/binary: null-count only (added above)
     return spark_e, duck_e, labels
 
@@ -216,7 +234,11 @@ def _fp_equal(lbl: str, a, b) -> bool:
             return math.isnan(fa) and math.isnan(fb)
         return abs(fa - fb) <= _DOUBLE_REL_TOL * max(1.0, abs(fa), abs(fb))
     if isinstance(a, Decimal) or isinstance(b, Decimal):
-        return int(a) == int(b)
+        # numeric Decimal equality (Decimal('5') == Decimal('5.000000')):
+        # exact for the integer-sum labels as before, AND correct for the
+        # scaled #d* decimal aggregates, where the old int() truncation
+        # would have equated 1.5 with 1.4
+        return Decimal(a) == Decimal(b)
     return a == b
 
 
@@ -225,7 +247,13 @@ def compare_capped(
 ) -> tuple[bool, str]:
     """Driver-exact ``compare`` when the oracle result fits under ``cap``
     rows; distributed aggregate-fingerprint compare above it. Returns
-    (ok, msg); msg starts with "agg-fingerprint" in the capped mode."""
+    (ok, msg); msg starts with "agg-fingerprint" in the capped mode.
+
+    The oracle executes ONCE (ADVICE r9 low: the old COUNT(*) probe ran
+    the full oracle before either compare path, doubling oracle-side cost
+    — ~770 s extra per execution for the 10× pagerank oracle): the result
+    is materialized into a session temp table and the count, the full
+    compare, and the fingerprint all read the materialization."""
     con = duckdb.connect()
     try:
         for t in TABLE_NAMES:
@@ -233,16 +261,19 @@ def compare_capped(
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
-        n = con.execute(f"SELECT COUNT(*) FROM ({oracle}) t").fetchone()[0]
+        con.execute(f"CREATE TEMP TABLE _cc_result AS {oracle}")
+        n = con.execute("SELECT COUNT(*) FROM _cc_result").fetchone()[0]
         if n <= cap:
-            return compare(spark_df, sf_dir, oracle)
+            return compare(
+                spark_df, sf_dir, "SELECT * FROM _cc_result", con=con
+            )
 
         s_cols = spark_df.columns
         s_dtypes = dict(spark_df.dtypes)
         spark_e, duck_e, labels = _fingerprint_exprs(s_cols, s_dtypes)
         s_row = spark_df.selectExpr(*spark_e).collect()[0]
         d_tbl = con.execute(
-            f"SELECT {', '.join(duck_e)} FROM ({oracle}) t"
+            f"SELECT {', '.join(duck_e)} FROM _cc_result t"
         ).fetch_arrow_table()
     finally:
         # A leaked connection retains its buffer pool; across a 177-entry

@@ -35,10 +35,12 @@ from nexmark_vanilla_flink_spark.plans import REGISTRY  # noqa: E402
 from nexmark_vanilla_flink_spark.plans.registry import EAGER_TAGS  # noqa: E402
 
 GROWTH_FLAG = float(os.environ.get("SCALE_GROWTH_FLAG", "15"))
-# Entries whose DuckDB oracle is infeasible at the big SF (e.g. the
+# Entries whose DuckDB oracle is infeasible at the BIG SF (e.g. the
 # triangle-count oracle's wedge join spills more temp than the disk holds
-# at 10x): record Spark rows only, with an explicit note — the entry stays
-# full-oracle-gated at the smaller SFs.
+# at 10x): record Spark rows only, with an explicit note. The exemption
+# applies ONLY at the last (largest) sf_dir of the invocation (ADVICE r9
+# low: it used to apply at every SF, contradicting the stated intent that
+# the entry stays full-oracle-gated at the smaller SFs).
 ROWS_ONLY = set(
     filter(None, os.environ.get("SCALE_ROWS_ONLY", "").split(","))
 )
@@ -53,7 +55,7 @@ def main() -> None:
         os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "docs",
-            "scaling_r9.json",
+            "scaling_r10.json",
         ),
     )
     from pyspark.sql import SparkSession
@@ -86,12 +88,19 @@ def main() -> None:
         result["sweeps"] = prior.get("sweeps", {})
     names = list(REGISTRY)
     for sf_dir in sf_dirs:
-        done = result["sweeps"].get(sf_dir, {}).get("queries", {})
+        prior_sweep = result["sweeps"].get(sf_dir, {})
+        done = prior_sweep.get("queries", {})
         # Re-run anything that errored OR mismatched — a resumed sweep gets
         # one fresh attempt per entry (transient failures like the r9
         # comparator connection-leak OOM re-adjudicate; true mismatches
-        # simply fail again and stay recorded).
+        # simply fail again and stay recorded). Resumed records carry the
+        # floor of the SESSION THAT TIMED THEM (ADVICE r9 low: computing
+        # their net against a freshly measured floor mixed box states into
+        # the growth table) plus a resumed marker for growth readers.
         done = {n: r for n, r in done.items() if r.get("match") is True}
+        for r in done.values():
+            r.setdefault("floor_s", prior_sweep.get("floor_s"))
+            r["resumed"] = True
         # floor: the fixed per-query cost at this session state
         fl = spark.range(1)
         for _ in range(3):
@@ -135,9 +144,14 @@ def main() -> None:
                         spark_s = dt if spark_s is None else min(spark_s, dt)
                         spark.catalog.clearCache()
                 rec["spark_s"] = round(spark_s, 3)
-                if q.oracle and name in ROWS_ONLY:
+                rec["floor_s"] = round(floor_s, 3)
+                if q.oracle and name in ROWS_ONLY and sf_dir == sf_dirs[-1]:
+                    # UNVERIFIED at this SF: match=None keeps it out of the
+                    # green tally (ADVICE r9 low: `rows >= 0` was
+                    # unconditionally True, counting a count-only run as
+                    # green); the rows_only total is reported separately.
                     rec["rows"] = q.spark(spark, sf_dir).count()
-                    rec["match"] = rec["rows"] >= 0
+                    rec["match"] = None
                     rec["compare_mode"] = "rows_only"
                     rec["compare_note"] = (
                         "oracle infeasible at this SF "
@@ -173,8 +187,16 @@ def main() -> None:
             )
             with open(out_path, "w") as f:
                 json.dump(result, f, indent=1)
-        ok_n = sum(1 for r in sweep["queries"].values() if r.get("match"))
+        ok_n = sum(
+            1 for r in sweep["queries"].values() if r.get("match") is True
+        )
+        ro_n = sum(
+            1
+            for r in sweep["queries"].values()
+            if r.get("compare_mode") == "rows_only"
+        )
         sweep["green"] = f"{ok_n}/{len(names)}"
+        sweep["rows_only_unverified"] = ro_n
         result["sweeps"][sf_dir] = sweep
         with open(out_path, "w") as f:
             json.dump(result, f, indent=1)
@@ -189,16 +211,18 @@ def main() -> None:
         fl_hi = result["sweeps"][hi]["floor_s"]
         growth = {}
         for name in names:
-            a = ql.get(name, {}).get("spark_s")
-            b = qh.get(name, {}).get("spark_s")
+            ra, rb = ql.get(name, {}), qh.get(name, {})
+            a, b = ra.get("spark_s"), rb.get("spark_s")
             if a is None or b is None:
                 continue
             # Denominator floor of 50 ms: entries that run AT the per-query
             # floor at the small SF otherwise divide by ~1e-3 and read as
             # 100-1000x "growth" that is pure measurement noise (the first
             # r9 sweep flagged nexmark_q0_passthrough at 138x this way).
-            net_a = max(a - fl_lo, 0.05)
-            net_b = max(b - fl_hi, 1e-3)
+            # Each record nets against the floor of the session that timed
+            # it (per-record floor_s; resumed records keep their own).
+            net_a = max(a - (ra.get("floor_s") or fl_lo), 0.05)
+            net_b = max(b - (rb.get("floor_s") or fl_hi), 1e-3)
             growth[name] = round(net_b / net_a, 2)
         result["growth_net_of_floor"] = dict(
             sorted(growth.items(), key=lambda kv: -kv[1])
@@ -210,7 +234,9 @@ def main() -> None:
             n
             for n, g in growth.items()
             if g > GROWTH_FLAG
-            and (qh.get(n, {}).get("spark_s") or 0) - fl_hi > 1.0
+            and (qh.get(n, {}).get("spark_s") or 0)
+            - (qh.get(n, {}).get("floor_s") or fl_hi)
+            > 1.0
         ]
         with open(out_path, "w") as f:
             json.dump(result, f, indent=1)
