@@ -57,81 +57,77 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # this round. The remainder follows in module-import order. Entries that fall
 # past the cap are still oracled every CI run by tests/test_oracle_parity.py
 # and were driver-green in a prior round's CORRECTNESS_r*.json.
-# Round-9 head (rotation policy: COVERAGE.md "Driver-gate rotation").
-# Tier 2 — implementation changed in r9 (18): every entry re-pointed at
-# a materialized corpus-index artifact (similarity3 postings/prefix/
-# tfidf: prefix_filter + tfidf; graph edges: pagerank/triangles/kcore;
-# bigram model tables: pmi + lm; BPE vocab refactor: both BPE entries;
-# dedup index refactor: incremental_dedup + its stream replay), the
-# Arrow ranged-read person decode, the three bucketed-state replay
-# twins (scd2/skipgram/ewma, VERDICT r8 task 3) plus the funnel replay
-# (bucketed in r9 the same way — the per-key-timer replica stays the
-# live/continuous form), and the two IVF-ANN entries whose centroid
-# sizing changed to nlist ≈ √N (the r9 10× scale sweep caught the
-# fixed-modulus assignment going quadratic —
-# plans/pipeline.py::ivf_modulus). Tier 4 — regression rotation,
-# oldest last-green first: the r5-last-green cohort is 40 entries, one
-# of which (incremental_dedup_stream_replay) already sits in tier 2,
-# leaving 39; the cap fits 32, so the seven alphabetically-last
-# (tpch_q11_important_parts, tpch_q15_top_supplier,
-# user_history_sequences, user_value_resample_ffill, value_outliers,
-# winnow_fingerprints, winnow_overlap_pairs) are DEFERRED to the r10
-# head. 18 + 32 = 50.
+# Round-10 head (rotation policy: COVERAGE.md "Driver-gate rotation").
+# Tier 2 — implementation changed in r10 (11): the two de-quadratic'd
+# entries (hard_negative_mining re-pointed at the ivf_index probe path;
+# cosine_topk_bruteforce's constant query panel) plus the two IVF
+# consumers of the v2 artifact (normed/ now carries label); the three
+# consumers of the new materialized dedup cluster-map artifact
+# (dedup_clusters, dedup_cluster_rewrite, leakage_safe_splits — the CC
+# loop moved into the priced artifact build); and the four sentinel
+# replays, now a SINGLE file source over a combined dir (funnel also
+# pre-filters to view/click/purchase JVM-side). Tier 4 — regression
+# rotation, oldest last-green first: the seven r5-deferred entries lead
+# (exactly the r9 freshness floor), then the full r6-last-green cohort
+# (31, minus hard_negative_mining already in tier 2), then the two
+# alphabetically-first r7 entries to fill the cap. 11 + 7 + 30 + 2 = 50.
 # Everything below the cap stays pytest-oracle-locked every CI run
 # (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
-    # --- tier 2: implementation changes this round (r9) ---
+    # --- tier 2: implementation changes this round (r10) ---
     "ann_ivf_topk",
     "ann_ivf_topk_stream_replay",
-    "prefix_filter_jaccard_pairs",
-    "tfidf_cosine_topk",
-    "copurchase_pagerank",
-    "copurchase_triangles",
-    "copurchase_kcore",
-    "bigram_pmi_lift",
-    "bigram_lm_doc_scores",
-    "person_binary_decode",
-    "bpe_learn_merges",
-    "bpe_encode_stats",
-    "incremental_dedup",
-    "incremental_dedup_stream_replay",
+    "hard_negative_mining",
+    "cosine_topk_bruteforce",
+    "dedup_clusters",
+    "dedup_cluster_rewrite",
+    "leakage_safe_splits",
+    "funnel_conversion_stream_replay",
     "scd2_stream_replay",
     "skipgram_pairs_stream_replay",
     "user_value_ewma_stream_replay",
-    "funnel_conversion_stream_replay",
-    # --- tier 4: regression rotation, r5-last-green (32 of 39) ---
-    "bids_asof_profile",
-    "cm_stream_replay",
-    "corpus_curation",
-    "dedup_cluster_rewrite",
-    "deterministic_splits",
-    "doc_chunks_udtf",
-    "doc_top_terms",
-    "embedding_neardup_pairs",
-    "generated_event_mix_stats",
-    "kmv_distinct_estimate",
-    "multimodal_resize",
-    "nexmark_q10_log_partitioned",
-    "nexmark_q14_calculation",
-    "nexmark_q4_category_avg",
-    "nexmark_q6_seller_avg",
-    "nexmark_q9_winning_bid_rows",
-    "orders_rollup",
-    "pii_scrub_stream_replay",
-    "q5_hot_items_stream_replay",
-    "q5_sliding_stream_replay",
-    "q7_highest_bid_stream_replay",
-    "q8_join_stream_replay",
-    "quality_classifier_scores",
-    "qx_interval_join_stream_replay",
-    "scalar_quantize_embeddings",
-    "scd2_user_state",
-    "sessions_dynamic_gap_stream_replay",
-    "sessions_stream_replay",
-    "srp_lsh_buckets",
-    "stream_dedup_replay",
-    "stream_static_enrich",
-    "top_customers_per_nation",
+    # --- tier 4: the seven r5-last-green deferred from the r9 head ---
+    "tpch_q11_important_parts",
+    "tpch_q15_top_supplier",
+    "user_history_sequences",
+    "user_value_resample_ffill",
+    "value_outliers",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    # --- tier 4 (cont.): r6-last-green cohort ---
+    "approx_user_stats",
+    "bpe_pair_counts",
+    "doc_repetition_scores",
+    "dq_expectation_audit",
+    "events_cube",
+    "events_upsert_snapshot",
+    "events_variant_props",
+    "exactly_once_sink_replay",
+    "funnel_conversion",
+    "interval_overlap_join",
+    "key_skew_profile",
+    "kmeans_train",
+    "nexmark_q15_bidding_stats",
+    "nexmark_q16_channel_stats",
+    "nexmark_q17_auction_stats",
+    "q8_union_join_lowlevel",
+    "skipgram_pairs",
+    "temporal_holdout_splits",
+    "token_budget_packing",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_national_share",
+    "tpch_q9_product_profit",
+    "user_event_gaps",
+    "user_lag_features",
+    "user_value_ewma",
+    # --- tier 4 (cont.): r7 cohort, alphabetical head ---
+    "bid_binary_decode",
+    "bottomk_consistent_sample",
 ]
 
 

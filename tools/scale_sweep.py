@@ -86,7 +86,15 @@ def main() -> None:
         with open(out_path) as f:
             prior = json.load(f)
         result["sweeps"] = prior.get("sweeps", {})
-    names = list(REGISTRY)
+    # SCALE_QUERIES=a,b,c restricts the sweep to a subset — the 30x
+    # near-flag probes (VERDICT r9 task 6) re-time only the cohort whose
+    # 10x growth sat just under the superlinear flag.
+    only = os.environ.get("SCALE_QUERIES")
+    names = (
+        [n.strip() for n in only.split(",") if n.strip() in REGISTRY]
+        if only
+        else list(REGISTRY)
+    )
     for sf_dir in sf_dirs:
         prior_sweep = result["sweeps"].get(sf_dir, {})
         done = prior_sweep.get("queries", {})
