@@ -310,24 +310,16 @@ def test_pq_codes_broadcasts_codebook_no_cartesian(spark, sf_dir):
 def test_containment_materializes_index_once(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ngram_containment_pairs")
     assert "Cartesian" not in plan
-    # the inverted index (explode + md5 + df window) must be materialized
-    # once and CONSUMED by all four consumers, not re-derived per branch:
-    # every consumer reads the columnar cache (r7: cache replaced the
-    # former localCheckpoint — the cut lost AQE stats and forced the index
-    # build to plan-build time; the Generate/Window run once inside the
-    # cached relation's child, whose single copy the shared-relation
-    # dedupe in the explain text reflects)
+    # r10: the shingle relation comes from the doc_postings ARTIFACT (no
+    # corpus scan, no explode anywhere in the plan); the df-capped posting
+    # frame is still cached once and CONSUMED by all four consumers (both
+    # pair-join sides and both size frames), not re-derived per branch.
     assert plan.count("InMemoryTableScan") >= 4
-    # every Generate in the text is the cached relation's child being
-    # PRINTED under its scan, not a consumer re-deriving the explode.
-    # The print-count itself is session-order-dependent (a CacheManager
-    # hit from an earlier test substitutes a relation whose stored child
-    # carries its own AQE initial/final sections), so assert the
-    # structural property instead: the consuming spine ABOVE the first
-    # cached relation contains no explode at all.
     first_imr = plan.find("InMemoryRelation")
     assert first_imr > 0
-    assert "Generate explode" not in plan[:first_imr]
+    # no consumer re-derives the shingle explode — the artifact read
+    # replaced it outright, so the whole plan text is explode-free
+    assert "Generate explode" not in plan
 
 
 def test_simhash_guard_no_cartesian_and_unions_paths(spark, sf_dir):
