@@ -302,44 +302,51 @@ _HNM_TOPK = 3
 # assignment, 2-probe candidate lists) exactly like ann_ivf_topk's oracle,
 # then mines positives/negatives over the candidate set — the
 # fresh-derivation twin of the artifact-served Spark plan below.
+# The shared CTEs are MATERIALIZED: plain CTEs are inlined per consumer,
+# and `ac` (the N·√N coarse-assignment frame, 2.8 M rows of list dot
+# products at 10×) is referenced twice — un-materialized, the r10 sweep
+# watched DuckDB grind this oracle past 35 minutes at 53 GB RSS while
+# the structurally identical ann_ivf_topk oracle (one `ac` consumer)
+# finished in ~13 s. Materialization is an execution hint, not a
+# semantic change — the result relation is identical.
 _HNM_ORACLE = f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-n AS (
+n AS MATERIALIZED (
   SELECT vec_id, label, v,
          sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
   FROM e
 ),
-c AS (
+c AS MATERIALIZED (
   SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
   WHERE vec_id % (SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM e) = 0
 ),
-ac AS (
+ac AS MATERIALIZED (
   SELECT a.vec_id, c.c_id,
          round(list_aggregate(list_transform(list_zip(a.v, c.cv), s -> s[1] * s[2]), 'sum')
                / (a.nrm * c.cnrm), 6) AS cs
   FROM n a CROSS JOIN c
 ),
-assign AS (
+assign AS MATERIALIZED (
   SELECT vec_id, c_id FROM (
     SELECT vec_id, c_id,
            row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
     FROM ac
   ) WHERE rn = 1
 ),
-probes AS (
+probes AS MATERIALIZED (
   SELECT vec_id AS q_id, c_id FROM (
     SELECT vec_id, c_id,
            row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
     FROM ac WHERE vec_id % 50 = 0
   ) WHERE rn <= 2
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT p.q_id, a.vec_id FROM probes p
   JOIN assign a ON a.c_id = p.c_id AND a.vec_id <> p.q_id
 ),
-s AS (
+s AS MATERIALIZED (
   SELECT cand.q_id, q.label AS q_label, cand.vec_id, d.label,
          round(list_aggregate(list_transform(list_zip(q.v, d.v), z -> z[1] * z[2]), 'sum')
                / (q.nrm * d.nrm), 6) AS cos_sim

@@ -109,13 +109,26 @@ def main() -> None:
         for r in done.values():
             r.setdefault("floor_s", prior_sweep.get("floor_s"))
             r["resumed"] = True
-        # floor: the fixed per-query cost at this session state
-        fl = spark.range(1)
-        for _ in range(3):
-            fl.write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fl.write.format("noop").mode("overwrite").save()
-        floor_s = time.perf_counter() - t0
+        # floor: the fixed per-query cost at this session state — min-of-5
+        # after warmups, re-measured at phase END with the min kept
+        # (bench.py's r7 lesson, learned here the hard way in r10: ONE
+        # start-of-phase sample landed on transient host contention at
+        # 0.832 s vs the ~0.09 s typical, clamping every sub-second
+        # entry's net to the 0.05 denominator and flagging 53 entries as
+        # "superlinear")
+        def _floor() -> float:
+            fl = spark.range(1)
+            for _ in range(3):
+                fl.write.format("noop").mode("overwrite").save()
+            best = None
+            for _ in range(5):
+                t0 = time.perf_counter()
+                fl.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return best
+
+        floor_s = _floor()
 
         for fn in ARTIFACT_BUILDERS.values():
             fn(spark, sf_dir)
@@ -195,6 +208,17 @@ def main() -> None:
             )
             with open(out_path, "w") as f:
                 json.dump(result, f, indent=1)
+        # end-of-phase floor re-measure, min kept; every record timed by
+        # THIS session gets the corrected value (resumed records keep the
+        # floor of the session that timed them)
+        floor_start, floor_end = floor_s, _floor()
+        sweep["floor_start_end"] = [round(floor_start, 3), round(floor_end, 3)]
+        if floor_end < floor_start:
+            for r in sweep["queries"].values():
+                if r.get("floor_s") == round(floor_start, 3):
+                    r["floor_s"] = round(floor_end, 3)
+            floor_s = floor_end
+            sweep["floor_s"] = round(floor_s, 3)
         ok_n = sum(
             1 for r in sweep["queries"].values() if r.get("match") is True
         )
