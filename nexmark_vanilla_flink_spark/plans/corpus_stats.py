@@ -776,6 +776,9 @@ def user_value_ewma_stream_replay(
         # per-key replica `ewma_stateful` remains the reference form
         ewma_stateful_bucketed(stream, flush_ms),
         output_mode="append",
+        # sentinel end-of-input fast path: flush in the data batch, skip
+        # the trailing no-data batch (streaming/stateful.py, r11)
+        no_data_batch=False,
         shuffle_partitions=int(
             os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")
         ),

@@ -880,6 +880,10 @@ def funnel_conversion_stream_replay(
         # deployment form, exercised live by tests/test_continuous_cep.py.
         funnel_stateful_bucketed(stream, flush_ms, _FUNNEL_WINDOW_US),
         output_mode="append",
+        # the sentinel end-of-input fast path flushes in the data batch
+        # (streaming/stateful.py::bucketed_stateful, r11) — no timers
+        # remain armed, so the trailing no-data batch is pure cost
+        no_data_batch=False,
         # Python-stateful replica: Arrow-batch worker parallelism beats
         # store-commit savings (the q8_union_join_lowlevel r5 A/B, re-held
         # in the r9 8/4/2 A/B), so pin 8 instead of the local default of 4
@@ -929,6 +933,9 @@ def scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         scd2_stateful_bucketed(stream, flush_ms),
         output_mode="append",
+        # sentinel end-of-input fast path: flush in the data batch, skip
+        # the trailing no-data batch (streaming/stateful.py, r11)
+        no_data_batch=False,
         shuffle_partitions=int(
             os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")
         ),

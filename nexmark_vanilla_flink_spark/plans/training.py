@@ -499,6 +499,10 @@ def skipgram_pairs_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-key replica `skipgram_stateful` remains the reference form
         skipgram_stateful_bucketed(stream, flush_ms),
         output_mode="append",
+        # the sentinel end-of-input fast path flushes in the data batch
+        # (streaming/stateful.py::bucketed_stateful, r11) — no timers
+        # remain armed, so the trailing no-data batch is pure cost
+        no_data_batch=False,
         shuffle_partitions=int(
             os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")
         ),

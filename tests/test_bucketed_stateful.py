@@ -99,3 +99,68 @@ def test_bucketed_small_bucket_count(spark, sf_dir):
     a = sorted([tuple(r) for r in got.collect()], key=repr)
     b = sorted([tuple(r) for r in ref.collect()], key=repr)
     assert a == b
+
+
+def test_multibatch_timer_path(spark, sf_dir, tmp_path):
+    """The sentinel-less CONTINUOUS path still works multi-batch: events
+    arrive across 3 time-ordered files (maxFilesPerTrigger=1), each batch
+    folds only the watermark-finalized prefix, and the end-of-horizon
+    TIMER (not the end-of-input sentinel) flushes the finals in the
+    trailing no-data batch. Output set must equal the sentinel-driven
+    single-batch replay — the r11 fast path and the timer path are two
+    emission schedules over one fold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nexmark_vanilla_flink_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns DIV 1000").alias("us"),
+        "event_id",
+        "ts",
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v_fp"),
+    )
+    lo, hi = ev.agg(F.min("us"), F.max("us")).collect()[0]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    d = str(tmp_path / "multibatch")
+    os.makedirs(d)
+    for i, cond in enumerate(
+        [
+            F.col("us") < cut1,
+            (F.col("us") >= cut1) & (F.col("us") < cut2),
+            F.col("us") >= cut2,
+        ]
+    ):
+        stage = str(tmp_path / f"stage{i}")
+        ev.filter(cond).coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        os.rename(f"{stage}/{part}", f"{d}/f{i}.parquet")
+        os.utime(f"{d}/f{i}.parquet", (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    # horizon 1 h before the last event: past every batch's data but below
+    # the final watermark, so the flush comes from hasTimedOut, never from
+    # a sentinel (there is none in this stream)
+    flush_ms = hi // 1000 - 3600 * 1000
+    got = run_available_now(
+        ewma_stateful_bucketed(stream, flush_ms), output_mode="append"
+    )
+    ref_stream, ref_flush = _sentinel_event_stream(
+        spark, sf_dir, with_value=True
+    )
+    ref = run_available_now(
+        ewma_stateful_bucketed(ref_stream, ref_flush),
+        output_mode="append",
+        no_data_batch=False,
+    )
+    a = sorted([tuple(r) for r in got.collect()], key=repr)
+    b = sorted([tuple(r) for r in ref.collect()], key=repr)
+    assert len(a) > 0 and a == b
