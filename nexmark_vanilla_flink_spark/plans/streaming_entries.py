@@ -71,18 +71,37 @@ FROM persons p JOIN auctions a ON a.seller_id = p.user_id
     tags=("streaming", "nexmark", "join", "stateful"),
 )
 def q8_union_join_lowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's exact Q8 union-join (J2/J6: tagged union keyed by
+    """The reference's Q8 union-join (J2/J6: tagged union keyed by
     person, ValueState/ListState symmetric emission —
     NexmarkQuery8.java:570-662) on applyInPandasWithState, replayed bounded.
     Emission order differs from batch; the row SET is deterministic and the
-    oracle checks it."""
-    from ..streaming.runner import run_available_now
-    from ..streaming.sources import stream_nexmark
-    from ..streaming.stateful import union_join_stateful
+    oracle checks it. This bounded entry runs the BUCKETED twin (r11 —
+    identical per-user symmetric emission, state coarsened into hash
+    buckets; the per-key replica ``union_join_stateful`` remains the
+    reference form, under the batch-join gate via tests/test_stateful.py
+    and set-parity-pinned by tests/test_bucketed_stateful.py)."""
+    from pyspark.sql import functions as F
 
-    s = stream_nexmark(spark, sf_dir)
+    from ..streaming.runner import run_available_now
+    from ..streaming.sources import stream_events
+    from ..streaming.stateful import union_join_stateful_bucketed
+
+    # ONE source scan (r11): persons and auctions are event-type slices of
+    # the same events file — the pre-split form ran two file-stream sources
+    # that each re-scanned it. The tagged rows are identical to
+    # tagged_union(persons, auctions) (side 1 = person, 2 = auction).
+    ev = stream_events(spark, sf_dir)
+    tagged = ev.filter(F.col("event_type").isin("signup", "view")).select(
+        F.when(F.col("event_type") == "signup", 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("side"),
+        F.col("user_id"),
+        F.col("event_id").alias("row_id"),
+        F.col("ts"),
+    )
     return run_available_now(
-        union_join_stateful(s["persons"], s["auctions"]),
+        union_join_stateful_bucketed(tagged),
         output_mode="append",
         no_data_batch=False,  # NoTimeout stateful fn: emits on arrival only
         # Python-stateful replica: Arrow-batch worker parallelism beats the

@@ -29,23 +29,25 @@ def replay_state_partitions(spark) -> int | None:
     Local-mode rule (measured, QX interval join at sf0.1, drift-cancelled
     A/B): per-partition state-store commit overhead dominates, so bounded
     local replays want FEW, large state partitions — 8: 2.6 s vs 32: 6.3 s
-    (r4); the r5 sweep over all 13 replays pushed the default down to 4
-    (every declarative stateful replay gained 0.1-0.25 s vs 8; only the
-    Python applyInPandasWithState replica loses Arrow-batch worker
-    parallelism below 8 and pins its own count via ``shuffle_partitions``).
-    At 100 TB the same bytes-per-task rule points the OTHER way: size the
-    count UP from state volume (state_bytes / ~100-200 MB per store), and
-    the checkpoint bakes the choice in per query. So: honor
-    SPARK_GRAFT_REPLAY_STATE_PARTITIONS if set, default to 4 under a
-    local[*] master, and return None (= keep the session's tuned value) on
-    a real cluster where the session owner sized it to the data.
+    (r4). The r5 sweep picked 4 for the declarative replays; the r11
+    re-sweep after the retime-floor fix and relational relayout reversed
+    that — 9 of 12 declarative replays run faster at 8 (cohort 18.0 s @4
+    vs 16.6 s @8; QX isolated min-of-2: 2.06 s @4 vs 1.75 s @8), so the
+    local default is 8 across the board, matching what the Python
+    stateful replicas always pinned. At 100 TB the same bytes-per-task
+    rule points the OTHER way: size the count UP from state volume
+    (state_bytes / ~100-200 MB per store), and the checkpoint bakes the
+    choice in per query. So: honor SPARK_GRAFT_REPLAY_STATE_PARTITIONS if
+    set, default to 8 under a local[*] master, and return None (= keep
+    the session's tuned value) on a real cluster where the session owner
+    sized it to the data.
     """
     env = os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS")
     if env:
         return int(env)
     master = spark.conf.get("spark.master", "")
     if master.startswith("local"):
-        return 4
+        return 8
     return None
 
 

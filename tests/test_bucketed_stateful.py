@@ -164,3 +164,45 @@ def test_multibatch_timer_path(spark, sf_dir, tmp_path):
     a = sorted([tuple(r) for r in got.collect()], key=repr)
     b = sorted([tuple(r) for r in ref.collect()], key=repr)
     assert len(a) > 0 and a == b
+
+
+def test_union_join_bucketed_parity(spark, sf_dir):
+    """The bucketed Q8 union join must emit the exact row SET of the
+    per-key replica (which itself matches the batch join —
+    tests/test_stateful.py). n_buckets=3 < key count forces multiple
+    users per bucket, exercising the per-user buffer isolation."""
+    from pyspark.sql import functions as F
+
+    from nexmark_vanilla_flink_spark.streaming.sources import (
+        stream_events,
+        stream_nexmark,
+    )
+    from nexmark_vanilla_flink_spark.streaming.stateful import (
+        union_join_stateful,
+        union_join_stateful_bucketed,
+    )
+
+    s = stream_nexmark(spark, sf_dir)
+    ref = run_available_now(
+        union_join_stateful(s["persons"], s["auctions"]),
+        output_mode="append",
+        no_data_batch=False,
+    )
+    ev = stream_events(spark, sf_dir)
+    tagged = ev.filter(F.col("event_type").isin("signup", "view")).select(
+        F.when(F.col("event_type") == "signup", 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("side"),
+        F.col("user_id"),
+        F.col("event_id").alias("row_id"),
+        F.col("ts"),
+    )
+    got = run_available_now(
+        union_join_stateful_bucketed(tagged, n_buckets=3),
+        output_mode="append",
+        no_data_batch=False,
+    )
+    a = sorted([tuple(r) for r in got.collect()], key=repr)
+    b = sorted([tuple(r) for r in ref.collect()], key=repr)
+    assert len(a) > 0 and a == b
