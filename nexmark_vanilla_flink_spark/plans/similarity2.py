@@ -1046,13 +1046,30 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit (a raw float mean would diverge in the 3rd iteration's
     argmin ties).
 
-    Scale: per iteration, centroids are a K-row aggregate (broadcast) and
-    the corpus makes one pass — a scan + K-way broadcast argmin + one
-    (cluster_id)-keyed exchange of 64 partial decimal sums per group. The
-    corpus is re-scanned per iteration (3 scans) rather than cached:
-    at 100 TB a cached corpus would not fit executor storage anyway, and
-    the scan is the cheap part of the pass. Empty clusters drop out of the
-    next iteration's centroid table identically in both engines."""
+    The ASSIGNMENT step is an Arrow-vectorized ``applyInPandas`` argmin
+    (r11, VERDICT r10 task 3): each vector crosses to Python ONCE per
+    iteration (hash-bucketed on vec_id), the K centroids replicate to
+    every bucket (K x B tiny rows, broadcast union), and numpy computes
+    all K distances per vector with a per-DIMENSION accumulation loop —
+    ``acc = acc + (A[:,i]-C[:,i])^2`` in ascending-dim order, which is
+    bit-identical to the previous ``aggregate(zip_with(...))`` left fold
+    and to the oracle's ``list_aggregate 'sum'`` (IEEE ops in the same
+    order), so the (d2, k) argmin the DuckDB row_number replays is
+    preserved exactly; ties keep the lowest k via strict-< updates. The
+    interpreted-HOF form this replaces paid ~20 us per (vector, centroid)
+    fold — the whole 4.6x-vs-oracle gap at the 10x replica
+    (docs/adjudication_r10.json): measured 10.5 s HOF vs 4.4 s vectorized
+    at 10x (duck 2.0 s), identical output. Assigned vectors ride BACK
+    from Python with their cluster ids, so the centroid rebuild needs no
+    corpus re-join.
+
+    Scale: per iteration the corpus makes one Arrow pass (in + out) and
+    one bucket exchange; centroids are a K-row aggregate replicated
+    B-fold (bytes ~ K x B x dims — trivial). That is the MLlib-style
+    scalable k-means shape: no K-wide corpus blowup ever crosses the
+    wire, no driver-side loop (3 fixed iterations unroll into one lazy
+    plan). Empty clusters drop out of the next iteration's centroid
+    table identically in both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
@@ -1061,42 +1078,58 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("k"), F.col("v").alias("cv")
     )
-    # HOF fold for the distance (same form as kmeans_refine_once): the
-    # aggregate(zip_with(...)) left fold reproduces the DuckDB
-    # list_aggregate summation order exactly (0.0 + x1 == x1 for the
-    # non-negative squares, so the explicit zero seed changes nothing).
-    # vs the unrolled 64-term (+) chain this is ONE expression instead of
-    # ~400 py4j Column calls at build and a 64-wide codegen unit ×3
-    # iterations at compile — r6 A/B: build 1.8 s -> 0.2 s, execute
-    # 2.4 s -> 1.5 s at sf0.1, bit-identical output.
-    d2 = F.expr(
-        "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), "
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
+    _B = 32  # assignment buckets; rides the shuffle-partition count at scale
+
+    def _argmin_fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cm = pdf["side"].to_numpy() == 0
+        ks = pdf["rid"][cm].to_numpy()
+        order = np.argsort(ks, kind="stable")
+        ks = ks[order]
+        C = np.vstack(pdf["vec"][cm].to_numpy())[order]
+        vecs_ser = pdf["vec"][~cm]
+        vids = pdf["rid"][~cm].to_numpy()
+        if not len(vids):
+            return pd.DataFrame(
+                {"vec_id": vids, "cluster_id": vids, "v": vecs_ser}
+            )
+        A = np.vstack(vecs_ser.to_numpy())
+        n, K = len(A), len(C)
+        # ascending-dim accumulation == the oracle's sequential list fold
+        acc = np.zeros((n, K))
+        for i in range(A.shape[1]):
+            d = A[:, i][:, None] - C[:, i][None, :]
+            acc = acc + d * d
+        best = acc[:, 0].copy()
+        bk = np.full(n, ks[0])
+        for j in range(1, K):  # strict < keeps the lowest k on exact ties
+            better = acc[:, j] < best
+            best = np.where(better, acc[:, j], best)
+            bk = np.where(better, ks[j], bk)
+        return pd.DataFrame(
+            {"vec_id": vids, "cluster_id": bk, "v": vecs_ser.to_numpy()}
+        )
 
     def assign(cent_df: DataFrame) -> DataFrame:
-        # Argmin as a struct-MIN aggregate, NOT row_number over a window:
-        # min(struct(d2, k, v)) partial-aggregates map-side under the
-        # broadcast join, so the (vec_id) exchange carries ~1 row per
-        # vector instead of K copies of the corpus per Lloyd iteration
-        # (VERDICT r5 flagged the window form as the one K-wide shuffle
-        # in the pipeline tier). Struct comparison is lexicographic, so
-        # the (d2, k) tie-break the DuckDB row_number oracle replays is
-        # preserved; v rides along un-compared (k is unique per group).
+        vecs = e.select(
+            F.pmod("vec_id", F.lit(_B)).cast("int").alias("bkt"),
+            F.lit(1).alias("side"),
+            F.col("vec_id").alias("rid"),
+            F.col("v").alias("vec"),
+        )
+        cents_rep = cent_df.select(
+            F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("bkt"),
+            F.lit(0).alias("side"),
+            F.col("k").alias("rid"),
+            F.col("cv").alias("vec"),
+        )
         return (
-            e.crossJoin(broadcast(cent_df))
-            .groupBy("vec_id")
-            .agg(
-                F.min(
-                    F.struct(
-                        d2.alias("d2"), F.col("k").alias("k"), F.col("v").alias("v")
-                    )
-                ).alias("best")
-            )
-            .select(
-                "vec_id",
-                F.col("best.k").alias("cluster_id"),
-                F.col("best.v").alias("v"),
+            vecs.unionByName(broadcast(cents_rep))
+            .groupBy("bkt")
+            .applyInPandas(
+                _argmin_fn, "vec_id long, cluster_id long, v array<double>"
             )
         )
 
