@@ -272,9 +272,19 @@ def compare_capped(
         s_dtypes = dict(spark_df.dtypes)
         spark_e, duck_e, labels = _fingerprint_exprs(s_cols, s_dtypes)
         s_row = spark_df.selectExpr(*spark_e).collect()[0]
-        d_tbl = con.execute(
-            f"SELECT {', '.join(duck_e)} FROM _cc_result t"
-        ).fetch_arrow_table()
+        try:
+            d_tbl = con.execute(
+                f"SELECT {', '.join(duck_e)} FROM _cc_result t"
+            ).fetch_arrow_table()
+        except duckdb.Error as exc:
+            # Overflow asymmetry (ADVICE r10 low): Spark's non-ANSI
+            # SUM(DECIMAL(38,6)) overflows to NULL while DuckDB RAISES —
+            # report that divergence as a mismatch verdict instead of
+            # aborting the sweep record with an unhandled exception.
+            return False, (
+                "agg-fingerprint divergence: duckdb raised while spark "
+                f"returned a row ({type(exc).__name__}: {exc})"[:400]
+            )
     finally:
         # A leaked connection retains its buffer pool; across a 177-entry
         # sweep that compounds into host-wide DuckDB OOM (observed r9).

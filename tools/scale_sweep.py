@@ -214,8 +214,12 @@ def main() -> None:
         floor_start, floor_end = floor_s, _floor()
         sweep["floor_start_end"] = [round(floor_start, 3), round(floor_end, 3)]
         if floor_end < floor_start:
+            # back-patch ONLY records this session timed (ADVICE r10 low:
+            # matching by floor-VALUE could silently rewrite a resumed
+            # record whose stored floor coincidentally equals this
+            # session's start floor — the resumed marker is the session id)
             for r in sweep["queries"].values():
-                if r.get("floor_s") == round(floor_start, 3):
+                if not r.get("resumed"):
                     r["floor_s"] = round(floor_end, 3)
             floor_s = floor_end
             sweep["floor_s"] = round(floor_s, 3)
@@ -227,7 +231,10 @@ def main() -> None:
             for r in sweep["queries"].values()
             if r.get("compare_mode") == "rows_only"
         )
-        sweep["green"] = f"{ok_n}/{len(names)}"
+        # denominator = every record in the sweep, resumed included (ADVICE
+        # r10 low: len(names) under SCALE_QUERIES made a resumed sweep read
+        # e.g. "177/7")
+        sweep["green"] = f"{ok_n}/{len(sweep['queries'])}"
         sweep["rows_only_unverified"] = ro_n
         result["sweeps"][sf_dir] = sweep
         with open(out_path, "w") as f:
