@@ -332,6 +332,150 @@ def union_join_stateful_bucketed(
     )
 
 
+LATE_WINDOW_OUTPUT = StructType(
+    [
+        StructField("auction_id", LongType()),
+        StructField("w_start_s", LongType()),
+        StructField("bid_count", LongType()),
+        StructField("max_bid", DoubleType()),
+        StructField("emit_version", IntegerType()),
+    ]
+)
+
+
+def allowed_lateness_stateful(
+    bids: DataFrame,
+    window_s: int,
+    allowed_late_s: int,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Flink ``allowedLateness`` re-fire replica (the last semantic delta
+    vs the reference — NexmarkQueryX.java:279-281 admits rows up to 15 s
+    past the watermark into already-fired windows and RE-EMITS the
+    updated pane; Spark's native windowed aggregation drops every
+    late-past-watermark row). Per (auction, window) pane over
+    ``applyInPandasWithState`` (bucketed, same coarsening as the other
+    replicas):
+
+      * a pane whose end the watermark passes fires once with its
+        on-time aggregate (``emit_version`` 1 — EventTimeTrigger's
+        watermark fire);
+      * a late row arriving while ``watermark < end + allowed_late_s``
+        folds into the fired pane and RE-FIRES it (version 2 — one
+        re-fire per micro-batch, the micro-batch analog of Flink's
+        per-element late firing). A late row into a pane that never
+        fired on time CREATES the pane and fires it late (version 1 with
+        only the late rows — EventTimeTrigger.onElement's immediate fire
+        for end <= watermark);
+      * a late row past the bound is DROPPED, as the reference drops it;
+      * panes the watermark never reached emit their full aggregate at
+        the end-of-input sentinel (auction_id < 0, broadcast to every
+        bucket — the bounded-replay flush the other replicas use).
+
+    Emissions are append-mode rows, so the full v1 THEN v2 history of
+    every re-fired pane is visible to the oracle — the batch SQL models
+    the first-batch watermark (max on-time event ms − delay) and
+    enumerates exactly these rows."""
+    import pickle
+
+    from itertools import groupby
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        st: dict = pickle.loads(state.get[0]) if state.exists else {}
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        horizon_us = allowed_late_s * 1_000_000
+        out = []
+        eoi = False
+        rows: list = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids = pdf["auction_id"].astype("int64")
+            keep = ids >= 0
+            if not keep.all():
+                eoi = True
+            if not keep.any():
+                continue
+            rows.extend(
+                zip(
+                    ids[keep].tolist(),
+                    pdf["w_start_s"][keep].astype("int64").tolist(),
+                    pdf["us"][keep].astype("int64").tolist(),
+                    pdf["bid"][keep].tolist(),
+                )
+            )
+        rows.sort()
+        for (a, w), grp in groupby(rows, key=lambda r: (r[0], r[1])):
+            grp = list(grp)
+            cnt, mx, fired, ver = st.get((a, w), (0, None, 0, 0))
+            w_end_us = (w + window_s) * 1_000_000
+            if not fired and w_end_us <= wm_us:
+                # the watermark passed this pane's end in an earlier
+                # batch: it fired then — emit the frozen on-time pane
+                # BEFORE this batch's late rows touch it
+                if cnt > 0:
+                    ver += 1
+                    out.append((a, w, cnt, mx, ver))
+                fired = 1
+            if fired:
+                if wm_us < w_end_us + horizon_us:
+                    for r in grp:
+                        cnt += 1
+                        mx = r[3] if mx is None or r[3] > mx else mx
+                    ver += 1
+                    out.append((a, w, cnt, mx, ver))
+                # else: past end + allowedLateness — dropped, like the
+                # reference's WindowOperator
+            else:
+                for r in grp:
+                    cnt += 1
+                    mx = r[3] if mx is None or r[3] > mx else mx
+            st[(a, w)] = (cnt, mx, fired, ver)
+        if eoi:
+            for (a, w) in sorted(st):
+                cnt, mx, fired, ver = st[(a, w)]
+                if not fired and cnt > 0:
+                    out.append((a, w, cnt, mx, ver + 1))
+            if state.exists:
+                state.remove()
+        else:
+            state.update((pickle.dumps(st),))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "auction_id",
+                    "w_start_s",
+                    "bid_count",
+                    "max_bid",
+                    "emit_version",
+                ],
+            )
+
+    bkt = F.explode(
+        F.when(
+            F.col("auction_id") >= 0,
+            F.array(F.pmod(F.col("auction_id"), F.lit(n_buckets)).cast("int")),
+        ).otherwise(F.sequence(F.lit(0), F.lit(n_buckets - 1)))
+    ).alias("bkt")
+    return (
+        bids.withWatermark("ts", "2 seconds")
+        .select("auction_id", "w_start_s", "us", "bid", "ts", bkt)
+        .groupBy("bkt")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=LATE_WINDOW_OUTPUT,
+            stateStructType=_BUCKETED_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def q5b_proc_time_flush(bids: DataFrame, flush_interval_ms: int = 10_000) -> DataFrame:
     """Q5b replica: accumulate per item key, flush on a *processing-time*
     timer (reference: now + 10 s, NexmarkQuery5b.java:204). Inherently
