@@ -215,8 +215,14 @@ _TRI_TOPK = 50
 
 _TRI_SUPPORT = 2  # min co-purchase support for an edge (market-basket standard)
 
+# MATERIALIZED CTEs (r11, VERDICT r10 task 4): without the hint DuckDB
+# INLINES `oriented` into its three self-join references and re-plans the
+# whole pairs->deg->orientation subtree per reference — at the 10x replica
+# that plan ran 40+ minutes into a 40 GB temp spill before being killed,
+# while the materialized form completes in ~1.4 s (same rows at every SF).
+# This is what made copurchase_triangles the sweep's only rows-only cell.
 _TRI_ORACLE = f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a
   JOIN lineitem b
@@ -224,12 +230,12 @@ WITH pairs AS (
   GROUP BY 1, 2
   HAVING count(*) >= {_TRI_SUPPORT}
 ),
-deg AS (
+deg AS MATERIALIZED (
   SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
     SELECT u AS x FROM pairs UNION ALL SELECT v AS x FROM pairs
   ) GROUP BY 1
 ),
-oriented AS (
+oriented AS MATERIALIZED (
   SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
          CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst,
          CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN dv.d ELSE du.d END AS ddst
@@ -237,7 +243,7 @@ oriented AS (
   JOIN deg du ON du.x = p.u
   JOIN deg dv ON dv.x = p.v
 ),
-tri AS (
+tri AS MATERIALIZED (
   SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
   FROM oriented e1
   JOIN oriented e2
