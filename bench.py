@@ -467,6 +467,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     out_rows: dict[str, int] = {}
     stray_builds: dict[str, list] = {}
+    # phase walls (r11): the budget gate only sees the retime loop, so a
+    # slow box could silently eat the whole budget in pass 1 and ship
+    # single-sample noise — record where the wall actually went so a
+    # 1-pass artifact is diagnosable from the JSON alone
+    phase_walls: dict[str, float] = {
+        "relayout": relayout_sec or 0.0,
+        "artifact_build": artifact_build_sec,
+    }
+    _bench_t0 = time.perf_counter()
     sweep_t0 = time.perf_counter()
     for qi, name in enumerate(names):
         if qi and qi % 20 == 0:
@@ -530,6 +539,7 @@ def main() -> None:
             "partial": "first pass only",
         }
     )
+    phase_walls["pass1"] = round(time.perf_counter() - sweep_t0, 3)
     passes = 1
     # Re-timing order when the budget bites: batch-oracled queries FIRST
     # (they are the comparator-gate numerator; streaming replays feed only
@@ -555,8 +565,12 @@ def main() -> None:
     # used to ship SINGLE-sample replay timings (the r10 first full sweep
     # read net_factor 12.1 off cold pass-1 draws that isolated min-of-3
     # measured 25-30% lower).
-    min_retime = int(os.environ.get("BENCH_MIN_RETIME", "12"))
-    min_retime_stream = int(os.environ.get("BENCH_MIN_RETIME_STREAM", "8"))
+    # r11: raised 12/8 -> 20/12 after a slow-box draw spent the whole
+    # budget in pass 1 and shipped single-sample timings for 118 entries —
+    # the forced head is the bounded part of the answer (~60-90 s worst
+    # case), and it is exactly the entries the gates read.
+    min_retime = int(os.environ.get("BENCH_MIN_RETIME", "20"))
+    min_retime_stream = int(os.environ.get("BENCH_MIN_RETIME_STREAM", "12"))
     streaming_names = [
         n
         for n in names
@@ -590,6 +604,10 @@ def main() -> None:
             partial_passes += 1
             break
         passes += 1
+
+    phase_walls["retime"] = round(
+        time.perf_counter() - sweep_t0 - phase_walls["pass1"], 3
+    )
 
     # Floors re-measured at sweep END, min taken (r7, after a sweep whose
     # START coincided with transient host contention: floor read 0.505 s
@@ -641,6 +659,7 @@ def main() -> None:
         # every pass-1 sample that tripped the outlier alarm, with its
         # clean retakes — [first, retake, ...]; min is what's in `queries`
         "outliers": {k: v for k, v in sorted(outlier_log.items())},
+        "phase_walls": phase_walls,
     }
     _flush(result)
 
@@ -774,6 +793,12 @@ def main() -> None:
                 "n": len(stream_duck),
             }
 
+    phase_walls["total"] = round(time.perf_counter() - _bench_t0, 3)
+    # end-floors + DuckDB comparator + streaming-overhead oracles
+    phase_walls["post_sweep"] = round(
+        phase_walls["total"] - phase_walls["pass1"] - phase_walls["retime"],
+        3,
+    )
     _flush(result)
     print(json.dumps(result))
     # The driver parses a 2000-char stdout TAIL; the full result line above

@@ -57,77 +57,74 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # this round. The remainder follows in module-import order. Entries that fall
 # past the cap are still oracled every CI run by tests/test_oracle_parity.py
 # and were driver-green in a prior round's CORRECTNESS_r*.json.
-# Round-10 head (rotation policy: COVERAGE.md "Driver-gate rotation").
-# Tier 2 — implementation changed in r10 (11): the two de-quadratic'd
-# entries (hard_negative_mining re-pointed at the ivf_index probe path;
-# cosine_topk_bruteforce's constant query panel) plus the two IVF
-# consumers of the v2 artifact (normed/ now carries label); the three
-# consumers of the new materialized dedup cluster-map artifact
-# (dedup_clusters, dedup_cluster_rewrite, leakage_safe_splits — the CC
-# loop moved into the priced artifact build); and the four sentinel
-# replays, now a SINGLE file source over a combined dir (funnel also
-# pre-filters to view/click/purchase JVM-side). Tier 4 — regression
-# rotation, oldest last-green first: the seven r5-deferred entries lead
-# (exactly the r9 freshness floor), then the full r6-last-green cohort
-# (31, minus hard_negative_mining already in tier 2), then the two
-# alphabetically-first r7 entries to fill the cap. 11 + 7 + 30 + 2 = 50.
-# Everything below the cap stays pytest-oracle-locked every CI run
-# (tests/test_oracle_parity.py).
+# Round-11 head (rotation policy: COVERAGE.md "Driver-gate rotation").
+# Tier 2 — new this round (1): qx_allowed_lateness_replay (the Flink
+# allowedLateness re-fire replica). Tier 3 — changed this round (24):
+# the four sentinel replays + q8_union_join_lowlevel (single-batch
+# end-of-input flush / bucketed union join), kmeans_train (vectorized
+# assignment), copurchase_triangles (MATERIALIZED-CTE oracle), and every
+# remaining streaming replay — replay_state_partitions' local default
+# moved 4 -> 8, a shared-helper change that re-plans ALL of them — plus
+# the three artifact-serving entries the r10 VERDICT asked re-checked
+# (ngram_containment_pairs, dedup_cluster_rewrite, leakage_safe_splits).
+# Tier 4 — regression rotation, oldest last-green first: 25 more of the
+# r7-last-green cohort, alphabetically after the two taken in r10.
+# 1 + 24 + 25 = 50. Everything below the cap stays pytest-oracle-locked
+# every CI run (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
-    # --- tier 2: implementation changes this round (r10) ---
-    "ann_ivf_topk",
+    # --- tier 2: new this round (r11) ---
+    "qx_allowed_lateness_replay",
+    # --- tier 3: implementation/oracle changed this round ---
+    "skipgram_pairs_stream_replay",
+    "scd2_stream_replay",
+    "funnel_conversion_stream_replay",
+    "user_value_ewma_stream_replay",
+    "q8_union_join_lowlevel",
+    "kmeans_train",
+    "copurchase_triangles",
+    "qx_interval_join_stream_replay",
+    "q8_join_stream_replay",
+    "q5_hot_items_stream_replay",
+    "q5_sliding_stream_replay",
+    "q7_highest_bid_stream_replay",
+    "cm_stream_replay",
+    "sessions_stream_replay",
+    "sessions_dynamic_gap_stream_replay",
+    "stream_dedup_replay",
+    "stream_static_enrich",
     "ann_ivf_topk_stream_replay",
-    "hard_negative_mining",
-    "cosine_topk_bruteforce",
-    "dedup_clusters",
+    "pii_scrub_stream_replay",
+    "incremental_dedup_stream_replay",
+    "exactly_once_sink_replay",
+    "ngram_containment_pairs",
     "dedup_cluster_rewrite",
     "leakage_safe_splits",
-    "funnel_conversion_stream_replay",
-    "scd2_stream_replay",
-    "skipgram_pairs_stream_replay",
-    "user_value_ewma_stream_replay",
-    # --- tier 4: the seven r5-last-green deferred from the r9 head ---
-    "tpch_q11_important_parts",
-    "tpch_q15_top_supplier",
-    "user_history_sequences",
-    "user_value_resample_ffill",
-    "value_outliers",
-    "winnow_fingerprints",
-    "winnow_overlap_pairs",
-    # --- tier 4 (cont.): r6-last-green cohort ---
-    "approx_user_stats",
-    "bpe_pair_counts",
-    "doc_repetition_scores",
-    "dq_expectation_audit",
-    "events_cube",
-    "events_upsert_snapshot",
-    "events_variant_props",
-    "exactly_once_sink_replay",
-    "funnel_conversion",
-    "interval_overlap_join",
-    "key_skew_profile",
-    "kmeans_train",
-    "nexmark_q15_bidding_stats",
-    "nexmark_q16_channel_stats",
-    "nexmark_q17_auction_stats",
-    "q8_union_join_lowlevel",
-    "skipgram_pairs",
-    "temporal_holdout_splits",
-    "token_budget_packing",
-    "tpch_q13_order_distribution",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_national_share",
-    "tpch_q9_product_profit",
-    "user_event_gaps",
-    "user_lag_features",
-    "user_value_ewma",
-    # --- tier 4 (cont.): r7 cohort, alphabetical head ---
-    "bid_binary_decode",
-    "bottomk_consistent_sample",
+    # --- tier 4: r7-last-green cohort, alphabetical continuation ---
+    "bucketed_colocated_join",
+    "cdc_snapshot_delta",
+    "chunk_dedup_rewrite",
+    "chunk_dedup_stats",
+    "countmin_sketch_table",
+    "curation_funnel",
+    "doc_bigram_rarity",
+    "domain_mixing_weights",
+    "event_type_stats",
+    "events_semi_anti_join",
+    "golden_record_merge",
+    "highest_bid_per_window",
+    "histogram_quantiles",
+    "hot_items_salted_join",
+    "kmeans_refine_once",
+    "mixture_rebalanced_sample",
+    "multimodal_audio_windows",
+    "nation_distinct_segments",
+    "nexmark_q13_side_input_join",
+    "nexmark_q18_last_bid",
+    "nexmark_q19_auction_top10",
+    "nexmark_q20_bid_auction",
+    "nexmark_q21_channel_id",
+    "nexmark_q22_url_dirs",
+    "nexmark_q3_local_suggest",
 ]
 
 
