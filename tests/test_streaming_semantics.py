@@ -141,7 +141,7 @@ def test_replay_state_partitions_defaulting(spark, monkeypatch):
     assert replay_state_partitions(spark) == 12
     monkeypatch.delenv("SPARK_GRAFT_REPLAY_STATE_PARTITIONS")
     assert spark.conf.get("spark.master").startswith("local")
-    assert replay_state_partitions(spark) == 4
+    assert replay_state_partitions(spark) == 8
 
     class FakeConf:
         def get(self, k, d=None):
