@@ -419,6 +419,14 @@ def main() -> None:
     def _post_query_cleanup():
         if not _keep_table_cache:
             spark.catalog.clearCache()
+        # free tmpfs replay-sink scratch between entries (r11: left to
+        # process exit, a long sweep accumulates every replay's output in
+        # /dev/shm and competes with the heap / the DuckDB comparator)
+        from nexmark_vanilla_flink_spark.streaming.runner import (
+            reclaim_replay_sinks,
+        )
+
+        reclaim_replay_sinks()
 
     def _time_once(name) -> float:
         """One symmetric timing sample: build the DataFrame (untimed Py4J

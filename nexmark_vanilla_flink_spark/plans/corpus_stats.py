@@ -761,8 +761,9 @@ def user_value_ewma_stream_replay(
     recursion advances per user as each event is watermark-finalized
     (streaming/stateful.py::ewma_stateful), instead of a nightly batch
     re-fold of full history. Keyed state is three BIGINTs plus the
-    watermark-lag pending buffer; the flush sentinel settles the final
-    lag, so the replay shares the batch oracle verbatim."""
+    watermark-lag pending buffer; the end-of-input sentinel triggers the
+    final fold-and-emit in the data batch (bucketed_stateful's r11 fast
+    path), so the replay shares the batch oracle verbatim."""
     import os
 
     from ..streaming.runner import run_available_now

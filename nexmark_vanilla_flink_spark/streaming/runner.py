@@ -87,6 +87,28 @@ def _ephemeral_checkpoint_dir(prefix: str) -> str:
     return track_ephemeral_dir(tempfile.mkdtemp(prefix=prefix, dir=base))
 
 
+def reclaim_replay_sinks() -> None:
+    """Remove the tracked ephemeral SINK scratch dirs NOW (prefixes
+    ``out_``/``eos_``) instead of at process exit. A long sweep otherwise
+    accumulates every replay's tmpfs sink output for the whole process
+    lifetime — the r11 10x scale sweep filled /dev/shm until the DuckDB
+    comparator's allocations failed for every entry after #146 (33
+    cascade OOM rows, all one root cause). Content-cached FIXTURE dirs
+    (the flush-sentinel combined dir, the lateness replay triple, the
+    exactly-once input staging) are kept: their caches re-validate
+    isdir/_SUCCESS before reuse, but deleting them would just force
+    rebuilds. Callers: between entries in bench.py and
+    tools/scale_sweep.py — never while a returned replay DataFrame is
+    still to be read (the sinks back those reads lazily)."""
+    keep = []
+    for p in _EPHEMERAL_DIRS:
+        if os.path.basename(p).startswith(("out_", "eos_")):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            keep.append(p)
+    _EPHEMERAL_DIRS[:] = keep
+
+
 def _discard_ephemeral_dir(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
     try:

@@ -198,6 +198,14 @@ def main() -> None:
                 rec["match"] = False
             sweep["queries"][name] = rec
             spark.catalog.clearCache()
+            # free tmpfs replay-sink scratch between entries (r11: the 10x
+            # phase filled /dev/shm by entry #146 and every later DuckDB
+            # compare OOM'd — one root cause, 33 cascade rows)
+            from nexmark_vanilla_flink_spark.streaming.runner import (
+                reclaim_replay_sinks,
+            )
+
+            reclaim_replay_sinks()
             stray = pop_build_log()
             if stray:
                 rec["artifact_builds_in_query"] = stray
