@@ -257,7 +257,10 @@ def main() -> None:
         fl_lo = result["sweeps"][lo]["floor_s"]
         fl_hi = result["sweeps"][hi]["floor_s"]
         growth = {}
-        for name in names:
+        # iterate RECORDS, not the (possibly SCALE_QUERIES-restricted) name
+        # filter: a resumed partial session must refresh the growth table
+        # for every stored entry, not shrink it to the re-run subset
+        for name in sorted(set(ql) & set(qh)):
             ra, rb = ql.get(name, {}), qh.get(name, {})
             a, b = ra.get("spark_s"), rb.get("spark_s")
             if a is None or b is None:
