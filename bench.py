@@ -273,6 +273,23 @@ def main() -> None:
                 .write.mode("overwrite")
                 .parquet(f"{scratch}/w2")
             )
+            # window + broadcast-join paths (the prefix/tfidf builders):
+            from pyspark.sql import Window as _W
+
+            one = spark.range(1).select(F.lit(1).alias("one"))
+            (
+                docs.withColumn("one", F.lit(1))
+                .join(F.broadcast(one), "one")
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        _W.partitionBy("doc_id").orderBy("h")
+                    ),
+                )
+                .filter(F.col("rn") <= 2)
+                .write.mode("overwrite")
+                .parquet(f"{scratch}/w3")
+            )
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
 

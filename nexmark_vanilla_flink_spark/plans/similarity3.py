@@ -128,16 +128,21 @@ def _postings_index_dir(spark: SparkSession, sf_dir: str) -> str:
             .cache()
         )
         toks = tf.select("doc_id", "tok")
+        # postings/ first: its write MATERIALIZES the shared tf cache (the
+        # corpus scan + shingle explode — the expensive pass); the three
+        # dependent tables then all read the cache, so they run as
+        # CONCURRENT jobs on the shared scheduler (r11: this builder is
+        # the build-phase wall limiter; its three dependent writes were
+        # serial for no reason)
         write_artifact_table(toks, stage, "postings")
         sizes = tf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-        write_artifact_table(sizes, stage, "sizes")
         dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
         # one global total order: (df asc, tok asc). Per-doc prefix = one
         # row_number window over the doc's postings in that order — a
         # single doc_id exchange whose partitions are posting-list-sized.
         w_rank = Window.partitionBy("doc_id").orderBy("df", "tok")
         w_sz = Window.partitionBy("doc_id")
-        write_artifact_table(
+        prefix = (
             toks.join(dfreq, "tok")
             .withColumn("rn", F.row_number().over(w_rank))
             .withColumn("sz", F.count(F.lit(1)).over(w_sz))
@@ -145,22 +150,27 @@ def _postings_index_dir(spark: SparkSession, sf_dir: str) -> str:
                 F.col("rn")
                 <= F.col("sz") - F.expr("(9 * sz + 9) DIV 10") + F.lit(1)
             )
-            .select("doc_id", "sz", "tok"),
-            stage,
-            "prefix",
+            .select("doc_id", "sz", "tok")
         )
         n1 = docs.agg(F.count("*").alias("n_docs"))
-        write_artifact_table(
+        tfidf = (
             tf.join(dfreq, "tok")
             .crossJoin(F.broadcast(n1))
             .filter(F.col("df") <= F.expr("n_docs DIV 10"))
             # true integer DIV (not double-divide-then-truncate: a 0.5-ulp
             # round-up across an integer boundary would break exactness)
             .withColumn("w", F.expr("tf * ((n_docs * 1000) DIV df)"))
-            .select("doc_id", "tok", "w"),
-            stage,
-            "tfidf",
+            .select("doc_id", "tok", "w")
         )
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            for fut in [
+                ex.submit(write_artifact_table, sizes, stage, "sizes"),
+                ex.submit(write_artifact_table, prefix, stage, "prefix"),
+                ex.submit(write_artifact_table, tfidf, stage, "tfidf"),
+            ]:
+                fut.result()
         tf.unpersist()
 
     return artifact_dir(
