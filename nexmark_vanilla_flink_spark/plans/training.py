@@ -489,15 +489,18 @@ def skipgram_pairs_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..streaming.runner import run_available_now
-    from ..streaming.stateful import skipgram_stateful_bucketed
+    from ..streaming.stateful import skipgram_stateful_counted
     from .linkage import _sentinel_event_stream
 
     stream, flush_ms = _sentinel_event_stream(spark, sf_dir)
     out = run_available_now(
-        # bucketed state (r9): same fold, same emitted pair multiset —
-        # per-key parity pinned by tests/test_bucketed_stateful.py; the
-        # per-key replica `skipgram_stateful` remains the reference form
-        skipgram_stateful_bucketed(stream, flush_ms),
+        # counted bucketed twin (r11): same fold, pairs pre-counted at
+        # the operator boundary (the event-type vocabulary collapses
+        # ~400 K raw pairs to <=25 distinct rows per bucket — map-side
+        # combine where the data is); count parity with the raw bucketed
+        # twin AND the per-key replica `skipgram_stateful` pinned by
+        # tests/test_bucketed_stateful.py
+        skipgram_stateful_counted(stream, flush_ms),
         output_mode="append",
         # the sentinel end-of-input fast path flushes in the data batch
         # (streaming/stateful.py::bucketed_stateful, r11) — no timers
@@ -508,7 +511,7 @@ def skipgram_pairs_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.groupBy("center", "context").agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.sum("cnt").alias("cnt")
     )
 
 

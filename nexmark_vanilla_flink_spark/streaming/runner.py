@@ -188,6 +188,18 @@ def run_available_now(
     ckpt = checkpoint_dir or _ephemeral_checkpoint_dir(f"ckpt_{qname}_")
     if shuffle_partitions is None:
         shuffle_partitions = replay_state_partitions(spark)
+        # COMPLETE mode re-emits the full state every batch through the
+        # memory sink: fewer, larger state partitions win there (r11
+        # drift-cancelled min-of-3 over the six complete-mode replays:
+        # 5.34 s @4 vs 5.77 s @8 — 5 of 6 entries faster), while
+        # append-mode stateful replays keep 8 (Arrow-batch worker
+        # parallelism, same sweep). Env override still wins above.
+        if (
+            output_mode == "complete"
+            and shuffle_partitions == 8
+            and not os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS")
+        ):
+            shuffle_partitions = 4
     saved_parts = None
     if shuffle_partitions is not None:
         saved_parts = spark.conf.get("spark.sql.shuffle.partitions")

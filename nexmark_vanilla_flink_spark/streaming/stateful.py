@@ -1181,6 +1181,7 @@ def bucketed_stateful(
     out_schema: StructType,
     n_buckets: int = 16,
     watermark: str = "30 seconds",
+    batch_reduce=None,
 ) -> DataFrame:
     """Keyed-state replay with state coarsened to ``n_buckets`` hash
     buckets of user_id — the generic harness behind the bucketed
@@ -1226,7 +1227,16 @@ def bucketed_stateful(
 
     State is one pickled blob per bucket: (stats dict uid->ustate,
     pending row list). Pickle here is INTERNAL state representation —
-    emitted rows, the oracle-gated surface, never pass through it."""
+    emitted rows, the oracle-gated surface, never pass through it.
+
+    ``batch_reduce(out_rows) -> out_rows`` (optional) collapses a
+    bucket's emission batch before it crosses Arrow — for twins whose
+    consumers aggregate anyway (skipgram: 400 K raw pairs per replay
+    collapse to <=25 distinct (center, context) counts per bucket), the
+    map-side combine that a JVM partial aggregate would do, applied at
+    the operator boundary. Totals are batch-additive, so the multi-batch
+    timer path emits partial counts per batch and the consumer's SUM is
+    unchanged."""
     import pickle
 
     from itertools import groupby
@@ -1254,6 +1264,8 @@ def bucketed_stateful(
             for uid in sorted(stats):
                 out.extend(final_fn(uid, stats[uid]))
             if out:
+                if batch_reduce is not None:
+                    out = batch_reduce(out)
                 yield pd.DataFrame(out, columns=out_cols)
             return
         if state.exists:
@@ -1286,6 +1298,8 @@ def bucketed_stateful(
             if state.exists:
                 state.remove()
             if out:
+                if batch_reduce is not None:
+                    out = batch_reduce(out)
                 yield pd.DataFrame(out, columns=out_cols)
             return
         wm_us = state.getCurrentWatermarkMs() * 1000
@@ -1300,6 +1314,8 @@ def bucketed_stateful(
             max(flush_ms, state.getCurrentWatermarkMs() + 1)
         )
         if out:
+            if batch_reduce is not None:
+                out = batch_reduce(out)
             yield pd.DataFrame(out, columns=out_cols)
 
     sel = ["user_id", "us", "event_id", *value_cols, "ts"]
@@ -1452,4 +1468,57 @@ def skipgram_stateful_bucketed(events: DataFrame, flush_ms: int) -> DataFrame:
     return bucketed_stateful(
         events, flush_ms, ["event_type"], fold, final, SKIPGRAM_OUTPUT,
         watermark="2 seconds",
+    )
+
+
+SKIPGRAM_COUNT_OUTPUT = StructType(
+    [
+        StructField("center", StringType()),
+        StructField("context", StringType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def skipgram_stateful_counted(events: DataFrame, flush_ms: int) -> DataFrame:
+    """``skipgram_stateful_bucketed`` with the map-side combine applied at
+    the operator boundary: the event-type vocabulary is tiny, so a
+    bucket's ~25 K raw pairs per replay collapse to <=25 distinct
+    (center, context, cnt) rows before crossing Arrow — exactly the
+    partial aggregation the consumer (a global pair-count) would force
+    the engine to do anyway, done where the data is. Per-batch counts
+    are additive, so the multi-batch timer path stays correct under the
+    consumer's SUM. Count parity with the raw bucketed twin (and through
+    it the per-key replica) is pinned by tests/test_bucketed_stateful.py."""
+    from collections import Counter
+
+    def fold(uid, ustate, rows):
+        p1, p2 = ustate or (None, None)
+        out = []
+        for r in rows:
+            e = r[3]
+            if p1 is not None:
+                out.append((p1, e))
+                out.append((e, p1))
+            if p2 is not None:
+                out.append((p2, e))
+                out.append((e, p2))
+            p2, p1 = p1, e
+        return (p1, p2), out
+
+    def final(uid, ustate):
+        return []
+
+    def reduce_counts(out):
+        return [(c, x, n) for (c, x), n in sorted(Counter(out).items())]
+
+    return bucketed_stateful(
+        events,
+        flush_ms,
+        ["event_type"],
+        fold,
+        final,
+        SKIPGRAM_COUNT_OUTPUT,
+        watermark="2 seconds",
+        batch_reduce=reduce_counts,
     )

@@ -206,3 +206,34 @@ def test_union_join_bucketed_parity(spark, sf_dir):
     a = sorted([tuple(r) for r in got.collect()], key=repr)
     b = sorted([tuple(r) for r in ref.collect()], key=repr)
     assert len(a) > 0 and a == b
+
+
+def test_skipgram_counted_parity(spark, sf_dir):
+    """The counted twin's (center, context) -> sum(cnt) table must equal
+    the raw bucketed twin's pair counts (which itself is set-parity-pinned
+    against the per-key replica above)."""
+    from collections import Counter
+
+    from nexmark_vanilla_flink_spark.streaming.stateful import (
+        skipgram_stateful_bucketed,
+        skipgram_stateful_counted,
+    )
+
+    stream, flush_ms = _sentinel_event_stream(spark, sf_dir)
+    raw = run_available_now(
+        skipgram_stateful_bucketed(stream, flush_ms),
+        output_mode="append",
+        no_data_batch=False,
+    )
+    ref = Counter((r["center"], r["context"]) for r in raw.collect())
+    stream2, flush_ms2 = _sentinel_event_stream(spark, sf_dir)
+    counted = run_available_now(
+        skipgram_stateful_counted(stream2, flush_ms2),
+        output_mode="append",
+        no_data_batch=False,
+    )
+    got: dict = {}
+    for r in counted.collect():
+        k = (r["center"], r["context"])
+        got[k] = got.get(k, 0) + r["cnt"]
+    assert len(got) > 0 and got == dict(ref)
