@@ -803,7 +803,14 @@ def _late_bids_dir(spark: SparkSession, sf_dir: str) -> str:
         ],
         schema=schema,
     )
-    for i, tbl in enumerate([_tbl(on_time), _tbl(late), sent]):
+    # TWO batches, not three: the sentinel rides as the late file's last
+    # rows. Batch 2's watermark derives from batch 1 alone, so the late
+    # rows' fired/in-bound checks see exactly the same wm1 either way,
+    # and the end-of-input flush (which never reads the watermark) runs
+    # after the same batch's late rows in the same fn call — identical
+    # emissions, one less micro-batch of machinery.
+    late_plus_sentinel = pa.concat_tables([_tbl(late), sent])
+    for i, tbl in enumerate([_tbl(on_time), late_plus_sentinel]):
         dst = os.path.join(d, f"f{i}.parquet")
         papq.write_table(tbl, dst)
         os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
