@@ -147,12 +147,14 @@ FLAGSHIPS = {
     "partial-aggregated sum exchange on v; the top-50 is "
     "TakeOrderedAndProject, never a single-partition sort. All rank math "
     "is fixed-point BIGINT — no float-summation order sensitivity.",
-    "kmeans_train": "r6 struct-min + exploded-centroid shape: per Lloyd "
-    "iteration the centroids BroadcastExchange under the crossJoin, the "
-    "assignment argmin partial-aggregates min(struct(d2,k,v)) below the "
-    "vec_id exchange (one row per vector shuffles, not K copies), and the "
-    "centroid rebuild is posexplode + (cluster,dim) partial decimal means "
-    "— no 64-wide codegen unit anywhere.",
+    "kmeans_train": "r11 vectorized-assignment shape: per Lloyd iteration "
+    "the K centroids replicate to every vec_id hash bucket (a tiny "
+    "broadcast union), ONE FlatMapGroupsInPandas computes all K distances "
+    "per vector in numpy (ascending-dim accumulation — bit-identical to "
+    "the oracle's list fold) and ships each vector through Arrow once, "
+    "and the centroid rebuild stays JVM: posexplode + (cluster,dim) "
+    "partial decimal means. No interpreted HOF lambda in the hot path "
+    "and never K copies of the corpus on the wire.",
     "bpe_learn_merges": "r6 iterative trainer (final-plan explain; the 6 "
     "argmax collects each ran one row): everything downstream of the scan "
     "reads the CACHED distinct-word InMemoryRelation — the corpus parquet "
