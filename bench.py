@@ -796,10 +796,25 @@ def main() -> None:
             q = REGISTRY[name]
             if not q.oracle or "streaming" not in q.tags:
                 continue
-            con.execute(q.oracle).fetchall()
-            t0 = time.perf_counter()
-            con.execute(q.oracle).fetchall()
-            stream_duck[name] = round(time.perf_counter() - t0, 3)
+            con.execute(q.oracle).fetchall()  # warmup (buffer-pool parity)
+            # SYMMETRIC adaptive min-of-N (VERDICT r11 task 1a): the Spark
+            # numerator is min-of-N across retime passes, but the stream
+            # denominator used to be a SINGLE timed run — its same-day swing
+            # (2.12-5.54 s across draws) was the whole reason net factors
+            # 6.2-8.5x and 3.13x coexisted for identical code. Same
+            # convention as the batch comparator above: keep sampling (max
+            # 4) until a sample lands within 15% of the previous running
+            # min, take the min.
+            best = None
+            for _ in range(4):
+                t0 = time.perf_counter()
+                con.execute(q.oracle).fetchall()
+                dt = time.perf_counter() - t0
+                prev = best
+                best = dt if best is None else min(best, dt)
+                if prev is not None and dt <= prev * 1.15:
+                    break
+            stream_duck[name] = round(best, 3)
         if stream_duck:
             s_sum = round(sum(timings[n] for n in stream_duck), 3)
             d_sum = round(sum(stream_duck.values()), 3)
@@ -927,8 +942,19 @@ def main() -> None:
                 ]
             with open(draws_path, "a") as f:
                 f.write(json.dumps(draw) + "\n")
+            tail = []
             with open(draws_path) as f:
-                tail = [json.loads(x) for x in f.read().splitlines() if x][-3:]
+                for x in f.read().splitlines():
+                    if not x.strip():
+                        continue
+                    # per-line parse (ADVICE r11): a corrupt/partial trailing
+                    # line from a killed run must not abort bench AFTER the
+                    # whole sweep — skip unparseable lines, keep the rest
+                    try:
+                        tail.append(json.loads(x))
+                    except ValueError:
+                        continue
+            tail = tail[-3:]
             result["recent_draws"] = compact["recent_draws"] = tail
             _flush(result)
         except OSError:
@@ -942,6 +968,34 @@ def main() -> None:
             break
     print(json.dumps(compact))
     spark.stop()
+    # Never let a degraded-box draw stand as the RULING artifact (VERDICT
+    # r11 task 2: BENCH_r11 recorded a degraded_box=true draw as the round's
+    # number while two clean same-day draws existed). If the >3x floor
+    # start/end disagreement fired, re-exec the whole bench up to
+    # BENCH_MAX_REDRAWS times: the driver parses the stdout TAIL, so the
+    # final (clean) run's compact line becomes the recorded result, every
+    # attempted draw still lands in docs/bench_draws.jsonl, and a box that
+    # stays noisy through all redraws ships its last draw with
+    # degraded_box=true honestly set. Subset runs (BENCH_QUERIES) skip
+    # this: they are interactive probes, never the ruling artifact.
+    if degraded_box and not only:
+        redraws_left = int(os.environ.get("BENCH_MAX_REDRAWS", "2"))
+        if redraws_left > 0:
+            os.environ["BENCH_MAX_REDRAWS"] = str(redraws_left - 1)
+            print(
+                json.dumps(
+                    {
+                        "note": "degraded_box draw discarded; redrawing",
+                        "redraws_left": redraws_left - 1,
+                    }
+                ),
+                flush=True,
+            )
+            os.execve(
+                sys.executable,
+                [sys.executable, os.path.abspath(__file__)],
+                os.environ,
+            )
 
 
 if __name__ == "__main__":

@@ -780,9 +780,8 @@ def user_value_ewma_stream_replay(
         # sentinel end-of-input fast path: flush in the data batch, skip
         # the trailing no-data batch (streaming/stateful.py, r11)
         no_data_batch=False,
-        shuffle_partitions=int(
-            os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")
-        ),
+        # state partitions: replay_state_partitions() default (8 local
+        # since r11, env-overridable) — the old explicit pin duplicated it
     )
 
 

@@ -884,12 +884,8 @@ def funnel_conversion_stream_replay(
         # (streaming/stateful.py::bucketed_stateful, r11) — no timers
         # remain armed, so the trailing no-data batch is pure cost
         no_data_batch=False,
-        # Python-stateful replica: Arrow-batch worker parallelism beats
-        # store-commit savings (the q8_union_join_lowlevel r5 A/B, re-held
-        # in the r9 8/4/2 A/B), so pin 8 instead of the local default of 4
-        shuffle_partitions=int(
-            os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")
-        ),
+        # state partitions: replay_state_partitions() default (8 local
+        # since r11, env-overridable) — the old explicit pin duplicated it
     )
     return out.select(
         "user_id",
@@ -936,9 +932,8 @@ def scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sentinel end-of-input fast path: flush in the data batch, skip
         # the trailing no-data batch (streaming/stateful.py, r11)
         no_data_batch=False,
-        shuffle_partitions=int(
-            os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")
-        ),
+        # state partitions: replay_state_partitions() default (8 local
+        # since r11, env-overridable) — the old explicit pin duplicated it
     )
     return out.select(
         "user_id",

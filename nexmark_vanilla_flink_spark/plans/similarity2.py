@@ -1078,7 +1078,14 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("k"), F.col("v").alias("cv")
     )
-    _B = 32  # assignment buckets; rides the shuffle-partition count at scale
+    # assignment buckets: derived, not hardcoded (ADVICE r11) — ride the
+    # session's shuffle-partition count at scale (a cluster sized to
+    # state/data volume raises it, shrinking each bucket's pandas frame),
+    # floored at local core count so toy-SF runs keep full parallelism
+    _B = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism,
+    )
 
     def _argmin_fn(pdf):
         import numpy as np

@@ -104,13 +104,9 @@ def q8_union_join_lowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         union_join_stateful_bucketed(tagged),
         output_mode="append",
         no_data_batch=False,  # NoTimeout stateful fn: emits on arrival only
-        # Python-stateful replica: Arrow-batch worker parallelism beats the
-        # store-commit savings of fewer partitions (r5 A/B: 2.0 s @8 vs
-        # 2.6 s @4 vs 3.1 s @2) — default 8 instead of the local replay
-        # default of 4, but still honor an explicit operator-level override
-        shuffle_partitions=int(
-            os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")
-        ),
+        # state partitions: replay_state_partitions() default (8 local
+        # since r11, env-overridable; r5 A/B: 2.0 s @8 vs 2.6 s @4) — the
+        # old explicit pin duplicated the default
     )
 
 

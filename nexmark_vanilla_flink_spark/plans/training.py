@@ -506,9 +506,8 @@ def skipgram_pairs_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (streaming/stateful.py::bucketed_stateful, r11) — no timers
         # remain armed, so the trailing no-data batch is pure cost
         no_data_batch=False,
-        shuffle_partitions=int(
-            os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")
-        ),
+        # state partitions: replay_state_partitions() default (8 local
+        # since r11, env-overridable) — the old explicit pin duplicated it
     )
     return out.groupBy("center", "context").agg(
         F.sum("cnt").alias("cnt")

@@ -13,6 +13,7 @@ import os
 import shutil
 import tempfile
 import uuid
+import weakref
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -87,6 +88,16 @@ def _ephemeral_checkpoint_dir(prefix: str) -> str:
     return track_ephemeral_dir(tempfile.mkdtemp(prefix=prefix, dir=base))
 
 
+# out_dir -> weakref to the lazily-backed DataFrame run_available_now
+# returned for it (ADVICE r11: reclaim safety used to rest entirely on
+# call-site discipline — a caller holding a sink-backed DataFrame across
+# entries would silently read empty after a reclaim). A live referent now
+# DEFERS that dir's reclaim; a dropped DataFrame's weakref dies with it
+# (CPython refcounting, immediate in the bench/sweep call pattern) and the
+# dir is freed on the next reclaim pass, with atexit as the backstop.
+_LIVE_SINK_REFS: dict[str, "weakref.ref"] = {}
+
+
 def reclaim_replay_sinks() -> None:
     """Remove the tracked ephemeral SINK scratch dirs NOW (prefixes
     ``out_``/``eos_``) instead of at process exit. A long sweep otherwise
@@ -97,12 +108,18 @@ def reclaim_replay_sinks() -> None:
     (the flush-sentinel combined dir, the lateness replay triple, the
     exactly-once input staging) are kept: their caches re-validate
     isdir/_SUCCESS before reuse, but deleting them would just force
-    rebuilds. Callers: between entries in bench.py and
-    tools/scale_sweep.py — never while a returned replay DataFrame is
-    still to be read (the sinks back those reads lazily)."""
+    rebuilds. Sink dirs whose returned DataFrame is still ALIVE (weakref
+    registry above) are deferred, so holding a replay result across
+    entries is safe, not a silent read-empty. Callers: between entries in
+    bench.py and tools/scale_sweep.py."""
     keep = []
     for p in _EPHEMERAL_DIRS:
         if os.path.basename(p).startswith(("out_", "eos_")):
+            ref = _LIVE_SINK_REFS.get(p)
+            if ref is not None and ref() is not None:
+                keep.append(p)  # caller still holds the lazy DataFrame
+                continue
+            _LIVE_SINK_REFS.pop(p, None)
             shutil.rmtree(p, ignore_errors=True)
         else:
             keep.append(p)
@@ -245,7 +262,12 @@ def run_available_now(
     if out_dir is not None:
         # explicit schema: a 0-row replay leaves only _spark_metadata, where
         # schema inference would fail; the sink wrote exactly sdf.schema
-        return spark.read.schema(sdf.schema).parquet(out_dir)
+        df = spark.read.schema(sdf.schema).parquet(out_dir)
+        if checkpoint_dir is None:
+            # ephemeral sink: register the lazy read-back so
+            # reclaim_replay_sinks defers this dir while the DataFrame lives
+            _LIVE_SINK_REFS[out_dir] = weakref.ref(df)
+        return df
     return spark.table(qname)
 
 

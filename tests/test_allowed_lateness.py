@@ -166,7 +166,9 @@ def test_entry_oracle_parity(spark, sf_dir):
     orows = sorted([tuple(r[i] for i in idx) for r in raw], key=repr)
     con.close()
     assert len(srows) > 0 and srows == orows
-    # the re-fire path must actually be exercised at this SF
-    assert any(r[-2] == 2 for r in srows) or any(
-        r[2] == 2 for r in srows
-    )
+    # the re-fire path must actually be exercised at this SF: select the
+    # emit_version column BY NAME (ADVICE r11: a positional r[-2] clause
+    # landed on max_bid under the sorted column order and could satisfy
+    # the check whenever a bid of 2.0 existed, without any pane re-firing)
+    ev = cols.index("emit_version")
+    assert any(r[ev] == 2 for r in srows)
