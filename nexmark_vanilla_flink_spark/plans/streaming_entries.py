@@ -141,11 +141,21 @@ def q8_join_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
+    import os
+
     s = stream_nexmark(spark, sf_dir)
     out = run_available_now(
         q8_join_stream(s["persons"], s["auctions"]),
         output_mode="append",
         no_data_batch=False,  # inner stream-stream join: emits on arrival
+        # stream-stream join keeps FOUR state stores per partition (left/
+        # right x keyToNumValues/keyWithIndexToValue): the r12 5-round
+        # alternating A/B reads 1.48 s @4 vs 1.77 s @8 min (whole
+        # distribution shifted) — the r11 4->8 default flip was this
+        # entry's in-sweep regression (docs/adjudication_r12.json)
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "4")
+        ),
     )
     # raw nanos differ across engines (DuckDB reads nano-parquet at µs
     # precision); µs is the exact shared precision
