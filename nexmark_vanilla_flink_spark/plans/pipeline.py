@@ -395,88 +395,126 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster that refuses to split keeps its sub-block dense only when the
     OUTPUT itself is dense — the residual-skew fallback is the salted join
     (operators/skew.py), as with simhash_neardup_pairs."""
-    # No ensure_parallelism: the embeddings relation is narrow and the
-    # vector math is cheap relative to a repartition round-trip (measured
-    # at sf0.1: the extra shuffle costs ~0.25 s/query and saves nothing;
-    # at scale the parquet scan has thousands of splits anyway).
+    # ARROW-VECTORIZED dot products (r12): the interpreted-HOF
+    # zip_with/aggregate folds paid ~20 us per (vector, vector) fold —
+    # the same hot path the kmeans_train assignment rewrite removed
+    # (plans/similarity2.py, VERDICT r10 task 3). Each label's vectors
+    # cross to Python ONCE per stage; numpy accumulates per-DIMENSION in
+    # ascending order (``acc = acc + A[:,i]*B[:,i]``), which is
+    # bit-identical to the sequential left fold both engines run, and the
+    # raw IEEE doubles ride back to the JVM where ALL rounding
+    # (round(.,6), the 1e6 si ordinal) happens in the exact expressions
+    # the oracle mirrors — the pandas stage introduces no new float
+    # semantics. Group = label (the blocking key): at 100 TB labels are
+    # IVF-cell-sized, so a group is one cell's vectors, never the corpus.
     cap = _EMB_BLOCK_CAP
     emb = load_table(spark, sf_dir, "embeddings")
-    e = (
+    e = ensure_parallelism(
         emb.select(
             "vec_id",
             "label",
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+            F.col("embedding").cast("array<double>").alias("v"),
         )
-        .withColumn(
-            "nrm",
-            F.sqrt(
-                F.expr(
-                    "aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-                )
-            ),
-        )
-        .withColumn("bsize", F.count(F.lit(1)).over(Window.partitionBy("label")))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("label").orderBy("vec_id")),
-        )
-    )
+    ).withColumn("bsize", F.count(F.lit(1)).over(Window.partitionBy("label")))
 
-    def _pairs(frame: DataFrame, extra_key: list[str]) -> DataFrame:
-        a = frame.select(
-            "vec_id", "label", "v", "nrm", *extra_key
-        )
-        b = frame.select(
-            F.col("vec_id").alias("vec_b"),
-            "label",
-            F.col("v").alias("vb"),
-            F.col("nrm").alias("nrm_b"),
-            *extra_key,
-        )
-        cos = F.round(
-            F.expr(
-                "aggregate(zip_with(v, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    def _raw_pairs(pdf):
+        """All i<j pairs within one (label[, sub]) group: raw cosine."""
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "label": pd.array([], dtype="int32"),
+                    "vec_a": pd.array([], dtype="int64"),
+                    "vec_b": pd.array([], dtype="int64"),
+                    "cos_raw": pd.array([], dtype="float64"),
+                }
             )
-            / (F.col("nrm") * F.col("nrm_b")),
-            6,
-        )
-        return (
-            a.join(b, ["label", *extra_key])
-            .filter(F.col("vec_id") < F.col("vec_b"))
-            .select(
-                F.col("vec_id").alias("vec_a"),
-                "vec_b",
-                "label",
-                cos.alias("cos_sim"),
-            )
-            .filter(F.col("cos_sim") >= 0.30)
+        V = np.vstack(pdf["v"].to_numpy())
+        vids = pdf["vec_id"].to_numpy()
+        acc = np.zeros(n)
+        dot = np.zeros((n, n))
+        for i in range(V.shape[1]):
+            c = V[:, i]
+            acc = acc + c * c
+            dot = dot + c[:, None] * c[None, :]
+        nrm = np.sqrt(acc)
+        cos = dot / (nrm[:, None] * nrm[None, :])
+        ia, ib = np.triu_indices(n, 1)  # vec_id sorted => vec_a < vec_b
+        return pd.DataFrame(
+            {
+                "label": np.full(len(ia), pdf["label"].iloc[0], dtype="int32"),
+                "vec_a": vids[ia].astype("int64"),
+                "vec_b": vids[ib].astype("int64"),
+                "cos_raw": cos[ia, ib],
+            }
         )
 
-    small = e.filter(F.col("bsize") <= cap)
-    big = e.filter(F.col("bsize") > cap)
-    seeds = big.filter(
-        F.col("rn") <= F.ceil(F.col("bsize") / F.lit(float(cap)))
-    ).select(
-        "label",
-        F.col("rn").alias("seed_rank"),
-        F.col("v").alias("sv"),
-        F.col("nrm").alias("snrm"),
+    def _raw_scores(pdf):
+        """One big block: raw cosine of every vector against the S =
+        ceil(bsize/cap) seed vectors (the S lowest vec_ids — identical
+        seed choice to the oracle's rn <= ceil(bsize/cap))."""
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        n = len(pdf)
+        S = -(-n // cap)
+        V = np.vstack(pdf["v"].to_numpy())
+        vids = pdf["vec_id"].to_numpy()
+        C = V[:S]
+        acc = np.zeros(n)
+        dot = np.zeros((n, S))
+        for i in range(V.shape[1]):
+            c = V[:, i]
+            acc = acc + c * c
+            dot = dot + c[:, None] * C[:, i][None, :]
+        nrm = np.sqrt(acc)
+        score = dot / (nrm[:, None] * nrm[:S][None, :])
+        return pd.DataFrame(
+            {
+                "label": np.full(n * S, pdf["label"].iloc[0], dtype="int32"),
+                "vec_id": np.repeat(vids, S).astype("int64"),
+                "seed_rank": np.tile(np.arange(1, S + 1), n).astype("int32"),
+                "score_raw": score.reshape(-1),
+            }
+        )
+
+    _PAIRS_SCHEMA = "label int, vec_a long, vec_b long, cos_raw double"
+    small = e.filter(F.col("bsize") <= cap).drop("bsize")
+    big = e.filter(F.col("bsize") > cap).drop("bsize")
+    small_raw = small.groupBy("label").applyInPandas(_raw_pairs, _PAIRS_SCHEMA)
+    scored = big.groupBy("label").applyInPandas(
+        _raw_scores, "label int, vec_id long, seed_rank int, score_raw double"
     )
-    score = F.expr(
-        "aggregate(zip_with(v, sv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-    ) / (F.col("nrm") * F.col("snrm"))
+    # si/ordinal/argmax stay JVM-side in the EXACT expressions the oracle
+    # mirrors (scores round to 1e-6, pack with seed rank into one BIGINT)
     assigned = (
-        big.join(seeds, "label")
-        .withColumn("si", F.round(score * 1_000_000, 0).cast("long"))
+        scored.withColumn(
+            "si", F.round(F.col("score_raw") * 1_000_000, 0).cast("long")
+        )
         .withColumn("ord", F.col("si") * 100_000 - F.col("seed_rank"))
         .groupBy("label", "vec_id")
-        .agg(
-            F.max_by("seed_rank", "ord").alias("sub"),
-            F.any_value("v").alias("v"),
-            F.any_value("nrm").alias("nrm"),
-        )
+        .agg(F.max_by("seed_rank", "ord").alias("sub"))
     )
-    return _pairs(small, []).unionAll(_pairs(assigned, ["sub"]))
+    big_raw = (
+        big.join(assigned, ["label", "vec_id"])
+        .groupBy("label", "sub")
+        .applyInPandas(lambda pdf: _raw_pairs(pdf), _PAIRS_SCHEMA)
+    )
+    return (
+        small_raw.unionByName(big_raw)
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.30)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -548,10 +586,18 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers is DISTINCT over pair endpoints (<= |pairs|); the verdict is a
     broadcast-able left join on vec_id."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    # the embeddings file ships ONE row group, so the centroid M-step's
+    # partial aggregation of |corpus| x dim exploded rows ran as a single
+    # task (r12 isolated at the 10x replica: 1.83 s serial vs 0.58 s
+    # parallel); the narrow (vec_id, label, v) repartition round-trip is
+    # cheap next to that, and at real scale the scan has enough splits
+    # that ensure_parallelism is a no-op
+    e = ensure_parallelism(
+        emb.select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
     ).withColumn(
         "nrm",
         F.sqrt(
@@ -573,29 +619,49 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s.cval
         ).alias("cv")
     )
-    cnrm = F.sqrt(
-        F.expr(
-            "aggregate(transform(cv, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-        )
-    )
     # csim feeds THREE consumers (both endpoint joins of the loser rule and
     # the final verdict) and Spark does not share subtrees across branches —
     # uncached, each branch re-ran the embeddings scan + centroid M-step +
     # cosine fold (r7: 1.34 s vs the oracle's 0.18 s). Skinny cache:
     # (vec_id, label, centroid_sim) — the per-vector verdict input a
-    # production SemDeDup materializes anyway.
+    # production SemDeDup materializes anyway. The centroid cosine itself
+    # is Arrow-vectorized per label (r12, same discipline as
+    # embedding_neardup_pairs: numpy accumulates per-dimension in
+    # ascending order — bit-identical to the interpreted fold it
+    # replaces — and the raw double rides back for the JVM round(.,6)).
+    def _raw_csim(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        V = np.vstack(pdf["v"].to_numpy())
+        cv = np.asarray(pdf["cv"].iloc[0])
+        acc = np.zeros(n)
+        dot = np.zeros(n)
+        cacc = 0.0
+        for i in range(V.shape[1]):
+            c = V[:, i]
+            acc = acc + c * c
+            dot = dot + c * cv[i]
+            cacc = cacc + cv[i] * cv[i]
+        cos = dot / (np.sqrt(acc) * np.sqrt(cacc))
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "label": pdf["label"].astype("int32"),
+                "cos_raw": cos,
+            }
+        )
+
     csim = (
-        e.join(broadcast(carr), "label")
+        e.drop("nrm")
+        .join(broadcast(carr), "label")
+        .groupBy("label")
+        .applyInPandas(_raw_csim, "vec_id long, label int, cos_raw double")
         .select(
             "vec_id",
             "label",
-            F.round(
-                F.expr(
-                    "aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-                )
-                / (F.col("nrm") * cnrm),
-                6,
-            ).alias("centroid_sim"),
+            F.round(F.col("cos_raw"), 6).alias("centroid_sim"),
         )
         .cache()
     )
@@ -1287,7 +1353,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.col("embedding").cast("array<double>").alias("v"),
     ).withColumn(
         "nrm",
         F.sqrt(
@@ -1448,7 +1514,7 @@ def _normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         "label",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.col("embedding").cast("array<double>").alias("v"),
     ).withColumn(
         "nrm",
         F.sqrt(
@@ -1640,7 +1706,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select(
         "label",
-        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "pos", "val"
         ),
     )
@@ -2032,7 +2098,7 @@ def scalar_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     s = emb.select(
         "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.col("embedding").cast("array<double>").alias("v"),
     ).withColumn(
         "scale",
         F.expr("array_max(transform(v, x -> abs(x))) / 127.0"),

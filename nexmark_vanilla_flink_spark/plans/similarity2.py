@@ -213,7 +213,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.col("embedding").cast("array<double>").alias("v"),
     )
     sub = e.select(
         "vec_id",
@@ -930,7 +930,7 @@ def kmeans_refine_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.col("embedding").cast("array<double>").alias("v"),
     )
     cent = e.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("k"), F.col("v").alias("cv")
@@ -1073,7 +1073,7 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.col("embedding").cast("array<double>").alias("v"),
     )
     cent = e.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("k"), F.col("v").alias("cv")

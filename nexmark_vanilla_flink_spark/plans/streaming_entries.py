@@ -565,7 +565,7 @@ def ann_ivf_topk_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") % 50 == 0)
         .select(
             F.col("vec_id").alias("q_id"),
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("qv"),
+            F.col("embedding").cast("array<double>").alias("qv"),
         )
         .withColumn(
             "qn",
