@@ -57,74 +57,74 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # this round. The remainder follows in module-import order. Entries that fall
 # past the cap are still oracled every CI run by tests/test_oracle_parity.py
 # and were driver-green in a prior round's CORRECTNESS_r*.json.
-# Round-11 head (rotation policy: COVERAGE.md "Driver-gate rotation").
-# Tier 2 — new this round (1): qx_allowed_lateness_replay (the Flink
-# allowedLateness re-fire replica). Tier 3 — changed this round (24):
-# the four sentinel replays + q8_union_join_lowlevel (single-batch
-# end-of-input flush / bucketed union join), kmeans_train (vectorized
-# assignment), copurchase_triangles (MATERIALIZED-CTE oracle), and every
-# remaining streaming replay — replay_state_partitions' local default
-# moved 4 -> 8, a shared-helper change that re-plans ALL of them — plus
-# the three artifact-serving entries the r10 VERDICT asked re-checked
-# (ngram_containment_pairs, dedup_cluster_rewrite, leakage_safe_splits).
-# Tier 4 — regression rotation, oldest last-green first: 25 more of the
-# r7-last-green cohort, alphabetically after the two taken in r10.
-# 1 + 24 + 25 = 50. Everything below the cap stays pytest-oracle-locked
-# every CI run (tests/test_oracle_parity.py).
+# Round-12 head (rotation policy: COVERAGE.md "Driver-gate rotation").
+# Tier 2 — new this round: none. Tier 3 — changed this round (21): the
+# two r11 in-sweep-regression entries re-adjudicated per VERDICT r11
+# task 3 (q8_join re-pinned to 4 state partitions; cm verified noise),
+# the five replays whose explicit partition pins were collapsed into the
+# shared default, every entry touched by the native array<double> cast /
+# Arrow-vectorized cosine rewrite (neardup, semdedup, topk/quantize/PQ,
+# kmeans pair, the three IVF-artifact consumers), the kcore
+# size-derived local peel, and the two BPE-artifact consumers after the
+# driver-side trainer switch. Tier 4 — regression rotation, oldest
+# last-green first (29): the 16 remaining r7-last-green entries, then
+# the r8 cohort alphabetically. 21 + 16 + 13 = 50. Everything below the
+# cap stays pytest-oracle-locked every CI run
+# (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
-    # --- tier 2: new this round (r11) ---
-    "qx_allowed_lateness_replay",
-    # --- tier 3: implementation/oracle changed this round ---
-    "skipgram_pairs_stream_replay",
-    "scd2_stream_replay",
+    # --- tier 3: implementation changed this round (r12) ---
+    "q8_join_stream_replay",
+    "cm_stream_replay",
     "funnel_conversion_stream_replay",
+    "scd2_stream_replay",
+    "skipgram_pairs_stream_replay",
     "user_value_ewma_stream_replay",
     "q8_union_join_lowlevel",
-    "kmeans_train",
-    "copurchase_triangles",
-    "qx_interval_join_stream_replay",
-    "q8_join_stream_replay",
-    "q5_hot_items_stream_replay",
-    "q5_sliding_stream_replay",
-    "q7_highest_bid_stream_replay",
-    "cm_stream_replay",
-    "sessions_stream_replay",
-    "sessions_dynamic_gap_stream_replay",
-    "stream_dedup_replay",
-    "stream_static_enrich",
-    "ann_ivf_topk_stream_replay",
-    "pii_scrub_stream_replay",
-    "incremental_dedup_stream_replay",
-    "exactly_once_sink_replay",
-    "ngram_containment_pairs",
-    "dedup_cluster_rewrite",
-    "leakage_safe_splits",
-    # --- tier 4: r7-last-green cohort, alphabetical continuation ---
-    "bucketed_colocated_join",
-    "cdc_snapshot_delta",
-    "chunk_dedup_rewrite",
-    "chunk_dedup_stats",
-    "countmin_sketch_table",
-    "curation_funnel",
-    "doc_bigram_rarity",
-    "domain_mixing_weights",
-    "event_type_stats",
-    "events_semi_anti_join",
-    "golden_record_merge",
-    "highest_bid_per_window",
-    "histogram_quantiles",
-    "hot_items_salted_join",
+    "embedding_neardup_pairs",
+    "semdedup_prune",
+    "cosine_topk_bruteforce",
+    "label_centroids",
+    "scalar_quantize_embeddings",
+    "pq_codes",
     "kmeans_refine_once",
-    "mixture_rebalanced_sample",
-    "multimodal_audio_windows",
-    "nation_distinct_segments",
-    "nexmark_q13_side_input_join",
-    "nexmark_q18_last_bid",
-    "nexmark_q19_auction_top10",
-    "nexmark_q20_bid_auction",
-    "nexmark_q21_channel_id",
-    "nexmark_q22_url_dirs",
-    "nexmark_q3_local_suggest",
+    "kmeans_train",
+    "ann_ivf_topk",
+    "ann_ivf_topk_stream_replay",
+    "hard_negative_mining",
+    "copurchase_kcore",
+    "bpe_learn_merges",
+    "bpe_encode_stats",
+    # --- tier 4: r7-last-green cohort (all 16 remaining) ---
+    "nexmark_q7_highest_bid",
+    "ngram_jaccard_pairs",
+    "partitioned_pruned_scan",
+    "q11_user_bids",
+    "q5_hot_items",
+    "q5_sliding",
+    "q8_new_users_auctions",
+    "qx_winning_bids",
+    "sessions_by_bidder",
+    "sessions_dynamic_gap",
+    "simhash_neardup_pairs",
+    "source_dup_matrix",
+    "stratified_sample",
+    "text_normalize_fingerprints",
+    "union_tagged_daily",
+    "user_event_pivot",
+    # --- tier 4 cont.: r8-last-green cohort, alphabetical ---
+    "auction_binary_decode",
+    "bloom_membership_audit",
+    "cm_load_per_job",
+    "dedup_exact_docs",
+    "doc_fingerprints",
+    "entity_resolution_pairs",
+    "eval_decontamination",
+    "event_transition_matrix",
+    "generated_hot_seller_histogram",
+    "generated_q3_person_join",
+    "grouped_median_pandas",
+    "lang_guess",
+    "minhash_estimate_error",
 ]
 
 
