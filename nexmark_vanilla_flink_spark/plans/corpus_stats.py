@@ -764,7 +764,6 @@ def user_value_ewma_stream_replay(
     watermark-lag pending buffer; the end-of-input sentinel triggers the
     final fold-and-emit in the data batch (bucketed_stateful's r11 fast
     path), so the replay shares the batch oracle verbatim."""
-    import os
 
     from ..streaming.runner import run_available_now
     from ..streaming.stateful import ewma_stateful_bucketed

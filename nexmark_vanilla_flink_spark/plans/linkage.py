@@ -857,7 +857,6 @@ def funnel_conversion_stream_replay(
     count rides the shuffle-partition count at real scale); the per-key
     timer form frees state continuously instead of accumulating every
     key to a global flush."""
-    import os
 
     from ..streaming.runner import run_available_now
     from ..streaming.stateful import funnel_stateful_bucketed
@@ -920,7 +919,6 @@ def scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything keys on user_id. The flush sentinel is the bounded-replay
     analog of Flink's end-of-input watermark (shared helper with the
     funnel twin)."""
-    import os
 
     from ..streaming.runner import run_available_now
     from ..streaming.stateful import scd2_stateful_bucketed

@@ -141,8 +141,6 @@ def q8_join_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    import os
-
     s = stream_nexmark(spark, sf_dir)
     out = run_available_now(
         q8_join_stream(s["persons"], s["auctions"]),

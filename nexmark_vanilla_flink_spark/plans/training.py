@@ -488,8 +488,6 @@ def skipgram_pairs_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     The replayed pairs aggregate to EXACTLY the batch counts, so the
     streaming path shares the batch oracle verbatim (caller-side
     count reduction, the qx_winning_bids_stream contract)."""
-    import os
-
     from ..streaming.runner import run_available_now
     from ..streaming.stateful import skipgram_stateful_counted
     from .linkage import _sentinel_event_stream
