@@ -583,22 +583,39 @@ def incremental_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFra
         # files/Kafka partitions and this shuffle of raw arrival rows is
         # noise next to the signature compute it parallelizes.
         .repartition(8)
+        # split once per ROW: the split(text) used to sit inside the shingle
+        # lambda, re-tokenizing the whole document for every shingle position
+        # (O(tokens²) work per doc on the interpreted HOF path). Projecting
+        # ws/hh in their own stages keeps them materialized — CollapseProject
+        # leaves a projection alone when its output feeds multiple non-cheap
+        # consumer references, so the optimizer cannot inline the split back
+        # into the lambdas. Values are bit-identical (pure CSE): same
+        # shingles, same md5s, same rotations.
+        .withColumn("ws", F.split("text", " "))
         .withColumn(
             "hs",
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-                "transform(sequence(0, size(split(text, ' ')) - 3), "
-                "j -> md5(concat_ws(' ', split(text, ' ')[j], "
-                "split(text, ' ')[j+1], split(text, ' ')[j+2]))) "
+                "CASE WHEN size(ws) >= 3 THEN "
+                "transform(sequence(0, size(ws) - 3), "
+                "j -> md5(concat_ws(' ', ws[j], ws[j+1], ws[j+2]))) "
                 "ELSE CAST(array() AS ARRAY<STRING>) END"
             ),
         )
+        # doubled digest once per SHINGLE (was once per shingle x 12 rotations)
+        .withColumn("hh", F.expr("transform(hs, h -> concat(h, h))"))
     )
-    for s in range(_N_HASHES):
-        new = new.withColumn(
-            f"mh{s}",
-            F.expr(f"array_min(transform(hs, h -> substr(concat(h, h), {s * 2 + 1}, 16)))"),
-        )
+    # all 12 rotation-mins in ONE projection (a 12-step withColumn chain costs
+    # 12 analyzer passes per replay construction; same values either way)
+    new = new.select(
+        "doc_id",
+        "text",
+        *[
+            F.expr(f"array_min(transform(hh, h -> substr(h, {s * 2 + 1}, 16)))").alias(
+                f"mh{s}"
+            )
+            for s in range(_N_HASHES)
+        ],
+    )
     sig_cols = [
         F.md5(
             F.array_join(

@@ -66,11 +66,12 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # Arrow-vectorized cosine rewrite (neardup, semdedup, topk/quantize/PQ,
 # kmeans pair, the three IVF-artifact consumers), the kcore
 # size-derived local peel, and the two BPE-artifact consumers after the
-# driver-side trainer switch. Tier 4 — regression rotation, oldest
-# last-green first (29): the 16 remaining r7-last-green entries, then
-# the r8 cohort alphabetically. 21 + 16 + 13 = 50. Everything below the
-# cap stays pytest-oracle-locked every CI run
-# (tests/test_oracle_parity.py).
+# driver-side trainer switch, and (session 2) the incremental-dedup
+# streaming replay after its shingle-pipeline restage. Tier 4 —
+# regression rotation, oldest last-green first (28): the 16 remaining
+# r7-last-green entries, then the r8 cohort alphabetically.
+# 22 + 16 + 12 = 50. Everything below the cap stays pytest-oracle-locked
+# every CI run (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
     # --- tier 3: implementation changed this round (r12) ---
     "q8_join_stream_replay",
@@ -94,6 +95,9 @@ DRIVER_HEAD: list[str] = [
     "copurchase_kcore",
     "bpe_learn_merges",
     "bpe_encode_stats",
+    # r12 opt session 2: shingle pipeline restaged (split-once ws/hh
+    # projections replace the in-lambda split; bit-identical, CSE only)
+    "incremental_dedup_stream_replay",
     # --- tier 4: r7-last-green cohort (all 16 remaining) ---
     "nexmark_q7_highest_bid",
     "ngram_jaccard_pairs",
@@ -124,7 +128,8 @@ DRIVER_HEAD: list[str] = [
     "generated_q3_person_join",
     "grouped_median_pandas",
     "lang_guess",
-    "minhash_estimate_error",
+    # minhash_estimate_error rotated out (cap 50): r12 session-2 tier-3
+    # addition above takes its slot; still CI-oracled every run
 ]
 
 
