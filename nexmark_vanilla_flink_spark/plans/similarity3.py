@@ -371,9 +371,16 @@ def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # standard posting-join shape at any scale), and skipping the two
     # 260k-row string sorts is worth ~0.6 s at sf0.1 (measured min-of-3:
     # SMJ 1.97 s, shuffle-hash 1.33 s).
+    # ONE exchange serves both the pair aggregation and the top-k window:
+    # hash-partitioning on doc_a alone satisfies the groupBy's clustered
+    # distribution on (doc_a, doc_b) — equal pairs share a doc_a — and the
+    # downstream Window.partitionBy(doc_a) then needs no second shuffle of
+    # the ~n_pairs scored rows (measured min-of-2 x3 alternating: 2.11 vs
+    # 1.48 s at sf0.1, plan 8 -> 7 Exchanges, exceptAll-identical).
     dot = (
         pa.join(pb.hint("shuffle_hash"), "tok")
         .filter(F.col("doc_a") != F.col("doc_b"))
+        .repartition("doc_a")
         .groupBy("doc_a", "doc_b")
         .agg(
             F.sum(
