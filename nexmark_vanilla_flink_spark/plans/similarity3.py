@@ -111,7 +111,7 @@ def _postings_index_dir(spark: SparkSession, sf_dir: str) -> str:
     def _build(stage: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
         ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
-        tf = (
+        tf_expr = (
             ws.select(
                 "doc_id",
                 F.explode(
@@ -125,27 +125,35 @@ def _postings_index_dir(spark: SparkSession, sf_dir: str) -> str:
             )
             .groupBy("doc_id", "tok")
             .agg(F.count(F.lit(1)).alias("tf"))
-            .cache()
         )
+        # Materialize the shared tf relation ONCE as scratch parquet inside
+        # the stage dir (r12; was a plan `.cache()` whose population paid
+        # the row-to-InMemoryRelation conversion on top of the corpus
+        # scan — this builder is the build-phase wall limiter, and the
+        # scratch-parquet form measured 8.2 -> 3.8 s cold / 3.0 -> 2.7 s
+        # warm with all four published tables exceptAll-identical). All
+        # FOUR outputs then derive from the scratch scan as concurrent
+        # jobs; the scratch is deleted before publication.
+        import shutil
+
+        tf_dir = f"{stage}/_tf"
+        tf_expr.write.mode("overwrite").parquet(tf_dir)
+        tf = spark.read.parquet(tf_dir)
         toks = tf.select("doc_id", "tok")
-        # postings/ first: its write MATERIALIZES the shared tf cache (the
-        # corpus scan + shingle explode — the expensive pass); the three
-        # dependent tables then all read the cache, so they run as
-        # CONCURRENT jobs on the shared scheduler (r11: this builder is
-        # the build-phase wall limiter; its three dependent writes were
-        # serial for no reason)
-        write_artifact_table(toks, stage, "postings")
         sizes = tf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
         dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
         # one global total order: (df asc, tok asc). Per-doc prefix = one
         # row_number window over the doc's postings in that order — a
         # single doc_id exchange whose partitions are posting-list-sized.
+        # |doc| comes from joining the sizes aggregate (shares the window's
+        # doc_id clustering; at corpus scale the optimizer picks
+        # broadcast/SMJ by size) instead of a second count-over-partition
+        # Window exec (r12: prefix was the slowest dependent, 1.74 s).
         w_rank = Window.partitionBy("doc_id").orderBy("df", "tok")
-        w_sz = Window.partitionBy("doc_id")
         prefix = (
             toks.join(dfreq, "tok")
+            .join(sizes, "doc_id")
             .withColumn("rn", F.row_number().over(w_rank))
-            .withColumn("sz", F.count(F.lit(1)).over(w_sz))
             .filter(
                 F.col("rn")
                 <= F.col("sz") - F.expr("(9 * sz + 9) DIV 10") + F.lit(1)
@@ -164,14 +172,15 @@ def _postings_index_dir(spark: SparkSession, sf_dir: str) -> str:
         )
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as ex:
+        with ThreadPoolExecutor(max_workers=4) as ex:
             for fut in [
+                ex.submit(write_artifact_table, toks, stage, "postings"),
                 ex.submit(write_artifact_table, sizes, stage, "sizes"),
                 ex.submit(write_artifact_table, prefix, stage, "prefix"),
                 ex.submit(write_artifact_table, tfidf, stage, "tfidf"),
             ]:
                 fut.result()
-        tf.unpersist()
+        shutil.rmtree(tf_dir, ignore_errors=True)
 
     return artifact_dir(
         spark,
