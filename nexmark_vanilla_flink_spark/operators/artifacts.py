@@ -196,4 +196,14 @@ def artifact_dir(
     _BUILD_LOG.append(
         {"name": name, "tag": tag, "sec": round(time.perf_counter() - t0, 3)}
     )
+    # A purge + rebuild republishes under the SAME content-keyed path with
+    # new part-file names; Spark's session FileStatusCache can still hold
+    # the previous build's listing and fail reads with FILE_NOT_EXIST
+    # (pre-existing ordering flake, reproduced on the r11 tree in
+    # tests/test_output_invariants after a same-session rebuild). Drop any
+    # cached listing for the republished path.
+    try:
+        spark.catalog.refreshByPath(out)
+    except Exception:
+        pass
     return out

@@ -57,14 +57,11 @@ def _bigram_tables_dir(spark: SparkSession, sf_dir: str) -> str:
     from ..operators.artifacts import artifact_dir, write_artifact_table
 
     def _build(stage: str) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         docs = load_table(spark, sf_dir, "documents")
         w = docs.select(F.split("text", " ").alias("ws"))
         tok = w.select(F.explode("ws").alias("t"))
-        write_artifact_table(
-            tok.groupBy("t").agg(F.count(F.lit(1)).alias("n_t")),
-            stage,
-            "uni",
-        )
         tr = (
             w.filter(F.size("ws") >= 2)
             .select(
@@ -76,27 +73,54 @@ def _bigram_tables_dir(spark: SparkSession, sf_dir: str) -> str:
                 ).alias("b")
             )
             .select(F.col("b.x").alias("tok_x"), F.col("b.y").alias("tok_y"))
-            .cache()
         )
         big = tr.groupBy("tok_x", "tok_y").agg(
             F.count(F.lit(1)).alias("n_xy")
         )
-        write_artifact_table(big, stage, "big")
-        write_artifact_table(
-            tr.groupBy(F.col("tok_x").alias("prev")).agg(
-                F.count(F.lit(1)).alias("c_prev")
-            ),
-            stage,
-            "ctx",
-        )
-        write_artifact_table(
-            tr.select(F.col("tok_x").alias("t"))
-            .unionAll(tr.select(F.col("tok_y").alias("t")))
-            .agg(F.countDistinct("t").alias("v")),
-            stage,
-            "vocab",
-        )
-        tr.unpersist()
+        # uni (its own corpus scan) and big (scan + pair agg) run as
+        # concurrent jobs; ctx and vocab then derive from the PUBLISHED
+        # vocab²-bounded big table — ctx's per-prev count is sum(n_xy)
+        # and vocab's distinct-token set is tok_x ∪ tok_y of big — so the
+        # raw corpus-sized pair stream is scanned exactly once and never
+        # cached (r12: the `.cache()` of the raw pair rows paid a
+        # millions-of-rows InMemoryRelation population inside the
+        # build-phase wall; counts are identical by construction,
+        # exceptAll-verified).
+        def _big_chain() -> None:
+            write_artifact_table(big, stage, "big")
+            bigt = spark.read.parquet(f"{stage}/big")
+            with ThreadPoolExecutor(max_workers=2) as ex2:
+                for fut2 in [
+                    ex2.submit(
+                        write_artifact_table,
+                        bigt.groupBy(F.col("tok_x").alias("prev")).agg(
+                            F.sum("n_xy").alias("c_prev")
+                        ),
+                        stage,
+                        "ctx",
+                    ),
+                    ex2.submit(
+                        write_artifact_table,
+                        bigt.select(F.col("tok_x").alias("t"))
+                        .unionAll(bigt.select(F.col("tok_y").alias("t")))
+                        .agg(F.countDistinct("t").alias("v")),
+                        stage,
+                        "vocab",
+                    ),
+                ]:
+                    fut2.result()
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            for fut in [
+                ex.submit(
+                    write_artifact_table,
+                    tok.groupBy("t").agg(F.count(F.lit(1)).alias("n_t")),
+                    stage,
+                    "uni",
+                ),
+                ex.submit(_big_chain),
+            ]:
+                fut.result()
 
     return artifact_dir(
         spark,

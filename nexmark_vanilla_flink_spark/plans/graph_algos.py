@@ -114,17 +114,31 @@ def _copurchase_pairs_dir(spark: SparkSession, sf_dir: str) -> str:
                 F.col("b.l_partkey").alias("v"),
             )
             .agg(F.count(F.lit(1)).alias("w"))
-            .cache()
         )
+        # pairs/ is written once (the self-join + agg pass), then edges/
+        # and deg/ derive CONCURRENTLY from its published parquet — the
+        # prior `.cache()` of the aggregated pair relation paid a ~1.2M-row
+        # InMemoryRelation population inside the build wall and serialized
+        # the two dependents behind it (r12, same treatment as the
+        # doc_postings builder; tables exceptAll-identical).
         write_artifact_table(pairs, stage, "pairs")
-        edges = pairs.unionAll(
-            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        pt = spark.read.parquet(f"{stage}/pairs")
+        edges = pt.unionAll(
+            pt.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
         )
-        write_artifact_table(edges, stage, "edges")
-        write_artifact_table(
-            edges.groupBy("u").agg(F.sum("w").alias("wdeg")), stage, "deg"
-        )
-        pairs.unpersist()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            for fut in [
+                ex.submit(write_artifact_table, edges, stage, "edges"),
+                ex.submit(
+                    write_artifact_table,
+                    edges.groupBy("u").agg(F.sum("w").alias("wdeg")),
+                    stage,
+                    "deg",
+                ),
+            ]:
+                fut.result()
 
     return artifact_dir(
         spark,
