@@ -98,6 +98,14 @@ DRIVER_HEAD: list[str] = [
     # r12 opt session 2: shingle pipeline restaged (split-once ws/hh
     # projections replace the in-lambda split; bit-identical, CSE only)
     "incremental_dedup_stream_replay",
+    # r12 opt session 3: tfidf's pair agg + top-k window collapsed onto one
+    # doc_a exchange, plus one representative consumer of each rebuilt
+    # index builder (doc_postings / bigram_tables / copurchase_pairs lost
+    # their plan caches; tables exceptAll-identical)
+    "tfidf_cosine_topk",
+    "prefix_filter_jaccard_pairs",
+    "bigram_pmi_lift",
+    "copurchase_pagerank",
     # --- tier 4: r7-last-green cohort (all 16 remaining) ---
     "nexmark_q7_highest_bid",
     "ngram_jaccard_pairs",
@@ -124,12 +132,12 @@ DRIVER_HEAD: list[str] = [
     "entity_resolution_pairs",
     "eval_decontamination",
     "event_transition_matrix",
-    "generated_hot_seller_histogram",
-    "generated_q3_person_join",
-    "grouped_median_pandas",
-    "lang_guess",
     # minhash_estimate_error rotated out (cap 50): r12 session-2 tier-3
-    # addition above takes its slot; still CI-oracled every run
+    # addition above takes its slot; session 3's four tier-3 additions
+    # likewise displace the r8 alphabetical tail (generated_hot_seller_
+    # histogram, generated_q3_person_join, grouped_median_pandas,
+    # lang_guess — next round's rotation head); all still CI-oracled
+    # every run
 ]
 
 
