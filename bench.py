@@ -994,10 +994,19 @@ def main() -> None:
                 "docs",
                 "bench_draws.jsonl",
             )
+            from nexmark_vanilla_flink_spark.session import (
+                default_parallelism,
+            )
+
             draw = {
                 "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 "value": result["value"],
                 "n_queries": len(timings),
+                # r12 session 4: the driver ALSO runs bench at a lower core
+                # count (scaling measurement); without the cpus tag those
+                # draws are indistinguishable from full-core draws and the
+                # reported band mixes incomparable numbers
+                "cpus": default_parallelism(),
                 "artifact_build_sec": artifact_build_sec,
                 "degraded_box": degraded_box,
             }
@@ -1026,9 +1035,14 @@ def main() -> None:
                     # line from a killed run must not abort bench AFTER the
                     # whole sweep — skip unparseable lines, keep the rest
                     try:
-                        tail.append(json.loads(x))
+                        parsed = json.loads(x)
                     except ValueError:
                         continue
+                    # band = same-core draws only (legacy untagged lines
+                    # predate the cpus field; every draw in this file's
+                    # history ran at 32 cores)
+                    if parsed.get("cpus", 32) == draw["cpus"]:
+                        tail.append(parsed)
             tail = tail[-3:]
             result["recent_draws"] = compact["recent_draws"] = tail
             _flush(result)
