@@ -154,6 +154,36 @@ def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pair set (doc_a < doc_b, n_bands) WITHOUT the
+    MinHash jaccard scoring — the subplan for consumers that only need the
+    candidate edge list. The dedup_clusters artifact build selects just
+    (doc_a, doc_b), but through ``minhash_lsh_pairs`` it still paid the
+    two wide-signature INNER joins and the interpreted zip_with/aggregate
+    fold whose output it discards (Catalyst cannot prune an inner join
+    without referential-integrity proof). Measured r12 session 4, isolated
+    min-of-3 at bench parity: pair plan 1.11 → 0.68 s, the CC build path
+    1.99 → 1.48 s, pair-set parity exact (262 = 262)."""
+    wide = _minhash_wide(spark, sf_dir)
+    bands = wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"sig{b}") for b in range(_N_HASHES // _BAND_ROWS)])
+        ).alias("band", "sig"),
+    )
+    return (
+        bands.join(
+            bands.select(
+                F.col("doc_id").alias("doc_b"), F.col("band"), F.col("sig")
+            ),
+            ["band", "sig"],
+        )
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
 @register(
     "minhash_lsh_pairs",
     oracle=_MINHASH_ORACLE,
@@ -179,25 +209,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ReuseExchange with no re-aggregation, and the shuffle is 12× fewer rows —
     the part that compounds at 100 TB).
     """
-    wide = _minhash_wide(spark, sf_dir)
-    bands = wide.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"sig{b}") for b in range(_N_HASHES // _BAND_ROWS)])
-        ).alias("band", "sig"),
-    )
-    pairs = (
-        bands.join(
-            bands.select(
-                F.col("doc_id").alias("doc_b"), F.col("band"), F.col("sig")
-            ),
-            ["band", "sig"],
-        )
-        .filter(F.col("doc_id") < F.col("doc_b"))
-        .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-    )
-    sig_tbl = wide.select("doc_id", "arr")
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    sig_tbl = _minhash_wide(spark, sf_dir).select("doc_id", "arr")
     n_match = F.expr(
         "aggregate(zip_with(arr_a, arr_b, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)"
     )
@@ -1861,7 +1874,10 @@ def _dedup_clusters_dir(spark: SparkSession, sf_dir: str) -> str:
 
     def _build(stage: str) -> None:
         docs = load_table(spark, sf_dir, "documents").select("doc_id")
-        pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        # candidate edges only — the jaccard-scoring joins of the full
+        # minhash_lsh_pairs plan are dead weight for CC (r12 session 4:
+        # 1.99 -> 1.48 s isolated; pair-set parity exact)
+        pairs = _lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
         cc = connected_components(
             docs, pairs, vertex_col="doc_id", src_col="doc_a", dst_col="doc_b"
         ).select(F.col("id").alias("doc_id"), "cluster_id")
@@ -1999,7 +2015,9 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("content_md5")
     canon = quality.withColumn("canonical_id", F.min("doc_id").over(w))
-    dup_bs = minhash_lsh_pairs(spark, sf_dir).select(
+    # candidate edges only (doc_b side): the jaccard-scoring joins of the
+    # full minhash_lsh_pairs plan are dead weight here (r12 session 4)
+    dup_bs = _lsh_candidate_pairs(spark, sf_dir).select(
         F.col("doc_b").alias("doc_id")
     ).distinct()
     return (

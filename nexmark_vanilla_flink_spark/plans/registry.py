@@ -106,6 +106,14 @@ DRIVER_HEAD: list[str] = [
     "prefix_filter_jaccard_pairs",
     "bigram_pmi_lift",
     "copurchase_pagerank",
+    # r12 opt session 4: the dedup_clusters artifact build and the three
+    # pair-list-only consumers now take _lsh_candidate_pairs (the banded
+    # candidate set WITHOUT the jaccard-scoring joins they discarded);
+    # row sets exceptAll/oracle-identical at 3 SFs, plans lose the two
+    # wide-signature inner joins (Exchange 28->16 each)
+    "corpus_curation",
+    "curation_funnel",
+    "dedup_clusters",
     # --- tier 4: r7-last-green cohort (all 16 remaining) ---
     "nexmark_q7_highest_bid",
     "ngram_jaccard_pairs",
@@ -129,15 +137,13 @@ DRIVER_HEAD: list[str] = [
     "cm_load_per_job",
     "dedup_exact_docs",
     "doc_fingerprints",
-    "entity_resolution_pairs",
-    "eval_decontamination",
-    "event_transition_matrix",
     # minhash_estimate_error rotated out (cap 50): r12 session-2 tier-3
     # addition above takes its slot; session 3's four tier-3 additions
     # likewise displace the r8 alphabetical tail (generated_hot_seller_
     # histogram, generated_q3_person_join, grouped_median_pandas,
-    # lang_guess — next round's rotation head); all still CI-oracled
-    # every run
+    # lang_guess), and session 4's three displace entity_resolution_pairs,
+    # eval_decontamination, event_transition_matrix (next round's rotation
+    # head); all still CI-oracled every run
 ]
 
 

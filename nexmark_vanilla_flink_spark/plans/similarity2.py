@@ -506,9 +506,11 @@ def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pair frame is tiny relative to the corpus (candidates, not
     documents); the two metadata joins hash on doc_id (broadcast when the
     doc dimension fits) and the matrix aggregate has |sources|² keys."""
-    from .pipeline import minhash_lsh_pairs
+    from .pipeline import _lsh_candidate_pairs
 
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # candidate edges only: the jaccard-scoring joins of the full
+    # minhash_lsh_pairs plan are dead weight here (r12 session 4)
+    pairs = _lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
     meta = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     ma = meta.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     mb = meta.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
@@ -828,7 +830,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the per-doc flags ride the same plans as the pipeline itself;
     the funnel collapses to ONE aggregation row unpivoted to 4 — counting
     adds nothing beyond the stages it measures."""
-    from .pipeline import minhash_lsh_pairs
+    from .pipeline import _lsh_candidate_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     ws = F.split("text", " ")
@@ -843,8 +845,10 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = quality.withColumn(
         "canonical_id", F.min("doc_id").over(Window.partitionBy("content_md5"))
     )
+    # candidate edges only: the jaccard-scoring joins of the full
+    # minhash_lsh_pairs plan are dead weight here (r12 session 4)
     dup_b = (
-        minhash_lsh_pairs(spark, sf_dir)
+        _lsh_candidate_pairs(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("is_dup", F.lit(True))

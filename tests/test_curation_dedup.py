@@ -82,3 +82,27 @@ def test_winnowing_window_coverage_guarantee(spark, sf_dir):
             )
         checked += 1
     assert checked > 0
+
+
+def test_lsh_candidate_pairs_match_full_plan(spark, sf_dir):
+    """r12 session 4: the dedup_clusters build and the pair-list-only
+    consumers (corpus_curation, curation_funnel, source_dup_matrix) take
+    ``_lsh_candidate_pairs`` — the banded candidate set WITHOUT the
+    jaccard-scoring joins they discard. The candidate (pair, n_bands) set
+    must stay identical to the full ``minhash_lsh_pairs`` plan's, or the
+    cluster map silently diverges from the scored-pair surface."""
+    from nexmark_vanilla_flink_spark.plans.pipeline import (
+        _lsh_candidate_pairs,
+        minhash_lsh_pairs,
+    )
+
+    cand = {
+        (r["doc_a"], r["doc_b"]): r["n_bands"]
+        for r in _lsh_candidate_pairs(spark, sf_dir).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): r["n_bands"]
+        for r in minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    assert len(cand) > 0
+    assert cand == full
