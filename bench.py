@@ -410,6 +410,100 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return round(best, 3)
 
+    # Per-CLASS stream floor probes (r13, VERDICT r12 task 7) — ADDED
+    # telemetry series only: the headline stream_net_factor keeps the
+    # r12 stateless-floor convention unchanged (task 2: convention
+    # frozen), and stream_net_factor_classed is reported BESIDE it from
+    # the same draw. Rationale: the r12 session-4 machinery ladder
+    # (stateless passthrough 0.555 s → +mapInPandas boundary 0.761 →
+    # +applyInPandasWithState store 0.956; JVM stateful agg 1.343)
+    # showed the stateless probe under-credits stateful entries ~0.4 s
+    # of state-store + Python-channel lifecycle that is machinery, not
+    # query work. Each probe traverses the identical run_available_now
+    # entry path; the class map below assigns each oracled streaming
+    # entry the machinery class its plan actually instantiates, and
+    # multi-lifecycle entries (crash+resume) a cycle count.
+    def _floor_stream_stateful() -> float:
+        # minimal JVM stateful agg: one 365-day window key per state
+        # partition — state-store lifecycle with ~no aggregation state
+        from nexmark_vanilla_flink_spark.streaming.runner import (  # noqa: E402
+            reclaim_replay_sinks,
+            run_available_now,
+        )
+        from nexmark_vanilla_flink_spark.streaming.sources import (  # noqa: E402
+            stream_events,
+        )
+
+        def _once() -> float:
+            t0 = time.perf_counter()
+            agg = (
+                stream_events(spark, sf_dir)
+                .select("ts")
+                .withWatermark("ts", "2 seconds")
+                .groupBy(F.window("ts", "365 days"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            run_available_now(agg, output_mode="complete").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            reclaim_replay_sinks()
+            return dt
+
+        _once()  # warmup (first stateful plan pays one-off init)
+        best = None
+        for _ in range(2):
+            dt = _once()
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    def _floor_stream_pystateful() -> float:
+        # minimal applyInPandasWithState fold: 8 hash buckets, one long
+        # of state each — the Python channel + state-store lifecycle
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        from nexmark_vanilla_flink_spark.streaming.runner import (  # noqa: E402
+            reclaim_replay_sinks,
+            run_available_now,
+        )
+        from nexmark_vanilla_flink_spark.streaming.sources import (  # noqa: E402
+            stream_events,
+        )
+
+        def _fold(key, pdfs, state):
+            n = state.get[0] if state.exists else 0
+            for pdf in pdfs:
+                n += len(pdf)
+            state.update((n,))
+            yield pd.DataFrame({"b": [int(key[0])], "n": [n]})
+
+        def _once() -> float:
+            t0 = time.perf_counter()
+            src = stream_events(spark, sf_dir).select(
+                F.pmod("user_id", F.lit(8)).alias("b")
+            )
+            out = src.groupBy("b").applyInPandasWithState(
+                _fold,
+                outputStructType="b bigint, n bigint",
+                stateStructType="n bigint",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            run_available_now(out, output_mode="append").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            reclaim_replay_sinks()
+            return dt
+
+        _once()
+        best = None
+        for _ in range(2):
+            dt = _once()
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
     def _floor_stream_hashed() -> float:
         # legacy r5-r11 probe (hash-only foreachBatch consumption), kept
         # as comparison telemetry for the floor-series break above
@@ -433,6 +527,10 @@ def main() -> None:
     floor_start = _floor_batch()
     stream_floor_start = _floor_stream()
     stream_floor_hashed_start = _floor_stream_hashed()
+    # new per-class probes run AFTER the legacy ones so every pre-existing
+    # reading keeps its exact position in the start-up sequence
+    stream_floor_stateful_start = _floor_stream_stateful()
+    stream_floor_pystateful_start = _floor_stream_pystateful()
     floor_sec = floor_start
     stream_floor_sec = stream_floor_start
 
@@ -715,6 +813,12 @@ def main() -> None:
     stream_floor_hashed_sec = min(
         stream_floor_hashed_start, _floor_stream_hashed()
     )
+    stream_floor_stateful_sec = min(
+        stream_floor_stateful_start, _floor_stream_stateful()
+    )
+    stream_floor_pystateful_sec = min(
+        stream_floor_pystateful_start, _floor_stream_pystateful()
+    )
     floor_sec = min(floor_start, floor_end)
     stream_floor_sec = min(stream_floor_start, stream_floor_end)
     hi, lo = max(floor_start, floor_end), max(floor_sec, 1e-9)
@@ -750,6 +854,9 @@ def main() -> None:
         "stream_floor_sec": stream_floor_sec,
         # legacy r5-r11 hash-only probe, for the r12 floor-series break
         "stream_floor_hashed_sec": stream_floor_hashed_sec,
+        # r13 per-class floor probes (ADDED series — see streaming_overhead)
+        "stream_floor_stateful_sec": stream_floor_stateful_sec,
+        "stream_floor_pystateful_sec": stream_floor_pystateful_sec,
         "floor_start_end": [floor_start, floor_end],
         "stream_floor_start_end": [stream_floor_start, stream_floor_end],
         "degraded_box": degraded_box,
@@ -899,12 +1006,62 @@ def main() -> None:
             # DuckDB denominator here is tiny (~1.5-2 s) so raw `factor`
             # swings +-40% on comparator noise alone
             net = max(s_sum - stream_floor_sec * len(stream_duck), 0.0)
+            # Per-CLASS floor accounting (r13, VERDICT r12 task 7 — the
+            # round's ONE disclosed metric ADDITION; the headline
+            # net_factor above keeps the r12 stateless-floor convention
+            # unchanged). Class = the machinery the entry's plan
+            # instantiates (probes above); cycles = full query
+            # lifecycles per timed sample (exactly_once runs crash +
+            # resume). Entries not in the map default to the
+            # least-crediting (stateless, 1).
+            _STREAM_CLASS = {
+                "pii_scrub_stream_replay": ("stateless", 1),
+                "stream_static_enrich": ("stateless", 1),
+                "ann_ivf_topk_stream_replay": ("stateless", 1),
+                "exactly_once_sink_replay": ("stateless", 2),
+                "cm_stream_replay": ("stateful", 1),
+                "q5_hot_items_stream_replay": ("stateful", 1),
+                "q5_sliding_stream_replay": ("stateful", 1),
+                "q7_highest_bid_stream_replay": ("stateful", 1),
+                "q8_join_stream_replay": ("stateful", 1),
+                "qx_interval_join_stream_replay": ("stateful", 1),
+                "sessions_stream_replay": ("stateful", 1),
+                "sessions_dynamic_gap_stream_replay": ("stateful", 1),
+                "stream_dedup_replay": ("stateful", 1),
+                "incremental_dedup_stream_replay": ("stateful", 1),
+                "funnel_conversion_stream_replay": ("pystateful", 1),
+                "scd2_stream_replay": ("pystateful", 1),
+                "skipgram_pairs_stream_replay": ("pystateful", 1),
+                "user_value_ewma_stream_replay": ("pystateful", 1),
+                "q8_union_join_lowlevel": ("pystateful", 1),
+                "qx_allowed_lateness_replay": ("pystateful", 1),
+            }
+            _class_floor = {
+                "stateless": stream_floor_sec,
+                "stateful": stream_floor_stateful_sec,
+                "pystateful": stream_floor_pystateful_sec,
+            }
+            classed_floor_total = sum(
+                _class_floor[c] * k
+                for c, k in (
+                    _STREAM_CLASS.get(n, ("stateless", 1))
+                    for n in stream_duck
+                )
+            )
+            net_classed = max(s_sum - classed_floor_total, 0.0)
             result["streaming_overhead"] = {
                 "spark_stream_sec": s_sum,
                 "duckdb_batch_sec": d_sum,
                 "factor": round(s_sum / d_sum, 2) if d_sum else None,
                 "net_of_floor_sec": round(net, 3),
                 "net_factor": round(net / d_sum, 2) if d_sum else None,
+                # per-class twin (telemetry beside, never instead)
+                "floor_by_class": _class_floor,
+                "classed_floor_total_sec": round(classed_floor_total, 3),
+                "net_of_class_floor_sec": round(net_classed, 3),
+                "net_factor_classed": (
+                    round(net_classed / d_sum, 2) if d_sum else None
+                ),
                 "n": len(stream_duck),
             }
 
@@ -973,6 +1130,7 @@ def main() -> None:
         so = result["streaming_overhead"]
         compact["streaming_overhead"] = {
             "net_factor": so["net_factor"],
+            "net_factor_classed": so.get("net_factor_classed"),
             "net_of_floor_sec": so["net_of_floor_sec"],
             "factor": so["factor"],
             "spark_stream_sec": so["spark_stream_sec"],
@@ -994,10 +1152,6 @@ def main() -> None:
                 "docs",
                 "bench_draws.jsonl",
             )
-            from nexmark_vanilla_flink_spark.session import (
-                default_parallelism,
-            )
-
             draw = {
                 "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 "value": result["value"],
@@ -1005,8 +1159,11 @@ def main() -> None:
                 # r12 session 4: the driver ALSO runs bench at a lower core
                 # count (scaling measurement); without the cpus tag those
                 # draws are indistinguishable from full-core draws and the
-                # reported band mixes incomparable numbers
-                "cpus": default_parallelism(),
+                # reported band mixes incomparable numbers.
+                # ADVICE r12: read the LIVE session's parallelism (reflects
+                # any SPARK_MASTER=local[N] override), not the env-derived
+                # constant the session may not have used
+                "cpus": spark.sparkContext.defaultParallelism,
                 "artifact_build_sec": artifact_build_sec,
                 "degraded_box": degraded_box,
             }
@@ -1024,6 +1181,9 @@ def main() -> None:
                 draw["stream_net_factor"] = result["streaming_overhead"][
                     "net_factor"
                 ]
+                draw["stream_net_factor_classed"] = result[
+                    "streaming_overhead"
+                ].get("net_factor_classed")
             with open(draws_path, "a") as f:
                 f.write(json.dumps(draw) + "\n")
             tail = []

@@ -162,8 +162,11 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     two wide-signature INNER joins and the interpreted zip_with/aggregate
     fold whose output it discards (Catalyst cannot prune an inner join
     without referential-integrity proof). Measured r12 session 4, isolated
-    min-of-3 at bench parity: pair plan 1.11 → 0.68 s, the CC build path
-    1.99 → 1.48 s, pair-set parity exact (262 = 262)."""
+    min-of-3 at bench parity: pair plan 1.11 → 0.68 s, CC build path
+    1.99 → 1.48 s on the prototype's quiet phase; the full dedup_clusters
+    artifact build recorded in OPTIMIZATION_r12.md session 4 read
+    3.18 → 2.50 s on the (slower) in-sweep phase — same change, different
+    host phases (ADVICE r12: both draws annotated, ratios agree)."""
     wide = _minhash_wide(spark, sf_dir)
     bands = wide.select(
         "doc_id",

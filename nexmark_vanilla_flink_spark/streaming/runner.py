@@ -12,6 +12,7 @@ import atexit
 import os
 import shutil
 import tempfile
+import time
 import uuid
 import weakref
 
@@ -126,8 +127,41 @@ def reclaim_replay_sinks() -> None:
     _EPHEMERAL_DIRS[:] = keep
 
 
-def _discard_ephemeral_dir(path: str) -> None:
+def _discard_ephemeral_dir(path: str, spark=None) -> None:
+    """Remove an ephemeral CHECKPOINT dir reliably (VERDICT r12 task 1).
+
+    A bare rmtree raced Spark's ASYNCHRONOUS state-store maintenance
+    thread: after query termination the loaded providers stay registered
+    and the periodic maintenance task can still write a snapshot/delta
+    into the checkpoint's state/ tree, silently recreating the dir we
+    just deleted (the tests_ok=false flake in VERIFY_r12). Fix, in order:
+
+    1. ``StateStore.stop()`` (the hook Spark's own StreamTest suite uses
+       between tests): synchronously unloads every provider and stops the
+       maintenance task, so nothing can write into the dir afterwards.
+       Providers for a discarded ephemeral checkpoint are garbage anyway —
+       every replay gets a fresh checkpoint path, so no provider is ever
+       reused — and the maintenance task restarts lazily on the next
+       stateful query's first StateStore.get().
+    2. rmtree, then a bounded verify-retry: if an in-flight write won the
+       interleave and the dir survived/reappeared, re-delete. The loop
+       exits immediately on the (normal) first success — zero added
+       latency on the timed replay path.
+    """
+    if spark is not None:
+        try:
+            jvm_ss = (
+                spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore
+            )
+            jvm_ss.stop()
+        except Exception:
+            pass  # cleanup is best-effort; atexit still backstops
     shutil.rmtree(path, ignore_errors=True)
+    for _ in range(20):
+        if not os.path.isdir(path):
+            break
+        time.sleep(0.05)
+        shutil.rmtree(path, ignore_errors=True)
     try:
         _EPHEMERAL_DIRS.remove(path)
     except ValueError:
@@ -258,7 +292,7 @@ def run_available_now(
     if checkpoint_dir is None:
         # scratch checkpoint served its purpose — free the tmpfs bytes now
         # (the returned DataFrame reads only out_dir, never the checkpoint)
-        _discard_ephemeral_dir(ckpt)
+        _discard_ephemeral_dir(ckpt, spark)
     if out_dir is not None:
         # explicit schema: a 0-row replay leaves only _spark_metadata, where
         # schema inference would fail; the sink wrote exactly sdf.schema
@@ -333,7 +367,7 @@ def run_available_now_hashed(
         raise TimeoutError(f"hashed replay did not finish in {timeout_s}s")
     if q.exception() is not None:
         raise q.exception()
-    _discard_ephemeral_dir(ckpt)
+    _discard_ephemeral_dir(ckpt, spark)
     return acc[0], acc[1]
 
 
@@ -502,7 +536,7 @@ def run_foreach_batch(
     if q.exception() is not None:
         raise q.exception()
     if checkpoint_dir is None:
-        _discard_ephemeral_dir(ckpt)
+        _discard_ephemeral_dir(ckpt, sdf.sparkSession)
     return q
 
 
@@ -517,5 +551,5 @@ def run_noop(sdf: DataFrame, timeout_s: int = 300):
     )
     q.awaitTermination(timeout_s)
     if not q.isActive:
-        _discard_ephemeral_dir(ckpt)
+        _discard_ephemeral_dir(ckpt, sdf.sparkSession)
     return q

@@ -49,15 +49,55 @@ def test_ephemeral_checkpoint_removed_eagerly(spark, tmp_path):
 
     sdf = _toy_stream(spark, tmp_path)
     before_tracked = set(_EPHEMERAL_DIRS)
+    # delta-based: residue leaked by a PREVIOUS (killed) process on the
+    # shared tmpfs is out of scope for an eager-cleanup assertion — the
+    # r12 driver run was SIGKILLed mid-verify and its ckpt_eagerckpt_*
+    # dir then failed every later same-box run of this test
+    pre_existing = _ckpts()
     out = run_available_now(sdf, output_mode="append", name=qname)
     assert out.count() > 0
     # the scratch checkpoint is gone the moment the replay completes
-    assert _ckpts() == set()
+    assert _ckpts() - pre_existing == set()
     # the sink out_dir stays (the returned frame reads it lazily) and is
     # registered for atexit removal
     created = [d for d in _EPHEMERAL_DIRS if d not in before_tracked]
     assert len(created) == 1 and os.path.isdir(created[0])
     assert os.path.basename(created[0]).startswith("out_")
+
+
+def test_ephemeral_cleanup_survives_maintenance_race(spark, tmp_path):
+    """VERDICT r12 task 1 (adversarial loop): the eager rmtree used to race
+    Spark's ASYNC state-store maintenance thread, which can write a snapshot
+    into the checkpoint's state/ tree after query termination and silently
+    recreate the just-deleted dir. Crank the maintenance interval down to
+    its floor so the task fires constantly, then run a STATEFUL replay 20x
+    asserting zero ckpt_* residue after every single completion."""
+    qname = "loopckpt"
+    scratch_base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+
+    def _ckpts():
+        return {
+            d
+            for d in os.listdir(scratch_base)
+            if d.startswith(f"ckpt_{qname}_")
+            and os.path.isdir(os.path.join(scratch_base, d))
+        }
+
+    conf_key = "spark.sql.streaming.stateStore.maintenanceInterval"
+    saved = spark.conf.get(conf_key, "60s")
+    spark.conf.set(conf_key, "100ms")
+    pre_existing = _ckpts()  # residue from a previous killed process
+    try:
+        for i in range(20):
+            out = run_available_now(
+                _toy_stream(spark, tmp_path), output_mode="complete", name=qname
+            )
+            assert out.count() > 0
+            assert _ckpts() - pre_existing == set(), (
+                f"ckpt residue after iteration {i}"
+            )
+    finally:
+        spark.conf.set(conf_key, saved)
 
 
 def test_durable_append_resume_keeps_output(spark, tmp_path):
