@@ -57,93 +57,86 @@ EAGER_TAGS = frozenset({"streaming", "sink", "iterative", "eager"})
 # this round. The remainder follows in module-import order. Entries that fall
 # past the cap are still oracled every CI run by tests/test_oracle_parity.py
 # and were driver-green in a prior round's CORRECTNESS_r*.json.
-# Round-12 head (rotation policy: COVERAGE.md "Driver-gate rotation").
-# Tier 2 — new this round: none. Tier 3 — changed this round (21): the
-# two r11 in-sweep-regression entries re-adjudicated per VERDICT r11
-# task 3 (q8_join re-pinned to 4 state partitions; cm verified noise),
-# the five replays whose explicit partition pins were collapsed into the
-# shared default, every entry touched by the native array<double> cast /
-# Arrow-vectorized cosine rewrite (neardup, semdedup, topk/quantize/PQ,
-# kmeans pair, the three IVF-artifact consumers), the kcore
-# size-derived local peel, and the two BPE-artifact consumers after the
-# driver-side trainer switch, and (session 2) the incremental-dedup
-# streaming replay after its shingle-pipeline restage. Tier 4 —
-# regression rotation, oldest last-green first (28): the 16 remaining
-# r7-last-green entries, then the r8 cohort alphabetically.
-# 22 + 16 + 12 = 50. Everything below the cap stays pytest-oracle-locked
+# Round-13 head (rotation policy: COVERAGE.md "Driver-gate rotation").
+# Tier 2 — new this round: none. Tier 3 — changed this round (14):
+# quality_label_propagation (multiplicity-edge restructure of the label
+# spread), the two BPE-artifact consumers (trainer branch probe switched
+# from limit(cap+1).collect() to count()), the two doc_postings-index
+# consumers after the builder's two-wave rework (all four tables
+# exceptAll-identical; prefix covers prefix/postings/sizes, tfidf covers
+# tfidf), and eight streaming replays covering every machinery class the
+# reworked ephemeral-checkpoint discard path (StateStore.stop + bounded
+# verify, streaming/runner.py) touches: append parquet sink + JVM join
+# state, complete-mode memory sink, Python-stateful buckets, stateful-agg
+# complete mode, foreachBatch crash+resume, multi-batch lateness panes,
+# stateless passthrough, and dropDuplicatesWithinWatermark. Tier 4 —
+# regression rotation, oldest last-green first (computed from the
+# CORRECTNESS_r*.json ledger): the ENTIRE remaining r8-last-green cohort
+# (33, alphabetical — includes the three entries registry.py queued last
+# round), then the r9 cohort alphabetically (3).
+# 14 + 33 + 3 = 50. Everything below the cap stays pytest-oracle-locked
 # every CI run (tests/test_oracle_parity.py).
 DRIVER_HEAD: list[str] = [
-    # --- tier 3: implementation changed this round (r12) ---
-    "q8_join_stream_replay",
-    "cm_stream_replay",
-    "funnel_conversion_stream_replay",
-    "scd2_stream_replay",
-    "skipgram_pairs_stream_replay",
-    "user_value_ewma_stream_replay",
-    "q8_union_join_lowlevel",
-    "embedding_neardup_pairs",
-    "semdedup_prune",
-    "cosine_topk_bruteforce",
-    "label_centroids",
-    "scalar_quantize_embeddings",
-    "pq_codes",
-    "kmeans_refine_once",
-    "kmeans_train",
-    "ann_ivf_topk",
-    "ann_ivf_topk_stream_replay",
-    "hard_negative_mining",
-    "copurchase_kcore",
+    # --- tier 3: implementation changed this round (r13) ---
+    "quality_label_propagation",
     "bpe_learn_merges",
     "bpe_encode_stats",
-    # r12 opt session 2: shingle pipeline restaged (split-once ws/hh
-    # projections replace the in-lambda split; bit-identical, CSE only)
-    "incremental_dedup_stream_replay",
-    # r12 opt session 3: tfidf's pair agg + top-k window collapsed onto one
-    # doc_a exchange, plus one representative consumer of each rebuilt
-    # index builder (doc_postings / bigram_tables / copurchase_pairs lost
-    # their plan caches; tables exceptAll-identical)
-    "tfidf_cosine_topk",
     "prefix_filter_jaccard_pairs",
-    "bigram_pmi_lift",
-    "copurchase_pagerank",
-    # r12 opt session 4: the dedup_clusters artifact build and the three
-    # pair-list-only consumers now take _lsh_candidate_pairs (the banded
-    # candidate set WITHOUT the jaccard-scoring joins they discarded);
-    # row sets exceptAll/oracle-identical at 3 SFs, plans lose the two
-    # wide-signature inner joins (Exchange 28->16 each)
-    "corpus_curation",
-    "curation_funnel",
-    "dedup_clusters",
-    # --- tier 4: r7-last-green cohort (all 16 remaining) ---
-    "nexmark_q7_highest_bid",
-    "ngram_jaccard_pairs",
-    "partitioned_pruned_scan",
-    "q11_user_bids",
-    "q5_hot_items",
-    "q5_sliding",
-    "q8_new_users_auctions",
-    "qx_winning_bids",
-    "sessions_by_bidder",
-    "sessions_dynamic_gap",
-    "simhash_neardup_pairs",
-    "source_dup_matrix",
-    "stratified_sample",
-    "text_normalize_fingerprints",
-    "union_tagged_daily",
-    "user_event_pivot",
-    # --- tier 4 cont.: r8-last-green cohort, alphabetical ---
-    "auction_binary_decode",
-    "bloom_membership_audit",
-    "cm_load_per_job",
-    "dedup_exact_docs",
-    "doc_fingerprints",
-    # minhash_estimate_error rotated out (cap 50): r12 session-2 tier-3
-    # addition above takes its slot; session 3's four tier-3 additions
-    # likewise displace the r8 alphabetical tail (generated_hot_seller_
-    # histogram, generated_q3_person_join, grouped_median_pandas,
-    # lang_guess), and session 4's three displace entity_resolution_pairs,
-    # eval_decontamination, event_transition_matrix (next round's rotation
-    # head); all still CI-oracled every run
+    "tfidf_cosine_topk",
+    "q8_join_stream_replay",
+    "sessions_stream_replay",
+    "scd2_stream_replay",
+    "incremental_dedup_stream_replay",
+    "exactly_once_sink_replay",
+    "qx_allowed_lateness_replay",
+    "pii_scrub_stream_replay",
+    "stream_dedup_replay",
+    # r13: ivf_index builder's coarse assignment Arrow-vectorized (assign
+    # table exceptAll-identical; forced-branch parity in
+    # tests/test_strategy_switches.py) — one artifact consumer verified
+    "ann_ivf_topk",
+    # --- tier 4: r8-last-green cohort (all 33 remaining), alphabetical ---
+    "entity_resolution_pairs",
+    "eval_decontamination",
+    "event_transition_matrix",
+    "generated_hot_seller_histogram",
+    "generated_q3_person_join",
+    "grouped_median_pandas",
+    "lang_guess",
+    "minhash_estimate_error",
+    "minhash_lsh_pairs",
+    "multimodal_frame_extract",
+    "multimodal_meta",
+    "nexmark_q0_passthrough",
+    "nexmark_q1_currency",
+    "nexmark_q2_selection",
+    "pii_scrub",
+    "q5_hot_items_sql",
+    "q8_left_outer",
+    "simhash_fingerprints",
+    "text_quality_scores",
+    "token_counts",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipmode_buckets",
+    "tpch_q14_promo_share",
+    "tpch_q16_part_suppliers",
+    "tpch_q18_volume_customers",
+    "tpch_q1_pricing_summary",
+    "tpch_q22_global_acctbal",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "vocab_top_tokens",
+    # --- tier 4 cont.: r9-last-green cohort, alphabetical head ---
+    "bids_asof_profile",
+    "bigram_lm_doc_scores",
+    "deterministic_splits",
+    # The r12 tier-3 cohort (embedding/cosine family, kcore, LSH
+    # consumers, the five re-pinned replays) rotates out twice-green; the
+    # r9 alphabetical tail (doc_chunks_udtf onward) is next round's
+    # rotation head; all still CI-oracled every run
 ]
 
 

@@ -67,3 +67,33 @@ def test_bpe_distributed_branch_matches_driver_loop(spark, sf_dir, monkeypatch):
     purge_artifact_roots()
 
     assert dist_rows == driver_rows
+
+
+def test_ivf_distributed_branch_matches_arrow_assign(spark, sf_dir, monkeypatch):
+    """ivf_index (r13): cap=0 forces the distributed interpreted-fold
+    coarse assignment; the assign table must be row-identical to the
+    Arrow-vectorized driver-codebook branch (ascending-dimension numpy
+    accumulation == the sequential fold; round + struct-argmin shared
+    JVM-side)."""
+    from nexmark_vanilla_flink_spark.operators.artifacts import (
+        purge_artifact_roots,
+        read_artifact_table,
+    )
+    from nexmark_vanilla_flink_spark.plans.pipeline import _ivf_index_dir
+
+    monkeypatch.delenv("SPARK_GRAFT_IVF_DRIVER_CODEBOOK_CAP", raising=False)
+    purge_artifact_roots()
+    arrow_rows = _rows(
+        read_artifact_table(spark, _ivf_index_dir(spark, sf_dir), "assign")
+    )
+    assert arrow_rows  # non-empty assignment at this SF
+
+    monkeypatch.setenv("SPARK_GRAFT_IVF_DRIVER_CODEBOOK_CAP", "0")
+    purge_artifact_roots()
+    dist_rows = _rows(
+        read_artifact_table(spark, _ivf_index_dir(spark, sf_dir), "assign")
+    )
+    monkeypatch.delenv("SPARK_GRAFT_IVF_DRIVER_CODEBOOK_CAP", raising=False)
+    purge_artifact_roots()
+
+    assert dist_rows == arrow_rows
